@@ -1,0 +1,74 @@
+"""Testdata table access.
+
+The harness tables (TESTDATA.md) are one parquet file per table. Reads
+are declared via ``spark.read.parquet`` so Catalyst gets predicate
+pushdown + column pruning for free; at 100 TB these become
+partitioned/bucketed table scans with the same call sites.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table (lazy; schema from parquet footer).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
+    rejects natively; it is read as nanosecond longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and floor-converted to a
+    microsecond timestamp — the same truncation DuckDB applies when its
+    TIMESTAMP_NS values surface as microsecond datetimes."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """readStream over one testdata table (file source needs a directory,
+    so the scan uses sf_dir + pathGlobFilter). Applies the same
+    nanosecond-timestamp conversion as ``table``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    df = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql()."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,248 @@
+"""Aggregation operators (SURVEY.md §2C "Aggregations", §2B B2/B3).
+
+All hash aggregates with map-side partial aggregation (Spark plans
+``HashAggregate(partial) -> Exchange -> HashAggregate(final)`` — the
+scalable shape for 100 TB: only group-key cardinality crosses the wire).
+
+Float SUM/AVG go through exact decimal accumulation (functions/aggs.py)
+so results are bit-identical to the DuckDB oracle regardless of
+summation order — no rounding fudge anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.aggs import davg, davg_sql, dsum, dsum_sql
+from ..registry import query
+
+
+@query(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')}                                           AS sum_qty,
+           {dsum_sql('l_extendedprice')}                                      AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')}                   AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}     AS sum_charge,
+           {davg_sql('l_quantity')}                                           AS avg_qty,
+           {davg_sql('l_extendedprice')}                                      AS avg_price,
+           {davg_sql('l_discount')}                                           AS avg_disc,
+           COUNT(*)                                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (flagship).
+
+    scan -> pushed filter -> partial/final hash agg. At 100 TB the only
+    shuffle is |groups| rows wide (here 4-6 groups).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_multi_measure",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*)                       AS n_orders,
+           {dsum_sql('o_totalprice')}     AS sum_price,
+           {davg_sql('o_totalprice')}     AS avg_price,
+           MIN(o_totalprice)              AS min_price,
+           MAX(o_totalprice)              AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_multi_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure hash aggregate (sum/avg/min/max/count) per key."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+            davg("o_totalprice").alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct aggregation (expand + two-phase agg)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query("agg_approx_count_distinct", oracle=None)  # algorithm-specific -> rows-only
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB-scale path where exact
+    distinct would shuffle every key. Rows-only check (estimator differs
+    from DuckDB's)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*)                    AS n,
+           {dsum_sql('l_quantity')}    AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (Expand -> hash agg)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*)                     AS n,
+           {dsum_sql('o_totalprice')}   AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL."""
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM parquet.`{sf_dir}/orders.parquet`
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle=f"""
+    SELECT l_linestatus,
+           COUNT(*) FILTER (WHERE l_discount > 0.05)                           AS n_discounted,
+           {dsum_sql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice END")} AS returned_price,
+           {dsum_sql('CASE WHEN l_tax > 0.04 THEN l_quantity ELSE 0 END')}     AS taxed_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation (single scan, no self-join)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        dsum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))).alias(
+            "returned_price"
+        ),
+        dsum(
+            F.when(F.col("l_tax") > 0.04, F.col("l_quantity")).otherwise(F.lit(0.0))
+        ).alias("taxed_qty"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+@query(
+    "agg_global_no_groups",
+    oracle=f"""
+    SELECT COUNT(*)                          AS n,
+           COUNT(DISTINCT l_orderkey)        AS n_orders,
+           {dsum_sql('l_extendedprice')}     AS sum_price,
+           {davg_sql('l_discount')}          AS avg_disc
+    FROM lineitem
+    """,
+)
+def agg_global_no_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (grand-total) aggregate — B2 `SELECT count(*)` generalized."""
+    return table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_extendedprice").alias("sum_price"),
+        davg("l_discount").alias("avg_disc"),
+    )

@@ -1,0 +1,314 @@
+"""Deduplication operators (north star; SURVEY.md §2C "Dedup").
+
+Five strategies, each the idiomatic Spark shape for its scale regime:
+
+- exact:        content-hash groupBy — one shuffle on the hash key.
+- keep-first:   window row_number over the business key — one shuffle.
+- n-gram Jaccard (exact): shingle explode + shingle-key self-join —
+                exact pairwise similarity, SQL-oracleable; quadratic in
+                bucket size, so only viable with discriminative shingles.
+- MinHash+LSH:  shingle -> 16 minhashes -> 4 bands -> bucket join ->
+                verify candidates with exact Jaccard. The 100 TB path:
+                candidate generation is linear in corpus size.
+- SimHash:      64-bit signature via per-bit token-hash majority; 16-bit
+                band blocking, then Hamming-distance verify.
+
+The reference defers dedup entirely (/root/reference/README.md:58-72,
+"Проблема дубликатов" — dropDuplicates+watermark vs Iceberg MERGE);
+these operators implement that deferred design space in batch form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.textfns import shingles, tokens
+from ..registry import query
+
+# --- exact ---------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text)      AS content_key,
+           MIN(doc_id)    AS keep_doc_id,
+           COUNT(*)       AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one representative per distinct text.
+
+    At 100 TB: hash once at scan, shuffle only (hash, doc_id) pairs —
+    never the document bodies."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("content_key"), "doc_id")
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_keep_first_ts",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events)
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_first_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the earliest event per (user_id, event_type) — deterministic
+    keep-first dedup via row_number (vs dropDuplicates' arbitrary pick)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "event_id", "ts", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# --- shingle machinery ----------------------------------------------------
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs, 3-word shingles."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(shingles(tokens("text"), 3)).alias("shingle"))
+        .distinct()
+    )
+
+
+def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over shingle sets via shingle-key equi-join.
+
+    Intersection counts come from one shuffle on the shingle; set sizes
+    are broadcast back. Output: (doc_a, doc_b, jaccard)."""
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("i") / (F.col("ca") + F.col("cb") - F.col("i")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(i * 1.0 / (ca.c + cb.c - i), 4) AS jaccard
+    FROM inter
+    JOIN cnt ca ON doc_a = ca.doc_id
+    JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE ROUND(i * 1.0 / (ca.c + cb.c - i), 4) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-duplicate pairs (threshold 0.8).
+
+    Tokenization matches the oracle exactly (single-space text)."""
+    return _jaccard_pairs(_doc_shingles(spark, sf_dir), threshold=0.8)
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band; P(candidate | j) = 1-(1-j^4)^4
+
+
+@query("dedup_minhash_lsh", oracle=None)  # hash-family specific -> rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands x 4 rows) candidate generation, then
+    exact-Jaccard verification at 0.8 — the linear-time 100 TB dedup path.
+
+    Per-permutation hashes are xxhash64(perm_id, shingle); all JVM-side.
+    Rows-only check (the hash family isn't SQL-reproducible), but the
+    verified output is by construction a subset of dedup_ngram_jaccard's,
+    which the unit tests assert."""
+    sh = _doc_shingles(spark, sf_dir)
+    # 16 minhash signatures per doc: min over shingles of seeded xxhash64.
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("sig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    candidates = (
+        left.join(right, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard (join back to shingle sets).
+    verified = _jaccard_pairs(sh, threshold=0.8)
+    return candidates.join(verified, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 64
+HAMMING_MAX = 6
+
+
+@query("dedup_simhash", oracle=None)  # hash-family specific -> rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs with Hamming distance <= 6.
+
+    Signature: per token, xxhash64 -> ±1 per bit, summed per doc with
+    token multiplicity; bit = sign of sum. Blocking: 4 x 16-bit bands
+    (Hamming <= 6 pairs are guaranteed to collide on >= 1 of 7 bands —
+    we use 4, trading a little recall for bandwidth, standard practice).
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    h = F.xxhash64("token")
+    # Per-bit ±1 contributions, aggregated per doc.
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    # Assemble the signature as 4 x 16-bit integers (band keys) + bit array.
+    def band_expr(b: int):
+        acc = F.lit(0).cast("long")
+        for r in range(16):
+            i = b * 16 + r
+            bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            acc = acc + F.shiftleft(bit, r)
+        return acc.alias(f"band{b}")
+
+    sig = bit_sums.select(
+        "doc_id",
+        F.array(*[F.when(F.col(f"b{i}") > 0, 1).otherwise(0) for i in range(SIMHASH_BITS)]).alias(
+            "bits"
+        ),
+        *[band_expr(b) for b in range(4)],
+    )
+    pieces = sig.select(
+        "doc_id",
+        "bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bits", "bk.band", "bk.key")
+    a = pieces.select(F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a"), "band", "key")
+    b_ = pieces.select(F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b"), "band", "key")
+    cand = (
+        a.join(b_, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "bits_a", "bits_b")
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with("bits_a", "bits_b", lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise cosine near-duplicate pairs (threshold 0.45).
+
+    Brute-force O(n^2) — correct baseline at this corpus size; the
+    LSH-bucketed variant (sim_ann_lsh_bucketed) is the at-scale path.
+    Norms are precomputed once per side before the join, so the join
+    condition only evaluates the dot product."""
+    from ..functions.vector import dot, l2_norm
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm("embedding").alias("norm")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = F.round(dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 4)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.45)
+    )

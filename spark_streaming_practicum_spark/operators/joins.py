@@ -1,0 +1,314 @@
+"""Join operators (SURVEY.md §2C "Joins").
+
+Scale notes baked into each plan:
+- dimension tables (region/nation/supplier/part at TPC-H ratios) are
+  broadcast — ``F.broadcast`` pins the hint so a 100 TB fact scan never
+  shuffles for a dim join;
+- fact-fact joins (orders x lineitem) shuffle on the join key, which is
+  also the natural bucketing key for a real deployment;
+- semi/anti joins use the dedicated join types (no distinct+inner hack),
+  so Spark can stop probing on first match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.aggs import dsum, dsum_sql
+from ..registry import query
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*)                    AS n,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join customer x orders, aggregated by segment."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+           COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS total
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers without orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total"),
+        )
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n.n_name, COUNT(s.s_suppkey) AS n_suppliers
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving nations without suppliers."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cust_n AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         supp_n AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.k, s.k)        AS nationkey,
+           COALESCE(c.n_cust, 0)     AS n_cust,
+           COALESCE(s.n_supp, 0)     AS n_supp
+    FROM cust_n c FULL OUTER JOIN supp_n s ON c.k = s.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregates (agg-before-join keeps the
+    shuffle narrow — the pattern that matters at 100 TB)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.k == s.k, "full").select(
+        F.coalesce(c.k, s.k).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: orders having a high-quantity line item."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r1.r_name AS r_a, r2.r_name AS r_b
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey < r2.r_regionkey
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (tiny dims only — unordered region pairs)."""
+    r1 = table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k_a"), F.col("r_name").alias("r_a")
+    )
+    r2 = table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k_b"), F.col("r_name").alias("r_b")
+    )
+    return r1.crossJoin(r2).filter(F.col("k_a") < F.col("k_b")).select("r_a", "r_b")
+
+
+@query(
+    "join_range_events",
+    oracle="""
+    SELECT a.user_id, a.event_id AS eid_a, b.event_id AS eid_b,
+           CAST(datediff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 2 MINUTE
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: purchases within 2 minutes after a click by the
+    same user. Equi component on user_id keeps the shuffle keyed; the
+    range predicate is applied post-probe."""
+    e = table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id"), F.col("event_id").alias("eid_a"), F.col("ts").alias("ts_a")
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid_b"), F.col("event_id").alias("eid_b"), F.col("ts").alias("ts_b")
+    )
+    joined = a.join(
+        b,
+        (a.user_id == b.uid_b)
+        & (b.ts_b > a.ts_a)
+        & (b.ts_b <= a.ts_a + F.expr("INTERVAL 2 MINUTES")),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "eid_a",
+        "eid_b",
+        (F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")).alias("gap_s"),
+    )
+
+
+@query(
+    "join_broadcast_star",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           COUNT(*)                                                   AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact scan with three explicitly-broadcast dims — zero
+    fact-side shuffles before the final narrow aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def join_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filter-heavy 3-way join + agg + deterministic top-10.
+
+    Customer (filtered) is broadcast; orders x lineitem shuffles on
+    orderkey. The global top-10 is a TakeOrdered — no full sort at scale.
+    """
+    c = F.broadcast(
+        table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@query(
+    "join_q5_local_supplier",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a compound (two-column) join
+    condition and region filter pushed into the broadcast dim."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )

@@ -1,0 +1,102 @@
+"""Multimodal column plumbing (north star; SURVEY.md §2C "Multimodal").
+
+Media payloads are opaque ``binary`` columns with typed metadata structs.
+The Spark-side machinery — schema, Arrow batch shape, partition-safe
+pandas UDFs — is real and tested; the actual image/audio decode is
+STUBBED (no media libraries in this container): ``decode_image_real``
+raises NotImplementedError, and the registered queries use a
+deterministic fake decoder so results stay oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int]:
+    """Real image decode — requires PIL/opencv, absent here by design.
+
+    On a cluster with media libs installed, swap this into
+    ``_fake_decode`` below; the Spark plumbing (binary column in, struct
+    of metadata out, Arrow-batched) is unchanged."""
+    raise NotImplementedError("image decoding libraries are not available in this environment")
+
+
+@query(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           sha256(text)                               AS payload_sha256
+    FROM documents
+    """,
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: utf-8 payload bytes + content hash, all
+    JVM-side. At 100 TB the binary column stays columnar (parquet BYTE_ARRAY)
+    and is never materialized in Python."""
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("payload_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+    )
+
+
+@query(
+    "mm_fake_decode_dims",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + (octet_length(encode(text)) % 64) AS BIGINT)  AS width,
+           CAST(16 + ((octet_length(encode(text)) // 7) % 64) AS BIGINT) AS height,
+           CAST(1 + (doc_id % 7) AS BIGINT)                        AS n_frames
+    FROM documents
+    """,
+)
+def mm_fake_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode via mapInPandas: binary in, metadata struct out.
+
+    The decoder is a deterministic fake (dims derived from payload size)
+    so the oracle can replicate it; the batch shape, schema and
+    partitioning are exactly what a real PIL/ffmpeg decode would use."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sizes = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": (16 + sizes % 64).astype("int64"),
+                    "height": (16 + (sizes // 7) % 64).astype("int64"),
+                    "n_frames": (1 + pdf["doc_id"] % 7).astype("int64"),
+                }
+            )
+
+    return d.mapInPandas(decode, schema="doc_id bigint, width bigint, height bigint, n_frames bigint")
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx
+    FROM documents, unnest(generate_series(0, CAST(doc_id % 7 AS BIGINT), 2)) AS t(f)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every 2nd frame index from each (fake) video with
+    n_frames = doc_id % 7 + 1, via sequence+explode (JVM-side row
+    generation — no Python in the expansion)."""
+    d = table(spark, sf_dir, "documents")
+    frames = F.sequence(F.lit(0).cast("long"), (F.col("doc_id") % 7).cast("long"), F.lit(2).cast("long"))
+    return d.select("doc_id", F.explode(frames).alias("frame_idx"))

@@ -1,0 +1,166 @@
+"""Similarity search over the embedding column (north star; SURVEY.md §2C).
+
+Three tiers:
+- brute-force cosine top-k, JVM-side higher-order functions (baseline);
+- the same top-k through a vectorized Arrow/pandas UDF (numpy matmul) —
+  demonstrates the sanctioned slow path and beats HOF on wide batches;
+- random-hyperplane LSH bucketing — the sub-linear candidate-generation
+  path that survives 100 TB (probe only the query's bucket).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.vector import dot, l2_norm
+from ..registry import query
+
+QUERY_VEC_ID = 0
+TOP_K = 20
+
+_TOPK_ORACLE = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qv AS DOUBLE[])), 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT {TOP_K}
+    """
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Fetch the query embedding (single-row lookup; the one sanctioned
+    driver-side collect — the vector is then shipped as a literal)."""
+    row = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+@query("sim_cosine_topk", oracle=_TOPK_ORACLE)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs. a query vector, all JVM-side.
+
+    The query vector is a broadcast literal; the scan computes
+    dot/norms inside whole-stage codegen and TakeOrdered keeps k rows
+    per partition — no shuffle of the corpus."""
+    qv = _query_vector(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    q = F.array(*[F.lit(x).cast("double") for x in qv])
+    cos = F.round(dot("embedding", q) / (l2_norm("embedding") * l2_norm(q)), 6)
+    return (
+        e.select("vec_id", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+@query("sim_cosine_topk_pandas", oracle=_TOPK_ORACLE)
+def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-k through mapInPandas + numpy (Arrow-batched matmul).
+
+    The at-scale pattern for heavy vector math Spark's HOFs can't
+    express: per-batch np.float64 matmul against the broadcast query
+    vector, k rows retained per batch before the driver-side merge."""
+    qv = np.asarray(_query_vector(spark, sf_dir), dtype=np.float64)
+    qn = float(np.sqrt((qv * qv).sum()))
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sims = (mat @ qv) / (np.sqrt((mat * mat).sum(axis=1)) * qn)
+            out = pd.DataFrame({"vec_id": pdf["vec_id"], "cosine": np.round(sims, 6)})
+            # local top-k per Arrow batch; global merge happens in TakeOrdered
+            yield out.nlargest(TOP_K, ["cosine"], keep="all")
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score, schema="vec_id bigint, cosine double"
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(TOP_K)
+
+
+N_HYPERPLANES = 12
+
+
+def _hyperplanes(dim: int = 64) -> np.ndarray:
+    """Deterministic random hyperplanes (fixed seed — stable across runs)."""
+    rng = np.random.RandomState(42)
+    return rng.randn(N_HYPERPLANES, dim)
+
+
+@query("sim_ann_lsh_bucketed", oracle=None)  # hash-family specific -> rows-only
+def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: 12 sign bits -> bucket id;
+    rank by exact cosine *within the query's bucket only*.
+
+    At 100 TB the bucket id is a write-time partition key, so a probe
+    reads one partition instead of the corpus. Rows-only check; recall
+    vs. the exact top-k is asserted in unit tests."""
+    planes = _hyperplanes()
+    qv = np.asarray(_query_vector(spark, sf_dir), dtype=np.float64)
+
+    def bucket_col(emb) -> F.Column:
+        acc = F.lit(0).cast("long")
+        for i, plane in enumerate(planes):
+            proj = dot(emb, F.array(*[F.lit(float(w)).cast("double") for w in plane]))
+            bit = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            acc = acc + F.shiftleft(bit, i)
+        return acc
+
+    q_bucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) > 0))
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    in_bucket = e.withColumn("bucket", bucket_col(F.col("embedding"))).filter(
+        F.col("bucket") == q_bucket
+    )
+    q = F.array(*[F.lit(float(x)).cast("double") for x in qv])
+    cos = F.round(dot("embedding", q) / (l2_norm("embedding") * l2_norm(q)), 6)
+    return (
+        in_bucket.select("vec_id", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+@query(
+    "sim_label_centroid",
+    oracle="""
+    WITH per_dim AS (
+        SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS mu
+        FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+        GROUP BY label, i)
+    SELECT label,
+           ROUND(SQRT(SUM(mu * mu)), 6) AS centroid_norm,
+           (SELECT COUNT(*) FROM embeddings e WHERE e.label = per_dim.label) AS n
+    FROM per_dim
+    GROUP BY label
+    """,
+)
+def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm — grouped vector aggregation done JVM-side
+    by exploding (label, dim_index, value) and re-assembling. The
+    shuffle carries one row per (label, dim), not per vector."""
+    e = table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
+    )
+    per_dim = exploded.groupBy("label", "i").agg(
+        F.avg("v").alias("mu"), F.count(F.lit(1)).alias("n_rows")
+    )
+    return per_dim.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("mu") * F.col("mu"))), 6).alias("centroid_norm"),
+        F.max("n_rows").alias("n"),
+    )

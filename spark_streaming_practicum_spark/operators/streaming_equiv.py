@@ -1,0 +1,150 @@
+"""Streaming operators with batch-equivalent oracles (SURVEY.md §2C
+"Streaming" — the window/watermark/dedup surface the reference explicitly
+defers, /root/reference/README.md:56-72).
+
+``stream_tumbling_hour`` runs a REAL Structured Streaming query (file
+source -> windowed agg -> memory sink, drained synchronously) and still
+oracle-checks against SQL — the strongest parity statement available.
+The sliding/session variants use the batch API (identical window
+semantics per Spark's docs) so the oracle stays exact.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import stream_table, table
+from ..registry import query
+
+
+@query(
+    "stream_tumbling_hour",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*)               AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)   AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming tumbling-window aggregate: readStream over the
+    events parquet, 1-hour windows + 1-hour watermark, complete-mode
+    memory sink drained with processAllAvailable.
+
+    At scale this is the standing aggregation job; the watermark bounds
+    state to (windows in flight) x (group keys)."""
+    stream = stream_table(spark, sf_dir, "events")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"))
+    )
+    sink_name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(sink_name)
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH expanded AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_start,
+               event_type, value
+        FROM events, (VALUES (0), (1)) AS offs(k))
+    SELECT window_start, event_type,
+           COUNT(*)             AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM expanded
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): each event lands in
+    exactly two windows. Batch API — window assignment is identical to
+    the streaming operator's."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                              + INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM flagged)
+    SELECT user_id,
+           MIN(ts)                          AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE     AS session_end,
+           COUNT(*)                         AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, 30 min) per user — Spark's native session
+    operator; window.end = last event + gap, matching the
+    gaps-and-islands oracle."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query("stream_dedup_within_watermark", oracle=None)  # kept row is arbitrary -> rows-only
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming dropDuplicatesWithinWatermark on (user_id,
+    event_type): the reference's deferred dedup design
+    (/root/reference/README.md:64-68) implemented with bounded state.
+    Watermark 40 days > data span, so the row count equals the exact
+    distinct count (asserted in unit tests); which row is kept is
+    execution-order dependent, hence rows-only."""
+    stream = stream_table(spark, sf_dir, "events")
+    dedup = stream.withWatermark("ts", "40 days").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    sink_name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = dedup.writeStream.outputMode("append").format("memory").queryName(sink_name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink_name).select("user_id", "event_type", "event_id", "ts")

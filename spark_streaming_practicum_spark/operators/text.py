@@ -1,0 +1,183 @@
+"""Text analysis operators (north star; SURVEY.md §2C "Text analysis").
+
+Language-ID, quality scoring, token counting, term frequency and
+content fingerprinting over ``documents`` — all JVM-side expressions
+(regex + higher-order functions), no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.textfns import EN_STOPWORDS, poly_hash, tokens
+from ..registry import query
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)  AS n_tokens,
+           CAST(LENGTH(text) AS BIGINT)                           AS n_chars_actual,
+           n_chars                                                AS n_chars_meta,
+           CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + distinct token counts (the BPE-precursor statistic)."""
+    d = table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.col("n_chars").alias("n_chars_meta"),
+        F.size(F.array_distinct(tok)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               string_split(text, ' ') AS toks,
+               len(list_filter(string_split(text, ' '),
+                               t -> list_contains({_STOP_SQL}, t))) AS n_stop
+        FROM documents)
+    SELECT doc_id, lang AS lang_meta,
+           ROUND(n_stop * 1.0 / len(toks), 4) AS en_stopword_ratio,
+           CASE WHEN n_stop * 1.0 / len(toks) > 0.03 THEN 'en' ELSE 'other' END AS lang_pred
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic (n-gram/wordlist class of
+    detector; the Spark plumbing is what scales, the wordlist is a stub)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    ratio = n_stop / F.size(toks)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_meta"),
+        F.round(ratio, 4).alias("en_stopword_ratio"),
+        F.when(ratio > 0.03, "en").otherwise("other").alias("lang_pred"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           ROUND(LENGTH(regexp_replace(text, '[^!?.,;:]', '', 'g')) * 1.0
+                 / LENGTH(text), 4)     AS punct_ratio,
+           ROUND(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                 / LENGTH(text), 4)     AS digit_ratio,
+           ROUND(LENGTH(text) * 1.0
+                 / len(string_split(text, ' ')), 4) AS avg_token_len,
+           CASE WHEN LENGTH(text) BETWEEN 50 AND 10000
+                 AND LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                     / LENGTH(text) < 0.3
+                THEN 1 ELSE 0 END       AS passes_quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / digit-ratio quality gates (the C4/Gopher
+    rule-filter family) as pure column expressions."""
+    d = table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    punct = F.length(F.regexp_replace("text", r"[^!?.,;:]", ""))
+    digits = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    n_toks = F.size(F.split(F.col("text"), " "))
+    return d.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        F.round(punct / n_chars, 4).alias("punct_ratio"),
+        F.round(digits / n_chars, 4).alias("digit_ratio"),
+        F.round(n_chars / n_toks, 4).alias("avg_token_len"),
+        F.when(
+            n_chars.between(50, 10000) & (digits / n_chars < 0.3), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("passes_quality"),
+    )
+
+
+@query(
+    "text_term_frequency",
+    oracle="""
+    SELECT token, COUNT(*) AS tf,
+           COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY tf DESC, token ASC
+    LIMIT 50
+    """,
+)
+def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF/DF: explode + two-level aggregate, top-50 terms.
+
+    explode is map-side; the shuffle carries (token, partial counts) —
+    the word-count shape that scales linearly."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "text_bigram_frequency",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bigram
+           FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i))
+    SELECT bigram, COUNT(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 30
+    """,
+)
+def text_bigram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word bigrams (n-gram generation via sequence+slice HOFs)."""
+    from ..functions.textfns import shingles
+
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    return (
+        d.select(F.explode(shingles(w, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(30)
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_transform(generate_series(1, LENGTH(text)),
+                              i -> CAST(ascii(text[i:i]) AS BIGINT)),
+               (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash of the full text — a deterministic,
+    SQL-reproducible document fingerprint (dedup key / shard router)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", poly_hash("text").alias("fingerprint"))

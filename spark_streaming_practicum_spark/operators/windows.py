@@ -1,0 +1,211 @@
+"""Window-function operators (SURVEY.md §2C "Window functions").
+
+Every window carries a total ordering (tie-break on a key column) so
+``lag``/``row_number`` values are deterministic and hash-stable against
+the DuckDB oracle.
+
+Scale note: a window partitioned by a key shuffles once on that key and
+sorts within partitions — same cost shape as a keyed agg. Avoid
+partition-less windows (single-task global sort) except for tiny inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number (shuffle once on custkey;
+    AQE-friendly; no global sort)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice,
+           RANK()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
+    FROM part
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank within brand (rank values are deterministic even
+    with price ties)."""
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           LAG(event_type)  OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           CAST(COALESCE(datediff('second', LAG(ts) OVER w, ts), -1) AS BIGINT) AS secs_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each user's event timeline (event_id tie-break)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.coalesce(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)), F.lit(-1)
+        ).alias("secs_since_prev"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (ROWS frame, deterministic order)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg3
+    FROM events
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average of event value per user."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("mov_avg3"),
+    )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           NTILE(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS balance_quartile
+    FROM customer
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quartile assignment (partition-less window — acceptable for
+    dimension-sized inputs; at fact scale use approx percentiles instead)."""
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("balance_quartile")
+    )
+
+
+@query(
+    "window_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN datediff('second',
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+                         ts) > 1800
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events),
+    numbered AS (
+        SELECT user_id, event_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM flagged)
+    SELECT user_id, session_no, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap): the batch
+    analogue of streaming session windows, one shuffle on user_id."""
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = table(spark, sf_dir, "events")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > 30 * 60),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        e.select("user_id", "event_id", "ts", is_new.alias("is_new"))
+        .select("user_id", "event_id", "ts", F.sum("is_new").over(w_run).alias("session_no"))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

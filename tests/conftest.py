@@ -1,0 +1,33 @@
+"""Shared fixtures: one tuned SparkSession per test run, DuckDB oracle
+connection with the testdata views pre-registered (mirroring the driver
+harness)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from spark_streaming_practicum_spark.catalog import TABLES
+from spark_streaming_practicum_spark.session import build_session
+
+import os
+
+SF_DIR = os.environ.get("SSP_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    session = build_session(app_name="ssp-tests")
+    yield session
+    session.stop()
+
+
+@pytest.fixture(scope="session")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
