@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is materialized with the noop sink (full execution, no
+driver-side collect cost) except LIMIT queries, which are collected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from spark_streaming_practicum_spark.registry import all_queries
+from spark_streaming_practicum_spark.session import build_session
+
+HEADLINE = [
+    # relational core
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "join_q3_shipping_priority",
+    "join_q5_local_supplier",
+    "join_broadcast_star",
+    "window_topk_per_group",
+    "window_sessionize",
+    # streaming-shaped
+    "stream_sliding_window",
+    "stream_session_window",
+    # ingestion parity (full parse->validate->route pipeline)
+    "ingest_route_valid_agg",
+    # north star
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_term_frequency",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session(app_name="ssp-bench")
+    defs = all_queries()
+
+    # Warm up the JVM / codegen / parquet reader paths so per-query times
+    # reflect steady-state execution, not first-job initialization.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy("l_returnflag").count().collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = defs[name].fn
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if df.isStreaming:
+            df.count()
+        else:
+            df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time, sum over "
+                f"{len(HEADLINE)} queries (noop-materialized)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

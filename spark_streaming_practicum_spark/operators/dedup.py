@@ -82,12 +82,26 @@ def dedup_keep_first_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs, 3-word shingles."""
-    d = table(spark, sf_dir, "documents")
-    return (
+    """Distinct (doc_id, shingle) pairs, 3-word shingles.
+
+    The corpus arrives as one parquet file here, so the scan is a single
+    task; repartitioning by doc_id first spreads the (heavy) tokenize +
+    explode across all cores — on a real cluster the same holds for any
+    skewed file layout. The result is persisted because every similarity
+    strategy (signatures, candidate join, verification) re-reads it."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sh = (
         d.select("doc_id", F.explode(shingles(tokens("text"), 3)).alias("shingle"))
         .distinct()
+        .persist()
     )
+    # Materialize eagerly: downstream plans reference this set from
+    # several branches of ONE job, and un-materialized caches would be
+    # computed concurrently (and redundantly) by each branch.
+    sh.count()
+    return sh
 
 
 def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
@@ -185,14 +199,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "bs.band", "bs.sig")
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    # Persisted: the candidate set feeds the doc-pruning semi-join, the
+    # verification join AND the final output join — without a cache the
+    # whole band-join subtree would re-execute for each consumer.
     candidates = (
         left.join(right, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .persist()
     )
-    # Verify candidates with exact Jaccard (join back to shingle sets).
-    verified = _jaccard_pairs(sh, threshold=0.8)
+    candidates.count()  # eager, for the same multi-branch reason as above
+    # Verify candidates with exact Jaccard, computed ONLY over docs that
+    # appear in some candidate pair (semi-join pruning) — at scale the
+    # candidate set is tiny relative to the corpus.
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_pruned = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    verified = _jaccard_pairs(sh_pruned, threshold=0.8)
     return candidates.join(verified, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "jaccard"
     )
@@ -213,7 +240,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Hamming <= 6 pairs are guaranteed to collide on >= 1 of 7 bands —
     we use 4, trading a little recall for bandwidth, standard practice).
     """
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
     h = F.xxhash64("token")
     # Per-bit ±1 contributions, aggregated per doc.

@@ -6,7 +6,7 @@ classification (A12), valid/invalid split (A13) — end-to-end against a
 SQL oracle, by constructing the raw batches *deterministically from the
 events table* with arithmetic fault injection:
 
-    batch id            = event_id % 97           (collect_list per group)
+    batch id            = event_id % 397           (collect_list per group)
     corrupted batch     = batch id % 10 == 0      (truncate at midpoint,
                           like producer/data_sinks.py:59-64)
     invalid-schema rec  = event_id % 101 == 7     (single bogus key, like
@@ -44,7 +44,7 @@ EVENT_SCHEMA = T.StructType(
 JSON_OPTIONS = {"timestampFormat": TS_FMT}
 
 _VALID_FILTER_SQL = (
-    "(event_id % 97) % 10 != 0 AND event_id % 101 != 7 AND event_id % 103 != 11"
+    "(event_id % 397) % 10 != 0 AND event_id % 101 != 7 AND event_id % 103 != 11"
 )
 
 
@@ -78,8 +78,11 @@ def _raw_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_id") % 103 == 11, extra_rec)
         .otherwise(valid_rec)
     )
+    # Repartition before the (CPU-heavy) to_json projection: the events
+    # table is one parquet file, i.e. one scan task otherwise.
+    e = e.repartition(spark.sparkContext.defaultParallelism, "event_id")
     batches = (
-        e.select((F.col("event_id") % 97).alias("batch_id"), rec.alias("rec"))
+        e.select((F.col("event_id") % 397).alias("batch_id"), rec.alias("rec"))
         .groupBy("batch_id")
         .agg(F.concat(F.lit("["), F.array_join(F.collect_list("rec"), ","), F.lit("]")).alias("full"))
     )
@@ -128,15 +131,15 @@ def ingest_route_valid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ingest_dead_letter_reasons",
     oracle="""
-    SELECT 'corrupted_batch' AS reason, COUNT(DISTINCT event_id % 97) AS n
-    FROM events WHERE (event_id % 97) % 10 = 0
+    SELECT 'corrupted_batch' AS reason, COUNT(DISTINCT event_id % 397) AS n
+    FROM events WHERE (event_id % 397) % 10 = 0
     UNION ALL
     SELECT 'invalid_schema' AS reason, COUNT(*) AS n
-    FROM events WHERE event_id % 101 = 7 AND (event_id % 97) % 10 != 0
+    FROM events WHERE event_id % 101 = 7 AND (event_id % 397) % 10 != 0
     UNION ALL
     SELECT 'extra_fields' AS reason, COUNT(*) AS n
     FROM events
-    WHERE event_id % 103 = 11 AND event_id % 101 != 7 AND (event_id % 97) % 10 != 0
+    WHERE event_id % 103 = 11 AND event_id % 101 != 7 AND (event_id % 397) % 10 != 0
     """,
 )
 def ingest_dead_letter_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:

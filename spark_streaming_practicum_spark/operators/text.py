@@ -178,6 +178,11 @@ def text_bigram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling hash of the full text — a deterministic,
-    SQL-reproducible document fingerprint (dedup key / shard router)."""
-    d = table(spark, sf_dir, "documents")
+    SQL-reproducible document fingerprint (dedup key / shard router).
+
+    Repartitioned first: the per-character fold is the most CPU-heavy
+    row transform in the engine and must not run on a single file-task."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return d.select("doc_id", poly_hash("text").alias("fingerprint"))
