@@ -93,7 +93,8 @@ def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(TOP_K)
 
 
-N_HYPERPLANES = 12
+N_HYPERPLANES = 8
+MULTIPROBE_HAMMING = 1  # probe the query bucket + all 1-bit-flip neighbors
 
 
 def _hyperplanes(dim: int = 64) -> np.ndarray:
@@ -104,12 +105,13 @@ def _hyperplanes(dim: int = 64) -> np.ndarray:
 
 @query("sim_ann_lsh_bucketed", oracle=None)  # hash-family specific -> rows-only
 def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH: 12 sign bits -> bucket id;
-    rank by exact cosine *within the query's bucket only*.
+    """Approximate NN via random-hyperplane LSH: 8 sign bits -> bucket id;
+    rank by exact cosine within the query's bucket and its 1-bit-flip
+    neighbors (multi-probe).
 
     At 100 TB the bucket id is a write-time partition key, so a probe
-    reads one partition instead of the corpus. Rows-only check; recall
-    vs. the exact top-k is asserted in unit tests."""
+    reads ~(1+8)/256 of the corpus instead of all of it. Rows-only
+    check; agreement with the exact scorer is asserted in unit tests."""
     planes = _hyperplanes()
     qv = np.asarray(_query_vector(spark, sf_dir), dtype=np.float64)
 
@@ -122,9 +124,10 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return acc
 
     q_bucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) > 0))
+    probes = [q_bucket] + [q_bucket ^ (1 << i) for i in range(N_HYPERPLANES)]
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
     in_bucket = e.withColumn("bucket", bucket_col(F.col("embedding"))).filter(
-        F.col("bucket") == q_bucket
+        F.col("bucket").isin(probes)
     )
     q = F.array(*[F.lit(float(x)).cast("double") for x in qv])
     cos = F.round(dot("embedding", q) / (l2_norm("embedding") * l2_norm(q)), 6)

@@ -1,0 +1,80 @@
+"""Property tests for the rows-only (non-SQL-oracle) operators: the
+guarantees the driver can't check are asserted here."""
+
+from __future__ import annotations
+
+from spark_streaming_practicum_spark.registry import all_queries
+
+from .conftest import SF_DIR
+
+DEFS = all_queries()
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_lsh_subset_of_exact_jaccard(spark):
+    """LSH-verified pairs are exactly the exact-Jaccard pairs the bands
+    recalled — a subset of the exhaustive result, at full precision."""
+    exact = _pairs(DEFS["dedup_ngram_jaccard"].fn(spark, SF_DIR))
+    lsh = _pairs(DEFS["dedup_minhash_lsh"].fn(spark, SF_DIR))
+    assert lsh <= exact
+    # bands of 4 rows at j>=0.8: P(miss) = (1-j^4)^4 <= 0.116 per pair;
+    # require decent recall on this corpus
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5
+
+
+def test_simhash_pairs_are_near_duplicates(spark):
+    """SimHash-blocked pairs at Hamming<=6 should be dominated by the
+    known near-dup clusters (jaccard overlap)."""
+    sim = _pairs(DEFS["dedup_simhash"].fn(spark, SF_DIR))
+    exact = _pairs(DEFS["dedup_ngram_jaccard"].fn(spark, SF_DIR))
+    if exact:
+        # every exact near-dup pair should collide in simhash space
+        assert len(exact & sim) / len(exact) >= 0.5
+
+
+def test_lsh_ann_results_among_exact_topk_pool(spark):
+    """Bucketed ANN returns vectors whose exact cosine matches the
+    brute-force ranking for those vec_ids (same scoring fn)."""
+    exact = {r.vec_id: r.cosine for r in DEFS["sim_cosine_topk"].fn(spark, SF_DIR).collect()}
+    ann = DEFS["sim_ann_lsh_bucketed"].fn(spark, SF_DIR).collect()
+    assert len(ann) > 0
+    for r in ann:
+        if r.vec_id in exact:
+            assert abs(exact[r.vec_id] - r.cosine) < 1e-9
+
+
+def test_pandas_topk_equals_hof_topk(spark):
+    """The Arrow/numpy top-k path returns the same ranking as the
+    JVM higher-order-function path."""
+    hof = [(r.vec_id, r.cosine) for r in DEFS["sim_cosine_topk"].fn(spark, SF_DIR).collect()]
+    pdk = [
+        (r.vec_id, r.cosine)
+        for r in DEFS["sim_cosine_topk_pandas"].fn(spark, SF_DIR).collect()
+    ]
+    assert hof == pdk
+
+
+def test_stream_dedup_count_equals_exact_distinct(spark):
+    """dropDuplicatesWithinWatermark with watermark > data span keeps
+    exactly one row per key."""
+    n_stream = DEFS["stream_dedup_within_watermark"].fn(spark, SF_DIR).count()
+    n_exact = DEFS["dedup_keep_first_ts"].fn(spark, SF_DIR).count()
+    assert n_stream == n_exact
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """HLL++ estimate within advertised error of the exact count."""
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in DEFS["agg_approx_count_distinct"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r.l_returnflag: r.n_parts
+        for r in DEFS["agg_count_distinct"].fn(spark, SF_DIR).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(5, 0.1 * n)
