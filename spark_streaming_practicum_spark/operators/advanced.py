@@ -1,0 +1,379 @@
+"""Advanced relational surface: pivot/unpivot, as-of join, correlated and
+IN subqueries, MERGE-style upsert emulation, exact percentiles, ordered
+array aggregation, date arithmetic, extended window functions.
+
+These round out SURVEY.md §2C beyond the basic families — the shapes a
+user of the reference's DuckDB query layer would reach for next, each
+with the idiomatic (and scale-safe) Spark formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "pivot_event_counts",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           {", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts, one column per event type (explicit
+    value list so no extra distinct-values job at scale)."""
+    e = table(spark, sf_dir, "events")
+    p = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) three measures into (metric, value) long form."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).withColumn(
+        "metric",
+        F.when(F.col("metric") == "l_quantity", "quantity")
+        .when(F.col("metric") == "l_discount", "discount")
+        .otherwise("tax"),
+    )
+
+
+@query(
+    "asof_join_last_click",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           p.ts AS purchase_ts, c.ts AS last_click_ts,
+           CAST(datediff('second', c.ts, p.ts) AS BIGINT) AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): for each purchase, the
+    latest click at-or-before it by the same user.
+
+    Implementation: tag clicks/purchases, union, one window pass per
+    user ordered by (ts, kind) carrying the running last click ts —
+    a single shuffle on user_id, no range-join blowup. Inner-asof
+    semantics (purchases with no prior click dropped)."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("kind"), F.lit(None).cast("long").alias("event_id")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id"
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("kind").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click_ts = F.max(F.when(F.col("kind") == 0, F.col("ts"))).over(w)
+    return (
+        unioned.withColumn("last_click_ts", last_click_ts)
+        .filter((F.col("kind") == 1) & F.col("last_click_ts").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+            (F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")).alias("gap_s"),
+        )
+    )
+
+
+@query(
+    "subquery_correlated_scalar",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice >
+          (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders above their customer's average
+    (Catalyst decorrelates this into an aggregate + join)."""
+    return spark.sql(
+        f"""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM parquet.`{sf_dir}/orders.parquet` o
+        WHERE o.o_totalprice >
+              (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               FROM parquet.`{sf_dir}/orders.parquet` o2 WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@query(
+    "subquery_in",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey IN (
+        SELECT n_nationkey FROM nation
+        WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name IN ('ASIA', 'EUROPE')))
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN subqueries (planned as semi joins)."""
+    return spark.sql(
+        f"""
+        SELECT s_suppkey, s_name
+        FROM parquet.`{sf_dir}/supplier.parquet`
+        WHERE s_nationkey IN (
+            SELECT n_nationkey FROM parquet.`{sf_dir}/nation.parquet`
+            WHERE n_regionkey IN (
+                SELECT r_regionkey FROM parquet.`{sf_dir}/region.parquet`
+                WHERE r_name IN ('ASIA', 'EUROPE')))
+        """
+    )
+
+
+@query(
+    "merge_upsert_emulation",
+    oracle="""
+    WITH source AS (
+        SELECT o_custkey AS custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
+        FROM orders GROUP BY o_custkey)
+    SELECT COALESCE(c.c_custkey, s.custkey)                   AS custkey,
+           COALESCE(c.c_name, 'UNKNOWN')                      AS name,
+           CASE WHEN s.custkey IS NOT NULL THEN s.spend
+                ELSE c.c_acctbal END                          AS balance,
+           CASE WHEN c.c_custkey IS NULL THEN 'inserted'
+                WHEN s.custkey IS NOT NULL THEN 'updated'
+                ELSE 'unchanged' END                          AS merge_action
+    FROM customer c FULL OUTER JOIN source s ON c.c_custkey = s.custkey
+    """,
+)
+def merge_upsert_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation without a table format: full outer join of
+    target (customer) and source (per-customer spend), producing
+    updated / inserted / unchanged rows — the batch form of the Iceberg
+    MERGE the reference defers (/root/reference/README.md:69-72). With
+    Iceberg available this becomes one `MERGE INTO` statement."""
+    c = table(spark, sf_dir, "customer")
+    s = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("spend"))
+    )
+    j = c.join(s, c.c_custkey == s.custkey, "full")
+    return j.select(
+        F.coalesce(c.c_custkey, s.custkey).alias("custkey"),
+        F.coalesce(c.c_name, F.lit("UNKNOWN")).alias("name"),
+        F.when(s.custkey.isNotNull(), s.spend).otherwise(c.c_acctbal).alias("balance"),
+        F.when(c.c_custkey.isNull(), "inserted")
+        .when(s.custkey.isNotNull(), "updated")
+        .otherwise("unchanged")
+        .alias("merge_action"),
+    )
+
+
+@query(
+    "percentiles_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 5) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 5) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 5) AS p75
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines implement
+    the standard continuous-quantile interpolation)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 5).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 5).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 5).alias("p75"),
+    )
+
+
+@query("percentile_approx_sketch", oracle=None)  # sketch-specific -> rows-only
+def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile sketch — the 100 TB path (fixed-size state
+    vs. full sort). Accuracy vs. the exact quantile is asserted in tests."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median")
+    )
+
+
+@query(
+    "array_agg_sorted",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(o_orderkey)) AS orderkeys,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) BETWEEN 2 AND 5
+    """,
+)
+def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation (collect_list is unordered across tasks;
+    array_sort makes it deterministic — required at any scale)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n").between(2, 5))
+    )
+
+
+@query(
+    "date_arithmetic",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 3 DAY                      AS plus_3d,
+           ts - INTERVAL 90 MINUTE                  AS minus_90m,
+           CAST(ts AS DATE) + 7                     AS plus_7d_date,
+           CAST(ts AS DATE)                         AS just_date
+    FROM events
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp/date interval arithmetic."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("plus_3d"),
+        (F.col("ts") - F.expr("INTERVAL 90 MINUTES")).alias("minus_90m"),
+        F.date_add(F.col("ts").cast("date"), 7).alias("plus_7d_date"),
+        F.col("ts").cast("date").alias("just_date"),
+    )
+
+
+@query(
+    "window_percent_rank",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           ROUND(percent_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice ASC), 6) AS pr,
+           ROUND(cume_dist()    OVER (PARTITION BY p_brand ORDER BY p_retailprice ASC), 6) AS cd
+    FROM part
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist (tie-stable by definition)."""
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").asc())
+    return table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER w AS last_type,
+           COUNT(*) OVER w                AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over the full partition frame."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.count(F.lit(1)).over(w).alias("n_events"),
+    ).distinct()
+
+
+@query(
+    "agg_max_by",
+    oracle="""
+    SELECT event_type,
+           max_by(event_id, CAST(ROUND(value * 100) AS BIGINT) * 10000000 + event_id)
+               AS top_event_id,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by (argmax) with a deterministic composite ordering key
+    (value ties broken by event_id — raw max_by on a tied column is
+    nondeterministic in any engine)."""
+    e = table(spark, sf_dir, "events")
+    key = F.round(F.col("value") * 100, 0).cast("long") * F.lit(10000000) + F.col("event_id")
+    return e.groupBy("event_type").agg(
+        F.max_by("event_id", key).alias("top_event_id"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@query(
+    "histogram_fixed_buckets",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (floor-division bucketing — a single
+    map-side expression, shuffle is |buckets| wide)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000.0).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -49,6 +49,7 @@ def all_queries() -> dict[str, QueryDef]:
     """Import every operator module (side effect: registration) and return the registry."""
     # Imports are local to avoid cycles and keep module import cheap.
     from .operators import (  # noqa: F401
+        advanced,
         aggregations,
         dedup,
         ingestion,
