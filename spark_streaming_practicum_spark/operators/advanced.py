@@ -377,3 +377,31 @@ def histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@query(
+    "sql_over_views",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_balance
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 parity (reference .duckdbrc:19-26): the view-then-SQL entry
+    point — tables registered as temp views, query expressed in pure SQL
+    via spark.sql."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_balance
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )

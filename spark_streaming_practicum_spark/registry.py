@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QueryDef]:
         setops,
         similarity,
         sort_topk,
+        stateful_stream,
         streaming_equiv,
         text,
         udfs,

@@ -1,0 +1,77 @@
+"""Physical-plan assertions: the properties that decide whether a query
+survives a 100x scale-up — filters reaching the parquet scan, dims
+broadcast instead of shuffled, top-k planned as TakeOrdered (not a global
+sort), and column pruning at the scan."""
+
+from __future__ import annotations
+
+from spark_streaming_practicum_spark.plans import (
+    broadcast_join_count,
+    formatted_plan,
+    has_pushed_filters,
+)
+from spark_streaming_practicum_spark.registry import all_queries
+
+from .conftest import SF_DIR
+
+DEFS = all_queries()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = DEFS["agg_pricing_summary"].fn(spark, SF_DIR)
+    assert has_pushed_filters(df), formatted_plan(df)[:2000]
+
+
+def test_q1_column_pruning(spark):
+    plan = formatted_plan(DEFS["agg_pricing_summary"].fn(spark, SF_DIR))
+    # scan must not read columns the query never touches
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_broadcast_star_uses_broadcast_joins(spark):
+    df = DEFS["join_broadcast_star"].fn(spark, SF_DIR)
+    assert broadcast_join_count(df) == 3, formatted_plan(df)[:3000]
+
+
+def test_q5_broadcasts_dims(spark):
+    df = DEFS["join_q5_local_supplier"].fn(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 3
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = formatted_plan(DEFS["topk_global"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q3_topk_is_take_ordered(spark):
+    plan = formatted_plan(DEFS["join_q3_shipping_priority"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_use_dedicated_join_types(spark):
+    semi = formatted_plan(DEFS["join_semi"].fn(spark, SF_DIR))
+    anti = formatted_plan(DEFS["join_anti"].fn(spark, SF_DIR))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_scan_projection_only_needed_columns(spark):
+    df = DEFS["limit_scan"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_custkey" in read and "c_name" in read
+    assert "c_acctbal" not in read and "c_mktsegment" not in read
+
+
+def test_whole_stage_codegen_present(spark):
+    from spark_streaming_practicum_spark.plans import wholestage_codegen_spans
+
+    assert wholestage_codegen_spans(DEFS["agg_pricing_summary"].fn(spark, SF_DIR)) >= 1
+
+
+def test_q1_two_phase_aggregation(spark):
+    # partial (map-side) + final HashAggregate around one narrow Exchange —
+    # the shape that keeps a 100 TB aggregate's shuffle |groups|-wide
+    plan = formatted_plan(DEFS["agg_pricing_summary"].fn(spark, SF_DIR))
+    import re
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, flags=re.M)) == 2
