@@ -167,3 +167,32 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.sum(F.col("mu") * F.col("mu"))), 6).alias("centroid_norm"),
         F.max("n_rows").alias("n"),
     )
+
+
+@query(
+    "vector_normalize",
+    oracle="""
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> ROUND(CAST(x AS DOUBLE) /
+                    SQRT(list_sum(list_transform(embedding,
+                         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)) AS unit_vec,
+           ROUND(SQRT(list_sum(list_transform(embedding,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)          AS norm
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+)
+def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize embeddings with higher-order functions — the
+    write-once preprocessing step that turns cosine top-k into a pure
+    dot product at query time."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    norm = l2_norm("embedding")
+    return e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") / norm, 6)).alias(
+            "unit_vec"
+        ),
+        F.round(norm, 6).alias("norm"),
+    )

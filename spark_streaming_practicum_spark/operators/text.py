@@ -186,3 +186,33 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return d.select("doc_id", poly_hash("text").alias("fingerprint"))
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@query(
+    "text_bpe_ish_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+           ROUND(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) * 1.0
+                 / len(string_split_regex(text, '\s+')), 4)     AS tokens_per_word
+    FROM documents
+    """,
+)
+def text_bpe_ish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style counting: a BPE-ish regex (letter runs, single
+    digits, punctuation) next to plain whitespace counts — the
+    pre-training corpus token-budget estimator, all JVM regex."""
+    d = table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)
+    ws = F.split(F.col("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.round(F.size(bpe) / F.size(ws), 4).alias("tokens_per_word"),
+    )
