@@ -151,3 +151,11 @@ def produce(
         sink.write(serializer.serialize(list(factory.create_random_events(batch_size))))
         for _ in range(n_batches)
     ]
+
+
+class StdoutSink:
+    """Print batches to stdout (reference producer default sink,
+    producer/data_sinks.py:82-98) — the local-dev path."""
+
+    def write(self, payload: str) -> None:
+        print(payload)

@@ -31,3 +31,12 @@ def oracle_con():
         )
     yield con
     con.close()
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--run-iceberg",
+        action="store_true",
+        default=False,
+        help="run Iceberg sink tests (needs Iceberg runtime JARs + catalog conf)",
+    )
