@@ -36,6 +36,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP_NS values surface as microsecond datetimes."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Defensive: the driver harness may hand us a session without the UTC
+    # timezone pin; timestamp oracle parity requires it (DuckDB is
+    # UTC-naive). Runtime-settable, idempotent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F

@@ -110,3 +110,26 @@ def test_progress_sample_shape(spark, dirs):
         assert progress is not None and "batchId" in progress
     finally:
         query.stop()
+
+
+def test_multiple_micro_batches_available_now(spark, dirs):
+    """maxFilesPerTrigger=1 + availableNow: each input file becomes its
+    own micro-batch through the checkpointed offset log (A24/A26 under
+    multi-batch conditions, not just a single drain)."""
+    for i in range(4):
+        _write_batch(dirs["in"], f"b{i}.json", [{"id": str(i), "name": f"n{i}"}])
+    proc = _processor(dirs)
+    stream = text_file_stream(spark, str(dirs["in"]), max_files_per_trigger=1)
+    query = (
+        stream.writeStream.option("checkpointLocation", str(dirs["ckpt"]))
+        .trigger(availableNow=True)
+        .foreachBatch(lambda df, bid: proc.process_batch(df, bid))
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout=120)
+    finally:
+        query.stop()
+    assert len(proc.metrics) == 4
+    assert sum(m.valid_rows for m in proc.metrics) == 4
+    assert spark.read.parquet(str(dirs["bronze"])).count() == 4
