@@ -341,3 +341,94 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.45)
     )
+
+
+# --- near-dup clustering (connected components) ----------------------------
+
+_PAIRS_CTE = """
+    WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN cnt ca ON doc_a = ca.doc_id
+        JOIN cnt cb ON doc_b = cb.doc_id
+        WHERE ROUND(i * 1.0 / (ca.c + cb.c - i), 4) >= 0.8),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+"""
+
+
+@query(
+    "dedup_cluster_representatives",
+    oracle=_PAIRS_CTE
+    + """
+    SELECT a AS doc_id, MIN(b) AS cluster_root,
+           COUNT(*) AS cluster_size
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING: connected components over the exact
+    jaccard>=0.8 pair graph, assigning every document the minimum doc_id
+    of its component (the kept representative) — the final step of an
+    LLM-corpus dedup pipeline (pairs alone don't tell you what to drop).
+
+    Iterative min-label propagation over DataFrames: each round joins
+    current labels across edges and keeps the elementwise min; converges
+    in O(cluster diameter) rounds (near-dup clusters are tiny, so 2-4).
+    At 100 TB each round is one keyed shuffle — the standard large-graph
+    CC pattern. Oracle: DuckDB recursive-CTE transitive closure."""
+    pairs = _jaccard_pairs(_doc_shingles(spark, sf_dir), threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    edges.count()
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.withColumn("root", F.col("doc_id")).persist()
+    labels.count()
+
+    for _ in range(20):  # diameter bound; real corpora converge in 2-4
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("root").alias("nbr_root"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("root"), F.coalesce(F.col("nbr_root"), F.col("root"))).alias(
+                    "root"
+                ),
+            )
+            .persist()
+        )
+        new_labels.count()
+        changed = (
+            labels.join(new_labels.withColumnRenamed("root", "new_root"), "doc_id")
+            .filter(F.col("root") != F.col("new_root"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    # cluster_size = reachable-set size = component size
+    sizes = labels.groupBy("root").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "root")
+        .select("doc_id", F.col("root").alias("cluster_root"), "cluster_size")
+    )
