@@ -196,3 +196,78 @@ def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(norm, 6).alias("norm"),
     )
+
+
+IVF_K = 8
+IVF_NPROBE = 2
+IVF_TRAIN_SAMPLE = 256
+IVF_LLOYD_ITERS = 5
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """Train IVF centroids on a bounded sample (the standard at-scale
+    pattern: sample -> driver-side k-means -> broadcast). Deterministic:
+    fixed sample (lowest vec_ids), fixed seed, fixed iteration count."""
+    sample = (
+        table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(IVF_TRAIN_SAMPLE)
+        .select("embedding")
+        .collect()
+    )
+    x = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(7)
+    centroids = x[rng.choice(len(x), IVF_K, replace=False)]
+    for _ in range(IVF_LLOYD_ITERS):
+        d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for k in range(IVF_K):
+            members = x[assign == k]
+            if len(members):
+                centroids[k] = members.mean(axis=0)
+    return centroids
+
+
+def _nearest_centroid_expr(centroids: np.ndarray):
+    """argmin-distance assignment as a pure column expression (JVM-side):
+    array of squared distances -> position of the minimum."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(float(v)).cast("double") for v in c]),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+@query("sim_ann_ivf", oracle=None)  # centroid-training specific -> rows-only
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means centroids partition the corpus
+    into lists; a probe scores exact cosine over only the nprobe nearest
+    lists. At 100 TB the list id is the table's partition key, so the
+    probe reads nprobe/K of the data — the complementary scale path to
+    hyperplane LSH (sim_ann_lsh_bucketed). Agreement of returned scores
+    with the exact scorer is asserted in unit tests."""
+    centroids = _ivf_centroids(spark, sf_dir)
+    qv = np.asarray(_query_vector(spark, sf_dir), dtype=np.float64)
+    q_d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probe_lists = [int(i) for i in q_d2.argsort()[:IVF_NPROBE]]
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    assigned = e.withColumn("ivf_list", _nearest_centroid_expr(centroids))
+    in_lists = assigned.filter(F.col("ivf_list").isin(probe_lists))
+    q = F.array(*[F.lit(float(x)).cast("double") for x in qv])
+    cos = F.round(dot("embedding", q) / (l2_norm("embedding") * l2_norm(q)), 6)
+    return (
+        in_lists.select("vec_id", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )

