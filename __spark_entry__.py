@@ -22,9 +22,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return defs["agg_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
+def _utc_pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Timestamp oracle parity requires the session timezone to be UTC
+    (DuckDB is UTC-naive); the harness session may not set it."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: d.fn for name, d in all_queries().items()}
+    return {name: _utc_pinned(d.fn) for name, d in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
