@@ -37,8 +37,12 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    "sim_ann_ivf",
     "text_term_frequency",
     "text_fingerprint",
+    # capstones
+    "dedup_cluster_representatives",
+    "asof_join_last_click",
 ]
 
 
