@@ -148,7 +148,6 @@ def scalar_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over the embedding column — the
     JVM-side (non-UDF) path for vector math at scale."""
     e = table(spark, sf_dir, "embeddings")
-    x = F.col("x")
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
