@@ -52,12 +52,19 @@ def main() -> None:
     spark = build_session(app_name="ssp-bench")
     defs = all_queries()
 
-    # Warm up the JVM / codegen / parquet reader paths so per-query times
-    # reflect steady-state execution, not first-job initialization.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy("l_returnflag").count().collect()
-
-    timings: dict[str, float] = {}
+    # Warm up the JVM, whole-stage-codegen compilation and parquet reader
+    # paths by running every headline plan once at the smallest scale
+    # factor — measured times then reflect steady-state execution.
+    warm_dir = "/root/testdata/sf0.001"
     for name in HEADLINE:
+        try:
+            df = defs[name].fn(spark, warm_dir)
+            if not df.isStreaming:
+                df.write.mode("overwrite").format("noop").save()
+        except Exception:
+            pass
+
+    def run_once(name: str) -> float:
         fn = defs[name].fn
         start = time.perf_counter()
         df = fn(spark, sf_dir)
@@ -65,7 +72,13 @@ def main() -> None:
             df.count()
         else:
             df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        return time.perf_counter() - start
+
+    # min of 2 runs per query: the host is shared, and the minimum is the
+    # stable estimator of actual plan cost under background load.
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(min(run_once(name), run_once(name)), 3)
 
     total = round(sum(timings.values()), 3)
     print(
