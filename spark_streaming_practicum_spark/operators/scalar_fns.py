@@ -232,3 +232,54 @@ def scalar_hash_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
     )
+
+
+@query(
+    "scalar_null_safe_eq",
+    oracle="""
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O')                                 AS maybe_status,
+           CASE WHEN NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULLIF(o_orderpriority, '5-LOW')
+                THEN 1 ELSE 0 END                                     AS nullsafe_match,
+           CASE WHEN NULLIF(o_orderstatus, 'O') = NULLIF(o_orderpriority, '5-LOW')
+                THEN 1 ELSE 0 END                                     AS plain_match
+    FROM orders
+    """,
+)
+def scalar_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM) vs plain = on
+    nullable computed columns (NULL <=> NULL is TRUE; NULL = NULL is
+    NULL, folded to 0 by the CASE)."""
+    o = table(spark, sf_dir, "orders")
+    a = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    b = F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))
+    return o.select(
+        "o_orderkey",
+        a.alias("maybe_status"),
+        F.when(a.eqNullSafe(b), F.lit(1)).otherwise(F.lit(0)).alias("nullsafe_match"),
+        F.when(a == b, F.lit(1)).otherwise(F.lit(0)).alias("plain_match"),
+    )
+
+
+@query(
+    "scalar_map_fns",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')                 AS k_via_map,
+           CAST(len(json_keys(props)) AS BIGINT)             AS n_keys,
+           list_contains(json_keys(props), 'k')              AS has_k
+    FROM events
+    """,
+)
+def scalar_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed payload access: element_at / size / array_contains over
+    a map parsed from the JSON props (reference properties map shape,
+    FIXTURES.md §1)."""
+    e = table(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.StringType()))
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_via_map"),
+        F.size(m).cast("long").alias("n_keys"),
+        F.array_contains(F.map_keys(m), "k").alias("has_k"),
+    )
