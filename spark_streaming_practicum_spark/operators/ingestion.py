@@ -167,3 +167,38 @@ def ingest_valid_roundtrip_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     return valid.select("event_id", "ts", "user_id", "event_type", "value", "props").orderBy(
         F.col("event_id").asc()
     ).limit(100)
+
+
+@query(
+    "pipeline_bronze_to_gold",
+    oracle=f"""
+    WITH valid AS (
+        SELECT * FROM events WHERE {_VALID_FILTER_SQL}),
+    silver AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts ASC, event_id ASC) AS rn
+        FROM valid)
+    SELECT event_type,
+           COUNT(*)                                          AS n_users_first_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           MIN(ts)                                           AS earliest
+    FROM silver WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def pipeline_bronze_to_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed medallion pipeline: raw JSON batches -> (bronze) parse/
+    validate/route -> (silver) keep-first dedup per (user, event_type) —
+    the reference's deferred Silver design, README.md:58-68 -> (gold)
+    per-type aggregates. One registered query exercising the operator
+    library end-to-end as a user would compose it."""
+    from pyspark.sql import Window as W
+
+    valid = _routed(spark, sf_dir).valid
+    w = W.partitionBy("user_id", "event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    silver = valid.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return silver.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users_first_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        F.min("ts").alias("earliest"),
+    )

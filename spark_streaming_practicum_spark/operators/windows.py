@@ -209,3 +209,36 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           COUNT(*) OVER (PARTITION BY user_id
+                          ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id
+                      ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_last_hour
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per-user rolling one-hour
+    event count and value sum. Ordering on epoch SECONDS on both sides
+    (Spark rangeBetween needs a numeric ordering column; DuckDB mirrors
+    with FLOOR(epoch(ts)))."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("sum_last_hour"),
+    )
