@@ -100,3 +100,105 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     frames = F.sequence(F.lit(0).cast("long"), (F.col("doc_id") % 7).cast("long"), F.lit(2).cast("long"))
     return d.select("doc_id", F.explode(frames).alias("frame_idx"))
+
+
+@query(
+    "mm_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           [CAST(LENGTH(regexp_replace(text, '[^a-m]', '', 'g')) AS BIGINT),
+            CAST(LENGTH(regexp_replace(text, '[^n-z]', '', 'g')) AS BIGINT),
+            CAST(LENGTH(regexp_replace(text, '[^0-9 ]', '', 'g')) AS BIGINT),
+            CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT)]
+               AS byte_histogram,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+    FROM documents
+    """,
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the opaque binary payload: a 4-bin byte
+    histogram computed in numpy over Arrow batches (mapInPandas) — the
+    shape a real embedding/feature model would use. Deterministic bins
+    (byte-class counts) keep it oracle-checkable."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats, sizes = [], []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(payload, dtype=np.uint8)
+                feats.append(
+                    [
+                        int(((b >= ord("a")) & (b <= ord("m"))).sum()),
+                        int(((b >= ord("n")) & (b <= ord("z"))).sum()),
+                        int(
+                            (((b >= ord("0")) & (b <= ord("9"))) | (b == ord(" "))).sum()
+                        ),
+                        int(
+                            (
+                                ~(
+                                    ((b >= ord("a")) & (b <= ord("z")))
+                                    | ((b >= ord("0")) & (b <= ord("9")))
+                                    | (b == ord(" "))
+                                )
+                            ).sum()
+                        ),
+                    ]
+                )
+                sizes.append(len(payload))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "byte_histogram": feats, "payload_bytes": sizes}
+            )
+
+    return d.mapInPandas(
+        extract, schema="doc_id bigint, byte_histogram array<bigint>, payload_bytes bigint"
+    )
+
+
+@query(
+    "mm_fake_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + (octet_length(encode(text)) % 64) AS BIGINT)        AS width,
+           CAST(16 + ((octet_length(encode(text)) // 7) % 64) AS BIGINT) AS height,
+           CAST((16 + (octet_length(encode(text)) % 64)) // 2 AS BIGINT) AS resized_w,
+           CAST((16 + ((octet_length(encode(text)) // 7) % 64)) // 2 AS BIGINT) AS resized_h,
+           CAST(((16 + (octet_length(encode(text)) % 64)) // 2)
+                * ((16 + ((octet_length(encode(text)) // 7) % 64)) // 2) * 3 AS BIGINT)
+               AS resized_bytes
+    FROM documents
+    """,
+)
+def mm_fake_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize step of the media pipeline: dims from the fake decoder,
+    halved (integer floor), RGB byte size of the result — the real
+    PIL.resize call slots into the same mapInPandas body."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sizes = pdf["payload"].map(len)
+            w = (16 + sizes % 64).astype("int64")
+            h = (16 + (sizes // 7) % 64).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "resized_w": w // 2,
+                    "resized_h": h // 2,
+                    "resized_bytes": (w // 2) * (h // 2) * 3,
+                }
+            )
+
+    return d.mapInPandas(
+        resize,
+        schema="doc_id bigint, width bigint, height bigint, "
+        "resized_w bigint, resized_h bigint, resized_bytes bigint",
+    )

@@ -204,10 +204,16 @@ IVF_TRAIN_SAMPLE = 256
 IVF_LLOYD_ITERS = 5
 
 
+_IVF_CACHE: dict[str, np.ndarray] = {}
+
+
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
     """Train IVF centroids on a bounded sample (the standard at-scale
     pattern: sample -> driver-side k-means -> broadcast). Deterministic:
-    fixed sample (lowest vec_ids), fixed seed, fixed iteration count."""
+    fixed sample (lowest vec_ids), fixed seed, fixed iteration count.
+    Memoized per corpus — training is a build step, not a query step."""
+    if sf_dir in _IVF_CACHE:
+        return _IVF_CACHE[sf_dir]
     sample = (
         table(spark, sf_dir, "embeddings")
         .orderBy("vec_id")
@@ -225,6 +231,7 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
             members = x[assign == k]
             if len(members):
                 centroids[k] = members.mean(axis=0)
+    _IVF_CACHE[sf_dir] = centroids
     return centroids
 
 
