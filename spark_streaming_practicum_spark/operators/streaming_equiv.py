@@ -148,3 +148,88 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         q.stop()
     return spark.table(sink_name).select("user_id", "event_type", "event_id", "ts")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_type, c.c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.event_type, c.c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming stream-static join: the events stream enriched
+    against the static customer dimension (broadcast per micro-batch —
+    the standard streaming enrichment topology), aggregated in complete
+    mode. Oracle: the batch join."""
+    stream = stream_table(spark, sf_dir, "events")
+    dim = F.broadcast(table(spark, sf_dir, "customer"))
+    agg = (
+        stream.join(dim, stream.user_id == dim.c_custkey)
+        .groupBy("event_type", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    sink_name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(sink_name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink_name)
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming stream-stream join: clicks x purchases with
+    watermarks and a two-minute event-time range condition (state is
+    bounded by watermark + range — the scalable shape). Append mode;
+    oracle is the equivalent batch range join."""
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 MINUTES")),
+        "inner",
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+    sink_name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(sink_name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink_name)

@@ -66,3 +66,29 @@ def test_iceberg_create_then_evolve(spark, tmp_path):
 def test_iceberg_availability_probe_is_safe(spark):
     # must never raise, whatever the classpath
     assert iceberg_available(spark) in (True, False)
+
+
+def test_python_datasource_synthetic_events(spark):
+    """Spark 4 Python DataSource API: the producer as a partition-parallel
+    first-class source."""
+    from spark_streaming_practicum_spark.sources.synthetic import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("numPartitions", 4)
+        .option("rowsPerPartition", 50)
+        .option("seed", 9)
+        .option("invalidChance", 0.1)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert len(rows) == 200
+    valid = [r for r in rows if r.is_valid == "y"]
+    assert 150 < len(valid) <= 200
+    assert all(r.event_type in ("page_view", "purchase") for r in valid)
+    # deterministic: same options -> same data
+    again = spark.read.format("synthetic_events").option("numPartitions", 4) \
+        .option("rowsPerPartition", 50).option("seed", 9).option("invalidChance", 0.1).load()
+    assert sorted(map(str, rows)) == sorted(map(str, again.collect()))
