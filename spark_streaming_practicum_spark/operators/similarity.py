@@ -235,46 +235,46 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
     return centroids
 
 
-def _nearest_centroid_expr(centroids: np.ndarray):
-    """argmin-distance assignment as a pure column expression (JVM-side):
-    array of squared distances -> position of the minimum."""
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    "embedding",
-                    F.array(*[F.lit(float(v)).cast("double") for v in c]),
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0).cast("double"),
-                lambda acc, v: acc + v,
-            )
-            for c in centroids
-        ]
-    )
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-
 @query("sim_ann_ivf", oracle=None)  # centroid-training specific -> rows-only
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: k-means centroids partition the corpus
     into lists; a probe scores exact cosine over only the nprobe nearest
     lists. At 100 TB the list id is the table's partition key, so the
     probe reads nprobe/K of the data — the complementary scale path to
-    hyperplane LSH (sim_ann_lsh_bucketed). Agreement of returned scores
-    with the exact scorer is asserted in unit tests."""
+    hyperplane LSH (sim_ann_lsh_bucketed).
+
+    Assignment + scoring run as ONE vectorized Arrow pass (numpy matmul
+    against the broadcast centroids) — per-element HOF lambdas are
+    interpreted, so for dense linear algebra the pandas path is the
+    faster AND scalable choice. Score agreement with the exact scorer is
+    asserted in unit tests."""
     centroids = _ivf_centroids(spark, sf_dir)
     qv = np.asarray(_query_vector(spark, sf_dir), dtype=np.float64)
     q_d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
-    probe_lists = [int(i) for i in q_d2.argsort()[:IVF_NPROBE]]
+    probe_lists = set(int(i) for i in q_d2.argsort()[:IVF_NPROBE])
+    qn = float(np.sqrt((qv * qv).sum()))
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            lists = d2.argmin(axis=1)
+            mask = np.isin(lists, list(probe_lists))
+            if not mask.any():
+                continue
+            sub = mat[mask]
+            sims = (sub @ qv) / (np.sqrt((sub * sub).sum(axis=1)) * qn)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[mask],
+                    "cosine": np.round(sims, 6),
+                }
+            )
 
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
-    assigned = e.withColumn("ivf_list", _nearest_centroid_expr(centroids))
-    in_lists = assigned.filter(F.col("ivf_list").isin(probe_lists))
-    q = F.array(*[F.lit(float(x)).cast("double") for x in qv])
-    cos = F.round(dot("embedding", q) / (l2_norm("embedding") * l2_norm(q)), 6)
-    return (
-        in_lists.select("vec_id", cos.alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-        .limit(TOP_K)
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        probe, schema="vec_id bigint, cosine double"
     )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(TOP_K)

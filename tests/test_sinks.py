@@ -92,3 +92,25 @@ def test_python_datasource_synthetic_events(spark):
     again = spark.read.format("synthetic_events").option("numPartitions", 4) \
         .option("rowsPerPartition", 50).option("seed", 9).option("invalidChance", 0.1).load()
     assert sorted(map(str, rows)) == sorted(map(str, again.collect()))
+
+
+def test_batch_csv_json_readers(spark, tmp_path):
+    """sources/batch.py: explicit-schema csv/json readers round-trip."""
+    from pyspark.sql import types as T
+
+    from spark_streaming_practicum_spark.sources.batch import read_csv, read_json
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("name", T.StringType(), True),
+        ]
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    df.coalesce(1).write.mode("overwrite").csv(str(tmp_path / "c"), header=True)
+    df.coalesce(1).write.mode("overwrite").json(str(tmp_path / "j"))
+    got_csv = read_csv(spark, str(tmp_path / "c"), schema)
+    got_json = read_json(spark, str(tmp_path / "j"), schema)
+    assert sorted(map(tuple, got_csv.collect())) == [(1, "a"), (2, "b")]
+    assert sorted(map(tuple, got_json.collect())) == [(1, "a"), (2, "b")]
+    assert got_csv.schema == schema
