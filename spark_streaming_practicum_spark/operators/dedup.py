@@ -390,13 +390,22 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = _jaccard_pairs(_doc_shingles(spark, sf_dir), threshold=0.8).select(
         "doc_a", "doc_b"
     )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    # The label frontier is tiny (one row per doc); a handful of
+    # partitions keeps per-round scheduling overhead at ~nothing while
+    # the same code scales out by raising the partition count with the
+    # corpus.
+    n_parts = max(4, spark.sparkContext.defaultParallelism // 8)
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .repartition(n_parts, "doc_b")
+        .persist()
+    )
     edges.count()
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.withColumn("root", F.col("doc_id")).persist()
+    labels = docs.repartition(n_parts, "doc_id").withColumn("root", F.col("doc_id")).persist()
     labels.count()
 
     for _ in range(20):  # diameter bound; real corpora converge in 2-4
