@@ -405,3 +405,114 @@ def sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(d: int, key) -> F.Column:
+    return F.pmod(F.xxhash64(F.lit(d), key), F.lit(CMS_WIDTH))
+
+
+@query("sketch_count_min", oracle=None)  # sketch estimates -> rows-only
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Count-Min sketch built from DataFrame primitives: every row
+    increments one counter per hash row (depth 4 x width 1024, seeded
+    xxhash64); a key's estimate is the min across rows.
+
+    The sketch table is a fixed-size aggregate — the 100 TB shape for
+    frequency queries (counter merge is commutative, so partial
+    aggregation works and estimates are deterministic). The CM overcount
+    bound vs exact counts is asserted in unit tests."""
+    e = table(spark, sf_dir, "events")
+    increments = e.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_bucket(d, F.col("event_type")).alias("b")
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("x")
+    ).select("x.d", "x.b")
+    counters = increments.groupBy("d", "b").agg(F.count(F.lit(1)).alias("c"))
+
+    keys = e.select("event_type").distinct()
+    key_buckets = keys.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_bucket(d, F.col("event_type")).alias("b")
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("x"),
+    ).select("event_type", "x.d", "x.b")
+    return (
+        key_buckets.join(counters, ["d", "b"])
+        .groupBy("event_type")
+        .agg(F.min("c").alias("est_count"))
+    )
+
+
+@query(
+    "asof_join_cogroup_pandas",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           p.ts AS purchase_ts, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via cogrouped applyInPandas + pandas.merge_asof — the
+    second sanctioned implementation (SURVEY §2C "as-of join": pandas
+    path when per-group logic outgrows window tricks). Same oracle as
+    the window-based asof_join_last_click, so the two implementations
+    cross-validate."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+
+    def merge(p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return pd.DataFrame(
+                columns=["purchase_id", "user_id", "purchase_ts", "last_click_ts"]
+            )
+        p = p.sort_values("purchase_ts")
+        c = c.sort_values("click_ts")
+        merged = pd.merge_asof(
+            p, c[["click_ts"]], left_on="purchase_ts", right_on="click_ts"
+        )
+        merged = merged.dropna(subset=["click_ts"])
+        return pd.DataFrame(
+            {
+                "purchase_id": merged["purchase_id"],
+                "user_id": merged["user_id"],
+                "purchase_ts": merged["purchase_ts"],
+                "last_click_ts": merged["click_ts"],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="purchase_id bigint, user_id bigint, "
+            "purchase_ts timestamp, last_click_ts timestamp",
+        )
+    )

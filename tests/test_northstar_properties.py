@@ -91,3 +91,36 @@ def test_ivf_ann_scores_agree_with_exact(spark):
             assert abs(exact[r.vec_id] - r.cosine) < 1e-9
     recall = len({r.vec_id for r in ivf} & set(exact)) / len(exact)
     assert recall >= 0.2  # nprobe=2 of 8 lists on near-uniform vectors
+
+
+def test_count_min_sketch_bounds(spark):
+    """CMS estimates are >= exact counts and within the eps*N bound."""
+    est = {
+        r.event_type: r.est_count
+        for r in DEFS["sketch_count_min"].fn(spark, SF_DIR).collect()
+    }
+    from spark_streaming_practicum_spark.catalog import table
+
+    exact = {
+        r.event_type: r.n
+        for r in table(spark, SF_DIR, "events").groupBy("event_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    n_total = sum(exact.values())
+    for t, n in exact.items():
+        assert est[t] >= n
+        assert est[t] <= n + max(1, int(0.001 * n_total) + 1)
+
+
+def test_asof_implementations_agree(spark):
+    """Window-based and cogrouped-pandas as-of joins return identical
+    (purchase, last_click_ts) assignments."""
+    a = {
+        (r.purchase_id, r.last_click_ts)
+        for r in DEFS["asof_join_last_click"].fn(spark, SF_DIR).collect()
+    }
+    b = {
+        (r.purchase_id, r.last_click_ts)
+        for r in DEFS["asof_join_cogroup_pandas"].fn(spark, SF_DIR).collect()
+    }
+    assert a == b
