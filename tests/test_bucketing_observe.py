@@ -66,6 +66,7 @@ def test_observe_metrics_without_extra_job(spark):
         .filter(F.col("o_totalprice") > 100000)
     )
     out_rows = df.count()
-    assert obs.get["rows_in"] == 1500
-    assert out_rows < 1500
+    n_orders = table(spark, SF_DIR, "orders").count()
+    assert obs.get["rows_in"] == n_orders
+    assert out_rows < n_orders
     assert obs.get["sum_in"] > 0
