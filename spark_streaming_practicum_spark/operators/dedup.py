@@ -441,3 +441,49 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         labels.join(sizes, "root")
         .select("doc_id", F.col("root").alias("cluster_root"), "cluster_size")
     )
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle=_PAIRS_CTE
+    + """
+    , cc AS (SELECT a AS doc_id, MIN(b) AS root FROM reach GROUP BY a),
+    kept AS (
+        SELECT d.* FROM documents d
+        JOIN cc ON d.doc_id = cc.doc_id
+        WHERE cc.root = d.doc_id
+          AND d.n_chars BETWEEN 50 AND 10000
+          AND LENGTH(regexp_replace(d.text, '[^0-9]', '', 'g')) * 1.0
+              / LENGTH(d.text) < 0.3)
+    SELECT lang,
+           COUNT(*)                                              AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)     AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT)                          AS total_chars
+    FROM kept
+    GROUP BY lang
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-corpus curation capstone, composed from the operator library:
+    quality gates (length + digit ratio) -> near-duplicate clustering ->
+    keep one representative per cluster -> per-language token budget.
+
+    The curation decision at 100 TB is exactly this plan: rule filters
+    are map-side, clustering is the CC operator, and the final report is
+    a narrow aggregate. Oracle replays the same policy in SQL over the
+    recursive-CTE components."""
+    reps = dedup_cluster_representatives(spark, sf_dir).filter(
+        F.col("doc_id") == F.col("cluster_root")
+    )
+    d = table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    digit_ratio = F.length(F.regexp_replace("text", "[^0-9]", "")) / n_chars
+    kept = (
+        d.join(reps.select("doc_id"), "doc_id", "left_semi")
+        .filter(F.col("n_chars").between(50, 10000) & (digit_ratio < 0.3))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
