@@ -1,0 +1,195 @@
+"""Second scalar/aggregate function pack: statistical aggregates,
+boolean aggregates, bit manipulation, collection set-ops, nth_value —
+rounding out the function surface a DuckDB-shell user would expect
+(SURVEY.md §2B/§2C延長)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "agg_statistics",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_pop(l_quantity), 6)               AS sd_pop_qty,
+           ROUND(stddev_samp(l_quantity), 6)              AS sd_samp_qty,
+           ROUND(var_pop(l_quantity), 6)                  AS var_pop_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6)    AS corr_qty_price,
+           ROUND(covar_pop(l_quantity, l_discount), 6)    AS covar_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/corr/covar). Values are
+    irrational, so rounding at 6 is engine-stable."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_pop("l_quantity"), 6).alias("sd_pop_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_samp_qty"),
+        F.round(F.var_pop("l_quantity"), 6).alias("var_pop_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+    )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)    AS all_over_1k,
+           bool_or(o_totalprice > 400000)   AS any_over_400k,
+           COUNT(*)                         AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_collect_set_sorted",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 4
+    """,
+)
+def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set made deterministic with array_sort."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 4)
+    )
+
+
+@query(
+    "scalar_bit_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_partkey & 255                       AS low_byte,
+           l_partkey | 4096                      AS with_flag,
+           xor(l_partkey, l_suppkey)             AS xored,
+           l_partkey << 2                        AS shifted_l,
+           l_partkey >> 3                        AS shifted_r
+    FROM lineitem
+    """,
+)
+def scalar_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and/or/xor/shifts (hash bucketing primitives)."""
+    li = table(spark, sf_dir, "lineitem")
+    pk = F.col("l_partkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        pk.bitwiseAND(F.lit(255)).alias("low_byte"),
+        pk.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        pk.bitwiseXOR(F.col("l_suppkey")).alias("xored"),
+        F.shiftleft(pk, 2).alias("shifted_l"),
+        F.shiftright(pk, 3).alias("shifted_r"),
+    )
+
+
+@query(
+    "scalar_array_setops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           list_sort(list_distinct(list_intersect(
+               [l_partkey % 5, l_suppkey % 5, l_linenumber % 5],
+               [l_suppkey % 5, CAST(l_linenumber AS BIGINT)])))       AS inter,
+           list_sort(list_distinct(
+               [l_partkey % 5, l_suppkey % 5, l_linenumber % 5] ||
+               [l_suppkey % 5, CAST(l_linenumber AS BIGINT)]))        AS uni,
+           len(list_intersect([l_partkey % 5, l_suppkey % 5],
+                              [l_suppkey % 5])) > 0                   AS overlaps
+    FROM lineitem
+    """,
+)
+def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations (intersect/union/overlap), sorted+deduped so
+    both engines' internal orderings cancel out."""
+    li = table(spark, sf_dir, "lineitem")
+    a = F.array(
+        (F.col("l_partkey") % 5),
+        (F.col("l_suppkey") % 5),
+        (F.col("l_linenumber") % 5).cast("long"),
+    )
+    b = F.array((F.col("l_suppkey") % 5), F.col("l_linenumber").cast("long"))
+    a2 = F.array((F.col("l_partkey") % 5), (F.col("l_suppkey") % 5))
+    b2 = F.array((F.col("l_suppkey") % 5))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_sort(F.array_distinct(F.array_intersect(a, b))).alias("inter"),
+        F.array_sort(F.array_distinct(F.array_union(a, b))).alias("uni"),
+        F.arrays_overlap(a2, b2).alias("overlaps"),
+    )
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           nth_value(o_orderkey, 2) OVER w AS second_orderkey,
+           first_value(o_orderdate) OVER w AS first_date
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full partition frame (second order per customer)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
+        F.first("o_orderdate").over(w).alias("first_date"),
+    ).distinct()
+
+
+@query(
+    "scalar_greatest_least",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           GREATEST(l_quantity, l_discount * 100, l_tax * 100) AS g,
+           LEAST(l_quantity, l_extendedprice / 1000.0)         AS l
+    FROM lineitem
+    """,
+)
+def scalar_greatest_least(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREATEST/LEAST across heterogeneous expressions (same IEEE inputs
+    on both engines — exact)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest(
+            F.col("l_quantity"), F.col("l_discount") * 100, F.col("l_tax") * 100
+        ).alias("g"),
+        F.least(F.col("l_quantity"), F.col("l_extendedprice") / 1000.0).alias("l"),
+    )

@@ -55,6 +55,7 @@ def all_queries() -> dict[str, QueryDef]:
         ingestion,
         joins,
         multimodal,
+        scalar_extra,
         scalar_fns,
         setops,
         similarity,
