@@ -85,3 +85,70 @@ def test_windowed_state_survives_restart(spark, tmp_path):
     # no duplicated emissions across the restart
     rows = spark.read.parquet(str(out_dir)).collect()
     assert len(rows) == len({(r.ws, r.k) for r in rows})
+
+
+def test_custom_group_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState: the per-user ValueState built from batch 1
+    must still be there after a stop/restart, so batch 2's emissions
+    continue the counts instead of restarting from zero."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_practicum_spark.streaming.stateful import running_user_profile
+
+    in_dir = tmp_path / "sin"
+    in_dir.mkdir()
+    out_dir, ckpt = tmp_path / "sout", tmp_path / "sckpt"
+
+    ev_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+
+    def write_events(name, rows):
+        (in_dir / name).write_text(
+            "\n".join(json.dumps({"user_id": u, "ts": ts}) for u, ts in rows)
+        )
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(ev_schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(in_dir))
+        )
+        out = running_user_profile(stream)
+        q = (
+            out.writeStream.outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(str(out_dir))
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_events("e1.json", [(1, "2024-01-01T10:00:00"), (1, "2024-01-01T10:05:00"), (2, "2024-01-01T10:06:00")])
+    run_stream()
+
+    write_events("e2.json", [(1, "2024-01-01T11:00:00"), (2, "2024-01-01T11:01:00"), (2, "2024-01-01T11:02:00")])
+    run_stream()  # NEW query, SAME checkpoint -> state must be recovered
+
+    emitted = spark.read.parquet(str(out_dir))
+    final = (
+        emitted.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.min("first_ts_us").alias("f"), F.max("last_ts_us").alias("l"))
+        .collect()
+    )
+    by_user = {r.user_id: (r.n, r.f, r.l) for r in final}
+    # counts CONTINUE across the restart (not reset): user 1 -> 3, user 2 -> 3
+    assert by_user[1][0] == 3
+    assert by_user[2][0] == 3
+    # first-seen survives from before the restart
+    import datetime as dt
+
+    assert by_user[1][1] == int(dt.datetime(2024, 1, 1, 10, 0).timestamp() * 1e6)
+    assert by_user[2][2] == int(dt.datetime(2024, 1, 1, 11, 2).timestamp() * 1e6)
