@@ -133,3 +133,40 @@ def test_multiple_micro_batches_available_now(spark, dirs):
     assert len(proc.metrics) == 4
     assert sum(m.valid_rows for m in proc.metrics) == 4
     assert spark.read.parquet(str(dirs["bronze"])).count() == 4
+
+
+def test_concurrent_streaming_queries(spark, dirs):
+    """Two streaming queries over the same source directory run
+    concurrently in one session (independent checkpoints/state) — the
+    multi-pipeline deployment shape."""
+    for i in range(3):
+        _write_batch(dirs["in"], f"c{i}.json", [{"id": str(i), "name": f"n{i}"}])
+
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    raw = text_file_stream(spark, str(dirs["in"]))
+    s1 = f"cnt_{_uuid.uuid4().hex[:8]}"
+    q1 = (
+        raw.groupBy().count()
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", str(dirs["ckpt"] / "a"))
+        .format("memory").queryName(s1).start()
+    )
+    s2 = f"len_{_uuid.uuid4().hex[:8]}"
+    q2 = (
+        raw.select(F.length("value").alias("n")).groupBy().sum("n")
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", str(dirs["ckpt"] / "b"))
+        .format("memory").queryName(s2).start()
+    )
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        assert spark.table(s1).collect()[0][0] == 3
+        assert spark.table(s2).collect()[0][0] > 0
+        assert q1.isActive and q2.isActive
+    finally:
+        q1.stop()
+        q2.stop()
