@@ -193,3 +193,66 @@ def scalar_greatest_least(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
         F.least(F.col("l_quantity"), F.col("l_extendedprice") / 1000.0).alias("l"),
     )
+
+
+@query(
+    "scalar_pad_trim",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0')   AS padded_key,
+           rpad(c_mktsegment, 12, '.')                AS padded_seg,
+           trim('  ' || c_mktsegment || '  ')         AS trimmed,
+           ltrim('xxID-' || CAST(c_custkey AS VARCHAR), 'x') AS ltrimmed
+    FROM customer
+    """,
+)
+def scalar_pad_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lpad/rpad/trim/ltrim (fixed-width key formatting)."""
+    c = table(spark, sf_dir, "customer")
+    key_str = F.col("c_custkey").cast("string")
+    return c.select(
+        "c_custkey",
+        F.lpad(key_str, 8, "0").alias("padded_key"),
+        F.rpad("c_mktsegment", 12, ".").alias("padded_seg"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))).alias("trimmed"),
+        F.expr("ltrim('x', concat('xxID-', cast(c_custkey as string)))").alias("ltrimmed"),
+    )
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'N'
+    EXCEPT ALL
+    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference, multiplicity-aware)."""
+    li = table(spark, sf_dir, "lineitem")
+    n = li.filter(F.col("l_returnflag") == "N").select(F.col("l_suppkey").alias("k"))
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
+    return n.exceptAll(a)
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT custkey, name, segment, COUNT(*) AS n FROM (
+        SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment FROM customer
+        UNION ALL BY NAME
+        SELECT o_custkey AS custkey, NULL AS name, NULL AS segment FROM orders
+    ) GROUP BY custkey, name, segment
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with missing columns (schema-aligned bag union — the
+    schema-drift-tolerant append)."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    u = c.unionByName(o, allowMissingColumns=True)
+    return u.groupBy("custkey", "name", "segment").agg(F.count(F.lit(1)).alias("n"))
