@@ -78,6 +78,8 @@ def main() -> None:
     # stable estimator of actual plan cost under background load.
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if name not in defs:  # defensive: registry drift must not kill the bench
+            continue
         timings[name] = round(min(run_once(name), run_once(name)), 3)
 
     total = round(sum(timings.values()), 3)
