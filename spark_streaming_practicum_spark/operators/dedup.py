@@ -132,9 +132,7 @@ def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle="""
+_NGRAM_JACCARD_ORACLE = """
     WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
            FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)),
@@ -148,13 +146,65 @@ def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     JOIN cnt ca ON doc_a = ca.doc_id
     JOIN cnt cb ON doc_b = cb.doc_id
     WHERE ROUND(i * 1.0 / (ca.c + cb.c - i), 4) >= 0.8
-    """,
-)
+    """
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-duplicate pairs (threshold 0.8).
 
     Tokenization matches the oracle exactly (single-space text)."""
     return _jaccard_pairs(_doc_shingles(spark, sf_dir), threshold=0.8)
+
+
+@query("dedup_jaccard_prefix_filter", oracle=_NGRAM_JACCARD_ORACLE)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs (threshold 0.8) via AllPairs/PPJoin-style
+    PREFIX FILTERING — same answer as dedup_ngram_jaccard, but the
+    candidate join only touches each document's rarest shingles.
+
+    For J(a,b) >= t the overlap must be >= ceil(t*|a|) and >= ceil(t*|b|),
+    so with shingles globally ordered by (frequency, shingle) any
+    qualifying pair shares a shingle in its first |x| - ceil(t*|x|) + 1
+    elements (prefix-filter lemma, Bayardo et al. WWW'07; public
+    algorithm). At t=0.8 the join input shrinks ~5x AND the join keys are
+    the rarest shingles, so bucket sizes (the quadratic term) collapse —
+    this is the exact-dedup path that survives 100 TB. A size filter
+    (min >= t*max) prunes further before verification."""
+    t = 0.8
+    sh = _doc_shingles(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("gf"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("gf").asc(), F.col("shingle").asc())
+    ranked = (
+        sh.join(freq, "shingle")
+        .select("doc_id", "shingle", F.row_number().over(w).alias("pos"))
+        .join(cnt, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("c") - F.ceil(F.lit(t) * F.col("c")) + 1
+    ).select("doc_id", "shingle", "c")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("c").alias("ca"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("c").alias("cb"))
+    candidates = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.least("ca", "cb") >= t * F.greatest("ca", "cb"))  # size filter
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .persist()
+    )
+    candidates.count()  # eager: feeds pruning, verification and the final join
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_pruned = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    verified = _jaccard_pairs(sh_pruned, threshold=t)
+    return candidates.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
 
 
 # --- MinHash + LSH ----------------------------------------------------------
@@ -408,28 +458,36 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     labels = docs.repartition(n_parts, "doc_id").withColumn("root", F.col("doc_id")).persist()
     labels.count()
 
+    from pyspark.sql import Observation
+
     for _ in range(20):  # diameter bound; real corpora converge in 2-4
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("root").alias("nbr_root"))
         )
+        # The convergence check rides on the SAME action that materializes
+        # the new labels (CollectMetrics in the plan), so each round is
+        # exactly one job instead of materialize + re-join-and-count.
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("root").alias("old_root"),
                 F.least(F.col("root"), F.coalesce(F.col("nbr_root"), F.col("root"))).alias(
                     "root"
                 ),
             )
+            .observe(
+                obs,
+                F.sum((F.col("old_root") != F.col("root")).cast("long")).alias("n_changed"),
+            )
+            .drop("old_root")
             .persist()
         )
         new_labels.count()
-        changed = (
-            labels.join(new_labels.withColumnRenamed("root", "new_root"), "doc_id")
-            .filter(F.col("root") != F.col("new_root"))
-            .count()
-        )
+        changed = obs.get["n_changed"] or 0
         labels.unpersist()
         labels = new_labels
         if changed == 0:
