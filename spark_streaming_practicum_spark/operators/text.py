@@ -73,6 +73,101 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_lang_id_trigram",
+    oracle="""
+    WITH tri AS (
+        SELECT DISTINCT doc_id, lang, tg FROM (
+            SELECT doc_id, lang,
+                   unnest(list_transform(generate_series(1, LENGTH(text) - 2),
+                                         i -> substr(text, i, 3))) AS tg
+            FROM documents)),
+    ntri AS (SELECT doc_id, COUNT(*) AS nt FROM tri GROUP BY doc_id),
+    prof AS (
+        SELECT lang, tg FROM (
+            SELECT lang, tg,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY COUNT(*) DESC, tg ASC) AS rk
+            FROM tri GROUP BY lang, tg)
+        WHERE rk <= 50),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    m AS (SELECT t.doc_id, p.lang AS cand, COUNT(*) AS hits
+          FROM tri t JOIN prof p ON t.tg = p.tg GROUP BY 1, 2),
+    grid AS (SELECT d.doc_id, d.lang AS lang_meta, l.lang AS cand,
+                    COALESCE(m.hits, 0) AS hits
+             FROM documents d CROSS JOIN langs l
+             LEFT JOIN m ON m.doc_id = d.doc_id AND m.cand = l.lang),
+    scored AS (SELECT g.doc_id, g.lang_meta, g.cand,
+                      ROUND(g.hits * 1.0 / ntri.nt, 4) AS tri_score,
+                      ROW_NUMBER() OVER (PARTITION BY g.doc_id
+                                         ORDER BY g.hits DESC, g.cand ASC) AS rk
+               FROM grid g JOIN ntri ON g.doc_id = ntri.doc_id)
+    SELECT doc_id, lang_meta, cand AS lang_pred, tri_score
+    FROM scored WHERE rk = 1
+    """,
+)
+def text_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram-profile language ID (Cavnar–Trenkle n-gram
+    class of detector): per-language profiles = top-50 distinct-doc
+    trigrams, each doc scored by profile overlap / its trigram count,
+    argmax with deterministic (hits DESC, lang ASC) tie-break.
+
+    Scale shape: profiles are a 250-row broadcast; the per-doc work is
+    one explode + one broadcast join + one window — no quadratic step.
+    Training labels come from the ``lang`` metadata column."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tg_arr = F.when(
+        F.length("text") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 2),
+            lambda i: F.substr(F.col("text"), i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = (
+        d.select("doc_id", "lang", F.explode(tg_arr).alias("tg"))
+        .distinct()
+        .persist()
+    )
+    tri.count()  # shared by profile training, scoring and the nt count
+    ntri = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    rk = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tg").asc())
+    prof = (
+        tri.groupBy("lang", "tg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 50)
+        .select(F.col("lang").alias("cand"), "tg")
+    )
+    m = (
+        tri.join(F.broadcast(prof), "tg")
+        .groupBy("doc_id", "cand")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    langs = d.select("lang").distinct().select(F.col("lang").alias("cand"))
+    grid = (
+        d.select("doc_id", F.col("lang").alias("lang_meta"))
+        .crossJoin(F.broadcast(langs))
+        .join(m, ["doc_id", "cand"], "left")
+        .withColumn("hits", F.coalesce("hits", F.lit(0)))
+    )
+    pick = W.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("cand").asc())
+    return (
+        grid.join(ntri, "doc_id")
+        .withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "lang_meta",
+            F.col("cand").alias("lang_pred"),
+            F.round(F.col("hits") / F.col("nt"), 4).alias("tri_score"),
+        )
+    )
+
+
+@query(
     "text_quality_score",
     oracle="""
     SELECT doc_id,

@@ -63,6 +63,8 @@ def all_queries() -> dict[str, QueryDef]:
         stateful_stream,
         streaming_equiv,
         text,
+        tpch_extra,
+        training,
         udfs,
         windows,
     )
