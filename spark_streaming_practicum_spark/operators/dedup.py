@@ -455,7 +455,14 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     edges.count()
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.repartition(n_parts, "doc_id").withColumn("root", F.col("doc_id")).persist()
+    # Iterate ONLY over docs that touch an edge: the frontier is the
+    # candidate-pair endpoint set (tiny at any scale — near-dup graphs
+    # are sparse), so each round's joins never see the full corpus.
+    # Isolated docs are size-1 clusters attached at the end, unshuffled.
+    edge_docs = edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    labels = (
+        edge_docs.repartition(n_parts, "doc_id").withColumn("root", F.col("doc_id")).persist()
+    )
     labels.count()
 
     from pyspark.sql import Observation
@@ -493,12 +500,19 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         if changed == 0:
             break
 
-    # cluster_size = reachable-set size = component size
+    # cluster_size = reachable-set size = component size. Sizes are
+    # computed over the (tiny) edge-connected label set only; isolated
+    # docs join in as size-1 singletons with no corpus-wide shuffle.
     sizes = labels.groupBy("root").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        labels.join(sizes, "root")
-        .select("doc_id", F.col("root").alias("cluster_root"), "cluster_size")
+    connected = labels.join(sizes, "root").select(
+        "doc_id", F.col("root").alias("cluster_root"), "cluster_size"
     )
+    isolated = docs.join(F.broadcast(edge_docs), "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_root"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    return connected.unionByName(isolated)
 
 
 @query(

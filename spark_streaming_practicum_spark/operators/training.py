@@ -150,3 +150,136 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(with_pii, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
         ).alias("redacted"),
     )
+
+
+# --- chunking / packing / quantization --------------------------------------
+
+
+@query(
+    "text_chunk_fixed_tokens",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    st AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 24)) AS s
+           FROM w)
+    SELECT doc_id,
+           CAST((s - 1) // 24 AS BIGINT)              AS chunk_id,
+           CAST(len(toks[s : s + 31]) AS BIGINT)      AS n_chunk_tokens,
+           array_to_string(toks[s : s + 31], ' ')     AS chunk_text
+    FROM st
+    """,
+)
+def text_chunk_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training: 32-token windows with 8-token
+    overlap (stride 24) — the context-window prep step between raw docs
+    and tokenization. Pure HOFs (sequence + slice), map-side only; the
+    explode multiplies rows, never shuffles. The tail chunk is short by
+    design (packing handles padding)."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.split(F.col("text"), " ")
+    st = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(1), F.size(toks), F.lit(24))).alias("s"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("s"), 32)
+    return st.select(
+        "doc_id",
+        F.floor((F.col("s") - 1) / 24).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "pack_sequences_budget",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+               FROM documents),
+    c AS (SELECT doc_id, lang, n,
+                 CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0) AS BIGINT) AS off
+          FROM t)
+    SELECT lang,
+           CAST(off // 512 AS BIGINT)       AS bin_id,
+           COUNT(*)                         AS n_docs,
+           CAST(SUM(n) AS BIGINT)           AS bin_tokens
+    FROM c
+    GROUP BY lang, bin_id
+    """,
+)
+def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk): documents are laid out in
+    deterministic doc_id order per language shard and assigned to
+    512-token training bins by their cumulative token offset — exactly
+    how pre-training concatenates a shard and slices context windows.
+    The running sum is windowed PER LANGUAGE shard, so parallelism at
+    100 TB comes from the shard key (a real pipeline packs per file
+    split); no global single-task sort exists in the plan."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("n")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = t.withColumn("off", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    return (
+        c.select("lang", F.floor(F.col("off") / 512).cast("long").alias("bin_id"), "n")
+        .groupBy("lang", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("bin_tokens"))
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s AS (SELECT vec_id, emb,
+                 list_min(emb) AS qmin, list_max(emb) AS qmax,
+                 (list_max(emb) - list_min(emb)) / 255 AS scale
+          FROM e)
+    SELECT vec_id, qmin, qmax,
+           CAST(len(emb) AS BIGINT) AS n_dims,
+           CAST(CASE WHEN qmax > qmin
+                     THEN list_sum(list_transform(emb,
+                          x -> CAST(round((x - qmin) / scale) AS BIGINT)))
+                     ELSE 0 END AS BIGINT) AS qsum
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 (0..255) scalar quantization of embeddings — the
+    4x storage/bandwidth reduction step before ANN indexing at scale.
+    Min/max/scale per vector, quantized codes via one HOF pass; the
+    checksum (sum of codes) plus qmin/qmax make the op hash-verifiable
+    without emitting 128 columns. All arithmetic is IEEE double from
+    identical inputs, so Spark and DuckDB agree bit-for-bit."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    s = e.select(
+        "vec_id",
+        "emb",
+        F.array_min("emb").alias("qmin"),
+        F.array_max("emb").alias("qmax"),
+        ((F.array_max("emb") - F.array_min("emb")) / 255).alias("scale"),
+    )
+    codes = F.transform(
+        "emb", lambda x: F.round((x - F.col("qmin")) / F.col("scale")).cast("long")
+    )
+    qsum = F.aggregate(codes, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return s.select(
+        "vec_id",
+        "qmin",
+        "qmax",
+        F.size("emb").cast("long").alias("n_dims"),
+        F.when(F.col("qmax") > F.col("qmin"), qsum).otherwise(F.lit(0)).cast("long").alias("qsum"),
+    )
