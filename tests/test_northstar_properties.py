@@ -127,3 +127,83 @@ def test_asof_implementations_agree(spark):
         for r in DEFS["asof_join_cogroup_pandas"].fn(spark, SF_DIR).collect()
     }
     assert a == b
+
+
+def test_prefix_filter_equals_plain_jaccard(spark):
+    """The AllPairs prefix-filtered join must return EXACTLY the plain
+    shingle-join pairs (the filter is lossless by the prefix lemma)."""
+    plain = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DEFS["dedup_ngram_jaccard"].fn(spark, SF_DIR).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DEFS["dedup_jaccard_prefix_filter"].fn(spark, SF_DIR).collect()
+    }
+    assert plain == pref
+
+
+def test_chunking_covers_every_token(spark):
+    """Gapless coverage: chunk starts stride 24 (< window 32, so no gap
+    is possible), the last chunk ends exactly at n_tokens, and the chunk
+    count is floor((n-1)/24) + 1 for every doc."""
+    from pyspark.sql import functions as F
+
+    chunks = DEFS["text_chunk_fixed_tokens"].fn(spark, SF_DIR)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.max(F.col("chunk_id") * 24 + F.col("n_chunk_tokens")).alias("max_end"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    toks = DEFS["text_token_count"].fn(spark, SF_DIR).select("doc_id", "n_tokens")
+    joined = per_doc.join(toks, "doc_id")
+    bad_end = joined.filter(F.col("max_end") != F.col("n_tokens")).count()
+    bad_k = joined.filter(
+        F.col("k") != F.floor((F.col("n_tokens") - 1) / 24) + 1
+    ).count()
+    assert bad_end == 0 and bad_k == 0
+
+
+def test_split_proportions_and_determinism(spark):
+    """80/10/10 split: proportions within 6 points of nominal at this
+    corpus size, and re-running yields the identical assignment."""
+    rows1 = {r.doc_id: r.split for r in DEFS["split_train_val_test"].fn(spark, SF_DIR).collect()}
+    rows2 = {r.doc_id: r.split for r in DEFS["split_train_val_test"].fn(spark, SF_DIR).collect()}
+    assert rows1 == rows2
+    n = len(rows1)
+    from collections import Counter
+
+    c = Counter(rows1.values())
+    assert abs(c["train"] / n - 0.80) < 0.06, c
+    assert abs(c["val"] / n - 0.10) < 0.06, c
+    assert abs(c["test"] / n - 0.10) < 0.06, c
+
+
+def test_quantization_roundtrip_error_bound(spark):
+    """Dequantized values must be within scale/2 = (max-min)/510 of the
+    originals — the defining property of round-to-nearest scalar
+    quantization (checked exactly, per element, in one pass)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_practicum_spark.catalog import table
+
+    e = table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    s = e.select(
+        "vec_id",
+        "emb",
+        F.array_min("emb").alias("mn"),
+        ((F.array_max("emb") - F.array_min("emb")) / 255).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    err = F.aggregate(
+        F.transform(
+            "emb",
+            lambda x: F.abs(
+                (F.round((x - F.col("mn")) / F.col("scale")) * F.col("scale") + F.col("mn")) - x
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    worst = s.select(F.max(err / F.col("scale")).alias("w")).collect()[0]["w"]
+    assert worst <= 0.5 + 1e-9, worst

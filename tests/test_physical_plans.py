@@ -75,3 +75,45 @@ def test_q1_two_phase_aggregation(spark):
     plan = formatted_plan(DEFS["agg_pricing_summary"].fn(spark, SF_DIR))
     import re
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, flags=re.M)) == 2
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark):
+    """Q19's OR-of-ANDs: the per-side conjuncts (quantity bounds on
+    lineitem, brand/size on part) must reach BOTH parquet scans as
+    pushed data filters, and the join must broadcast the part side."""
+    df = DEFS["q19_discounted_revenue"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 1
+    assert plan.count("PushedFilters: [") >= 2
+    import re
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_quantity" in p for p in pushed), pushed
+    assert any("p_brand" in p or "p_size" in p for p in pushed), pushed
+
+
+def test_q4_semi_join_with_non_equi_conjunct(spark):
+    """EXISTS plans as a LeftSemi join carrying the date conjunct, with
+    the order-date range pushed into the orders scan."""
+    df = DEFS["q4_order_priority"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    import re
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_q16_not_in_is_anti_join(spark):
+    df = DEFS["q16_supplier_cnt_by_part"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+
+
+def test_split_and_chunk_are_shuffle_free(spark):
+    """The hash split is a pure projection: zero exchanges in the plan.
+    Chunking only repartitions for scan parallelism (single-file input);
+    no key shuffle beyond it."""
+    split_plan = formatted_plan(DEFS["split_train_val_test"].fn(spark, SF_DIR))
+    assert "Exchange" not in split_plan, split_plan[:800]
+    chunk_plan = formatted_plan(DEFS["text_chunk_fixed_tokens"].fn(spark, SF_DIR))
+    import re
+    assert len(re.findall(r"^\(\d+\) Exchange", chunk_plan, flags=re.M)) <= 1
