@@ -1,0 +1,147 @@
+"""Time-series reconstruction + remaining window/join surface.
+
+Gap filling (densify a sparse per-entity time series), cumulative
+distribution windows, TF-IDF term weighting, and the salted skew join
+registered as an oracled query (salting must be result-identical to the
+plain join — the oracle PROVES it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.aggs import dsum, dsum_sql
+from ..functions.skew import salted_join
+from ..registry import query
+
+
+@query(
+    "events_gap_fill_hourly",
+    oracle="""
+    WITH sel AS (SELECT user_id, date_trunc('hour', ts) AS hour
+                 FROM events WHERE user_id % 97 = 0),
+    hourly AS (SELECT user_id, hour, COUNT(*) AS n_events
+               FROM sel GROUP BY user_id, hour),
+    span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+             FROM sel GROUP BY user_id),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+             FROM span)
+    SELECT g.user_id, g.hour, COALESCE(h.n_events, 0) AS n_events
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour = h.hour
+    """,
+)
+def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: every hour between a user's first and
+    last event, with 0 for silent hours — the gap-filling step before
+    any rolling-window model sees the series. The hour grid is generated
+    per user with sequence+explode (no calendar table to join), so the
+    work is proportional to the OUTPUT, and the final join is on
+    (user, hour) — co-partitioned with the aggregation before it.
+    Users are subsampled (user_id % 97 = 0) to keep the oracle compare
+    bounded; the plan is identical unsampled."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 97 == 0)
+    sel = e.select("user_id", F.date_trunc("hour", "ts").alias("hour"))
+    hourly = sel.groupBy("user_id", "hour").agg(F.count(F.lit(1)).alias("n"))
+    span = sel.groupBy("user_id").agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    return grid.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id", "hour", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+@query(
+    "window_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice), 6) AS cd
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-06-01'
+    """,
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distribution per priority class (ties share a value,
+    so the result is deterministic without a full tiebreak)."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 4) AS tfidf,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) DESC,
+                                           tf.token ASC) AS rk
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+    SELECT doc_id, token, tfidf FROM scored WHERE rk <= 5
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
+
+    The df table is tiny (vocabulary-sized) -> broadcast back onto the
+    tf rows; the only wide shuffles are the two word-count aggregates.
+    Deterministic tie-break (score DESC, token ASC)."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()  # scalar: one tiny job, folded into the idf literal
+    score = F.col("tf") * F.log((F.lit(n) + 1.0) / (F.col("df") + 1.0))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("token").asc())
+    return (
+        tf.join(F.broadcast(df), "token")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "token", F.round(score, 4).alias("tfidf"))
+    )
+
+
+@query(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           {dsum_sql("e.value")} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join registered as an oracled query: events (probe,
+    user_id heavily repeated) join customer (build, replicated 8x over
+    salts), then a segment rollup. The oracle is the PLAIN join — the
+    salt must be semantically invisible, which the hash-match proves.
+    At scale this is the fallback when one key floods even AQE's skew
+    splitting; the deterministic hash salt keeps retries stable."""
+    e = table(spark, sf_dir, "events").select("user_id", "value")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(e, c, F.col("user_id") == F.col("c_custkey"), n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )

@@ -63,6 +63,7 @@ def all_queries() -> dict[str, QueryDef]:
         stateful_stream,
         streaming_equiv,
         text,
+        timeseries,
         tpch_extra,
         training,
         udfs,
