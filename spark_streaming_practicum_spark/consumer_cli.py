@@ -72,11 +72,12 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint_location=args.checkpoint,
         trigger_interval=args.trigger_interval,
     )
-    query = processor.start(text_file_stream(spark, args.input))
+    query = processor.start(text_file_stream(spark, args.input), available_now=args.once)
     try:
         if args.once:
-            query.processAllAvailable()
-            query.stop()
+            # Trigger.AvailableNow self-terminates after draining the
+            # source (rate-limited micro-batches, checkpoint honored).
+            query.awaitTermination()
         else:
             while query.isActive:  # progress loop (reference A27)
                 query.awaitTermination(timeout=10)

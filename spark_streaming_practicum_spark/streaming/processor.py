@@ -70,14 +70,20 @@ class StreamProcessor:
         )
         return m
 
-    def start(self, stream: DataFrame) -> StreamingQuery:
-        """Start the streaming query over a raw text-batch stream."""
-        return (
-            stream.writeStream.option("checkpointLocation", self.checkpoint_location)
-            .trigger(processingTime=self.trigger_interval)
-            .foreachBatch(lambda df, bid: self.process_batch(df, bid))
-            .start()
-        )
+    def start(self, stream: DataFrame, available_now: bool = False) -> StreamingQuery:
+        """Start the streaming query over a raw text-batch stream.
+
+        ``available_now=True`` switches to Trigger.AvailableNow: process
+        everything currently in the source (in rate-limited micro-
+        batches, honoring the checkpoint) and stop — the backfill /
+        catch-up mode that reuses the exact streaming pipeline and its
+        exactly-once bookkeeping for batch drains."""
+        writer = stream.writeStream.option("checkpointLocation", self.checkpoint_location)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=self.trigger_interval)
+        return writer.foreachBatch(lambda df, bid: self.process_batch(df, bid)).start()
 
     @staticmethod
     def log_progress(query: StreamingQuery) -> dict | None:

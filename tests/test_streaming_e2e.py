@@ -170,3 +170,23 @@ def test_concurrent_streaming_queries(spark, dirs):
     finally:
         q1.stop()
         q2.stop()
+
+
+def test_available_now_drains_and_terminates(spark, dirs):
+    """Trigger.AvailableNow: the same pipeline drains everything present
+    at start and terminates on its own (backfill mode) — no stop() call,
+    and the checkpoint still dedups a second drain."""
+    _write_batch(dirs["in"], "b1.json", [{"id": "1", "name": "a"}])
+    _write_batch(dirs["in"], "b2.json", [{"id": "2", "name": "b"}])
+
+    proc = _processor(dirs)
+    q = proc.start(text_file_stream(spark, str(dirs["in"])), available_now=True)
+    assert q.awaitTermination(60), "availableNow query must self-terminate"
+
+    bronze = spark.read.parquet(str(dirs["bronze"]))
+    assert {(r.id, r.name) for r in bronze.collect()} == {("1", "a"), ("2", "b")}
+
+    # second drain over the same checkpoint: nothing new to process
+    q2 = proc.start(text_file_stream(spark, str(dirs["in"])), available_now=True)
+    assert q2.awaitTermination(60)
+    assert spark.read.parquet(str(dirs["bronze"])).count() == 2
