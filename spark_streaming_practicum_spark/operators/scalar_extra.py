@@ -256,3 +256,62 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     u = c.unionByName(o, allowMissingColumns=True)
     return u.groupBy("custkey", "name", "segment").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "scalar_try_cast",
+    oracle="""
+    WITH m AS (
+        SELECT event_id,
+               CASE event_id % 4
+                   WHEN 0 THEN CAST(event_id AS VARCHAR)
+                   WHEN 1 THEN CAST(event_id AS VARCHAR) || 'x'
+                   WHEN 2 THEN '99999999999999999999'
+                   ELSE '' END AS s_int,
+               CASE event_id % 3
+                   WHEN 0 THEN '3.5'
+                   WHEN 1 THEN 'nope'
+                   ELSE CAST(event_id AS VARCHAR) END AS s_dbl,
+               CASE event_id % 3
+                   WHEN 0 THEN '2024-01-02'
+                   WHEN 1 THEN '2024-13-01'
+                   ELSE 'n/a' END AS s_date
+        FROM events)
+    SELECT event_id,
+           TRY_CAST(s_int AS INTEGER) AS as_int,
+           TRY_CAST(s_dbl AS DOUBLE)  AS as_double,
+           TRY_CAST(s_date AS DATE)   AS as_date
+    FROM m
+    """,
+)
+def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant casting (try_cast): malformed, overflowing and
+    empty inputs become NULL instead of failing the job — the ANSI-safe
+    ingestion idiom for dirty columns. Messy strings are synthesized
+    deterministically from event_id so the oracle sees identical inputs;
+    only cases where Spark and DuckDB casting rules agree are used
+    (decimal-string -> INT differs: Spark truncates, DuckDB rounds)."""
+    e = table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    s_int = (
+        F.when(eid % 4 == 0, eid.cast("string"))
+        .when(eid % 4 == 1, F.concat(eid.cast("string"), F.lit("x")))
+        .when(eid % 4 == 2, F.lit("99999999999999999999"))
+        .otherwise(F.lit(""))
+    )
+    s_dbl = (
+        F.when(eid % 3 == 0, F.lit("3.5"))
+        .when(eid % 3 == 1, F.lit("nope"))
+        .otherwise(eid.cast("string"))
+    )
+    s_date = (
+        F.when(eid % 3 == 0, F.lit("2024-01-02"))
+        .when(eid % 3 == 1, F.lit("2024-13-01"))
+        .otherwise(F.lit("n/a"))
+    )
+    return e.select(
+        "event_id",
+        s_int.try_cast("int").alias("as_int"),
+        s_dbl.try_cast("double").alias("as_double"),
+        s_date.try_cast("date").alias("as_date"),
+    )
