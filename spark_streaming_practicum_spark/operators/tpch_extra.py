@@ -1,14 +1,18 @@
 """TPC-H-shaped relational depth pack (SURVEY.md §2C joins/aggs/subqueries).
 
-Adaptations of classic TPC-H query shapes (Q4, Q12, Q14, Q16, Q19, Q22)
-to the narrower testdata schema — each exercises a distinct plan shape
-the relational core must get right at scale:
+Adaptations of classic TPC-H query shapes (Q4, Q11, Q12, Q14, Q15, Q16,
+Q17, Q19, Q21, Q22) to the narrower testdata schema — each exercises a
+distinct plan shape the relational core must get right at scale:
 
 - Q4   correlated EXISTS      -> left-semi join with a non-equi conjunct
+- Q11  HAVING against a global scalar subquery over the same scan
 - Q12  conditional aggregation over a fact-fact join
 - Q14  broadcast dim join + ratio-of-sums (single-row result)
+- Q15  aggregate filtered by equality with its own MAX (exact doubles)
 - Q16  NOT IN subquery (null-safe anti join) + count distinct
+- Q17  correlated AVG subquery, decorrelated to per-key agg + join
 - Q19  OR-of-ANDs predicate (disjunction pushdown / CNF handling)
+- Q21  semi + anti joins with inequality conjuncts over a shared subtree
 - Q22  scalar subquery threshold + NOT EXISTS anti join
 
 The reference delegates all querying to DuckDB (SURVEY.md §2B); these
@@ -249,4 +253,162 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle=f"""
+    WITH pr AS (SELECT l_partkey, {dsum_sql(_REV)} AS value
+                FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, value
+    FROM pr
+    WHERE value > (SELECT 0.0002 * {dsum_sql(_REV)} FROM lineitem)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds a fraction of TOTAL
+    revenue — a HAVING against a global scalar subquery. Both aggregates
+    share one scan lineage; the threshold is a one-row broadcast. The
+    decimal-exact sums make the > comparison engine-independent."""
+    l = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pr = l.groupBy("l_partkey").agg(dsum(rev).alias("value"))
+    total = l.agg((0.0002 * dsum(rev)).alias("t")).collect()[0]["t"]
+    return pr.filter(F.col("value") > F.lit(total))
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH r AS (SELECT l_suppkey, {dsum_sql(_REV)} AS total_rev
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1996-04-01'
+               GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN r ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM r)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum quarterly revenue —
+    aggregate, then equality against the aggregate's own MAX (exact,
+    because revenue is decimal-summed identically on both engines).
+    The revenue table is computed once and reused for both sides."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    r = l.groupBy("l_suppkey").agg(dsum(rev).alias("total_rev")).persist()
+    best = r.agg(F.max("total_rev").alias("m")).collect()[0]["m"]
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        r.filter(F.col("total_rev") == F.lit(best))
+        .join(s, r.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH pa AS (SELECT l_partkey,
+                       0.2 * ({dsum_sql("l_quantity")} / COUNT(l_quantity)) AS qty_thresh
+                FROM lineitem GROUP BY l_partkey)
+    SELECT ROUND({dsum_sql("l_extendedprice")} / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+      AND l.l_quantity < pa.qty_thresh
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-average-quantity orders of a
+    brand — the correlated AVG subquery decorrelated into a per-part
+    aggregate joined back to the fact (exactly how Catalyst would
+    rewrite it). The brand/type dim filter is broadcast; the per-part
+    threshold table shuffles once on partkey, the fact's natural key."""
+    l = table(spark, sf_dir, "lineitem")
+    pa = l.groupBy("l_partkey").agg(
+        (0.2 * (dsum("l_quantity") / F.count("l_quantity"))).alias("qty_thresh")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(dsum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+    multi AS (
+        SELECT DISTINCT a.l_orderkey, a.l_suppkey
+        FROM late a
+        WHERE EXISTS (SELECT 1 FROM lineitem b
+                      WHERE b.l_orderkey = a.l_orderkey
+                        AND b.l_suppkey <> a.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late c
+                          WHERE c.l_orderkey = a.l_orderkey
+                            AND c.l_suppkey <> a.l_suppkey))
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM multi JOIN supplier s ON multi.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper in
+    finished multi-supplier orders — a semi join (some other supplier in
+    the order) composed with an anti join (no other LATE supplier),
+    both with inequality conjuncts. The late set is computed once and
+    persisted; it feeds the anti join against itself."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .persist()
+    )
+    late.count()
+    other = l.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
+    ).distinct()
+    multi = late.join(
+        other,
+        (late.l_orderkey == other.o_k) & (late.l_suppkey != other.o_s),
+        "left_semi",
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
+    )
+    sole = multi.join(
+        other_late,
+        (multi.l_orderkey == other_late.o_k) & (multi.l_suppkey != other_late.o_s),
+        "left_anti",
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
     )
