@@ -22,3 +22,9 @@ def read_csv(
 
 def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same vectorized/pushdown treatment as parquet in Spark
+    (PushedFilters + column pruning), for corpora stored in ORC."""
+    return spark.read.orc(path)

@@ -51,16 +51,29 @@ class StreamProcessor:
     metrics: list[BatchMetrics] = field(default_factory=list)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> BatchMetrics:
-        """Route one (micro-)batch; also callable on plain batch frames."""
+        """Route one (micro-)batch; also callable on plain batch frames.
+
+        Observability counts ride the sink writes as ``Observation``
+        metrics (CollectMetrics in the plan), so each micro-batch runs
+        exactly TWO jobs (one per sink) — the reference runs four over
+        uncached lineage (stream_processor.py:118-129)."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         parser = JsonArrayBatchParser(self.schema, self.json_options)
         router = Router(self.schema)
         parsed = parser.parse(batch).persist()
         try:
             routed = router.split(parsed)
-            valid_count = routed.valid.count()
-            dead_count = routed.dead_letters.count()
-            self.valid_sink.write(routed.valid)
-            self.dead_letter_sink.write(routed.dead_letters)
+            obs_v, obs_d = Observation(), Observation()
+            self.valid_sink.write(
+                routed.valid.observe(obs_v, F.count(F.lit(1)).alias("n"))
+            )
+            self.dead_letter_sink.write(
+                routed.dead_letters.observe(obs_d, F.count(F.lit(1)).alias("n"))
+            )
+            valid_count = obs_v.get["n"]
+            dead_count = obs_d.get["n"]
         finally:
             parsed.unpersist()
         m = BatchMetrics(batch_id=batch_id, valid_rows=valid_count, dead_letter_rows=dead_count)

@@ -114,3 +114,21 @@ def test_batch_csv_json_readers(spark, tmp_path):
     assert sorted(map(tuple, got_csv.collect())) == [(1, "a"), (2, "b")]
     assert sorted(map(tuple, got_json.collect())) == [(1, "a"), (2, "b")]
     assert got_csv.schema == schema
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC write/read round trip; the read plan pushes filters and prunes
+    columns exactly like parquet (both are vectorized columnar scans)."""
+    from spark_streaming_practicum_spark.plans import formatted_plan
+    from spark_streaming_practicum_spark.sources.batch import read_orc
+
+    src = spark.range(0, 1000).selectExpr(
+        "id", "id % 7 AS k", "CAST(id * 1.5 AS DOUBLE) AS v"
+    )
+    src.write.mode("overwrite").orc(str(tmp_path / "o"))
+    got = read_orc(spark, str(tmp_path / "o"))
+    assert got.count() == 1000
+    q = got.filter("k = 3").select("id")
+    plan = formatted_plan(q)
+    assert "PushedFilters: [" in plan and "EqualTo(k,3)" in plan, plan[-800:]
+    assert got.filter("k = 3").count() == src.filter("k = 3").count()
