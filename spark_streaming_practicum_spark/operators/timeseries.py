@@ -145,3 +145,32 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("sum_value"),
     )
+
+
+@query(
+    "join_lateral_topk",
+    oracle="""
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name ASC LIMIT 3) c
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-3 customers per nation) through
+    the SQL surface — Catalyst decorrelates it into the same
+    window/top-k plan a hand-written DataFrame version produces, so the
+    lateral syntax costs nothing at scale. Oracle uses DuckDB's LATERAL
+    verbatim."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n, LATERAL (
+            SELECT c_name, c_acctbal FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name ASC LIMIT 3) c
+        """
+    )

@@ -132,3 +132,21 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     plan = formatted_plan(q)
     assert "PushedFilters: [" in plan and "EqualTo(k,3)" in plan, plan[-800:]
     assert got.filter("k = 3").count() == src.filter("k = 3").count()
+
+
+def test_managed_table_ddl_roundtrip(spark):
+    """Catalog DDL surface without Iceberg (A20/A21 analogues on the
+    session catalog): CREATE DATABASE, saveAsTable, tableExists probe,
+    INSERT INTO append, DROP — the managed-table lifecycle."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS eng_ddl_test")
+    try:
+        src = spark.range(0, 10).selectExpr("id", "id % 3 AS k")
+        src.write.mode("overwrite").saveAsTable("eng_ddl_test.t1")
+        assert spark.catalog.tableExists("eng_ddl_test.t1")
+        spark.sql("INSERT INTO eng_ddl_test.t1 SELECT 100 AS id, 1 AS k")
+        assert spark.table("eng_ddl_test.t1").count() == 11
+        assert spark.sql("SELECT MAX(id) m FROM eng_ddl_test.t1").collect()[0]["m"] == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS eng_ddl_test.t1")
+        spark.sql("DROP DATABASE IF EXISTS eng_ddl_test")
+    assert not spark.catalog.tableExists("eng_ddl_test.t1")
