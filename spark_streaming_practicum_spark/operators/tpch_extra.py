@@ -412,3 +412,375 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(20)
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE')
+    SELECT p.p_partkey, e.s_name, e.n_name, e.s_acctbal, c.unit_cost
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN eu e ON e.s_suppkey = c.l_suppkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+      AND c.unit_cost = (SELECT MIN(c2.unit_cost)
+                         FROM cost c2 JOIN eu e2 ON e2.s_suppkey = c2.l_suppkey
+                         WHERE c2.l_partkey = p.p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (lineitem stands in for partsupp): per part of a
+    given size/type, the EUROPE supplier(s) achieving the minimum unit
+    cost. The correlated MIN subquery is decorrelated into a per-part
+    aggregate joined back on equality — two shuffles on partkey instead
+    of a per-row subquery. MIN over IEEE doubles is order-independent,
+    so the equality is engine-exact. Dim side (supplier⋈nation⋈region,
+    filtered part) broadcasts; only the part-supplier cost table, sized
+    |parts|x|suppliers-per-part| << |lineitem|, shuffles."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_cost = cost.join(
+        F.broadcast(eu), cost.l_suppkey == eu.s_suppkey
+    ).select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
+    best = (
+        eu_cost.groupBy("l_partkey")
+        .agg(F.min("unit_cost").alias("best_cost"))
+        .withColumnRenamed("l_partkey", "best_partkey")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey")
+    return (
+        eu_cost.join(
+            best,
+            (F.col("l_partkey") == F.col("best_partkey"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .join(F.broadcast(p), eu_cost.l_partkey == p.p_partkey)
+        .select("p_partkey", "s_name", "n_name", "s_acctbal", "unit_cost")
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {dsum_sql("volume")} AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+          JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l.l_shipdate < TIMESTAMP '1998-01-01')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by year.
+    Exercises the same dimension table joined TWICE under different
+    aliases (supplier's nation vs customer's nation) with a cross-side
+    disjunction. Both nation copies broadcast; the only large shuffles
+    are lineitem⋈orders on orderkey. The nation-pair disjunction can't
+    be pushed to either scan alone, but each side's IN('NATION_1',
+    'NATION_2') relaxation is — which Catalyst derives for us."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(vol).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           ROUND({dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+                 / {dsum_sql("volume")}, 6) AS mkt_share
+    FROM (SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 n1.n_name AS supp_nation
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n2.n_regionkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+          JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY')
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_3's share of the AMERICA 'ECONOMY' market by
+    order year — a 6-way star join where every dimension broadcasts and
+    the fact shuffles exactly once (lineitem⋈orders on orderkey), then a
+    conditional ratio-of-sums per year. Decimal-exact numerator and
+    denominator make the rounded share engine-independent."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n2 = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey)
+        .join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    )
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(dsum(nat_vol) / dsum(vol), 6).alias("mkt_share"))
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT nation, o_year, {dsum_sql("amount")} AS sum_profit
+    FROM (SELECT n.n_name AS nation,
+                 CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount)
+                   - 0.6 * p.p_retailprice * l.l_quantity AS amount
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN part p ON p.p_partkey = l.l_partkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          WHERE p.p_name LIKE '%gear%')
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on '%gear%' parts by supplier nation and
+    order year, with supply cost proxied as 0.6*retailprice*quantity
+    (testdata has no partsupp). The LIKE-filtered part dim drives a
+    broadcast join that prunes the fact EARLY — before the
+    lineitem⋈orders shuffle — which is the plan property this query
+    exists to check (a late filter would shuffle 6x the rows)."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dsum(amount).alias("sum_profit"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by lost revenue from returned items in
+    one quarter. Both selective filters (order date, return flag) push to
+    their scans before the orderkey shuffle; the final top-k plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort). Revenue
+    is decimal-exact so the DESC order — and therefore the LIMIT cut —
+    is engine-identical; custkey breaks ties."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                            AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of non-urgent order counts per customer,
+    INCLUDING zero-order customers — which forces a LEFT OUTER join with
+    the priority predicate in the JOIN condition (in WHERE it would
+    silently drop the NULL-extended rows and become inner). COUNT(col)
+    skips the NULLs so unmatched customers land in bucket 0. Two-level
+    aggregation: custkey (wide) then c_count (a few dozen groups)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q20_dominant_supplier",
+    oracle=f"""
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey, {dsum_sql("l_quantity")} AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey),
+    tot AS (
+        SELECT l_partkey, {dsum_sql("l_quantity")} AS total_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey)
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT sh.l_suppkey
+        FROM shipped sh
+        JOIN tot t ON sh.l_partkey = t.l_partkey
+        WHERE sh.qty > 0.5 * t.total_qty
+          AND sh.l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_name LIKE '%bolt%'))
+    """,
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than half of a
+    '%bolt%' part's 1996 volume (ps_availqty stands in as shipped qty).
+    The nested IN chain becomes two left-semi joins; per-(part,supplier)
+    and per-part totals reuse one filtered scan and shuffle on partkey.
+    Quantities are decimal-exact and 0.5* is a power-of-two scale, so
+    the > threshold is engine-identical."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    shipped = l.groupBy("l_partkey", "l_suppkey").agg(dsum("l_quantity").alias("qty"))
+    tot = l.groupBy("l_partkey").agg(dsum("l_quantity").alias("total_qty"))
+    bolt = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    ).select(F.col("p_partkey").alias("l_partkey"))
+    dominant = (
+        shipped.join(F.broadcast(bolt), "l_partkey", "left_semi")
+        .join(tot, "l_partkey")
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return s.join(dominant, "s_suppkey", "left_semi")
