@@ -1,0 +1,192 @@
+"""Corpus-curation operators: quality gates, repetition, contamination.
+
+The three filter families every LLM training-data pipeline runs between
+raw ingest and tokenization (public method lineage: Gopher/MassiveText
+quality heuristics, C4's repetition pruning, GPT-3's n-gram
+train/test decontamination — all from the published papers):
+
+- ``quality_gopher_gates``  — per-document word statistics with
+  boolean accept gates (doc length, mean word length, top-word
+  dominance, distinct-word ratio);
+- ``repetition_dup_ngram_fraction`` — fraction of bigram occurrences
+  that are repeats within the document (the rep-n signal);
+- ``contamination_ngram_overlap`` — 5-gram overlap of held-out (test
+  split) documents against the train split's n-gram set.
+
+All three are exploded-token two-level aggregations — pure JVM column
+expressions, shuffling on (doc_id, token) then doc_id, the layout that
+scales linearly with corpus size. DuckDB-oracled end to end.
+
+The reference has no curation surface (it stops at bronze ingest,
+/root/reference/README.md:58-72); this module is part of the
+BASELINE.json north-star extension set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.textfns import poly_hash, shingles, tokens
+from ..registry import query
+from .training import _bucket_sql
+
+_WORDS_SQL = "SELECT doc_id, string_split(text, ' ') AS w FROM documents"
+
+
+@query(
+    "quality_gopher_gates",
+    oracle=f"""
+    WITH words AS ({_WORDS_SQL}),
+    tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY doc_id, word),
+    stats AS (SELECT doc_id,
+                     SUM(c) AS n_words,
+                     COUNT(*) AS n_distinct,
+                     MAX(c) AS max_wc,
+                     ROUND(CAST(SUM(LENGTH(word) * c) AS DOUBLE) / SUM(c), 6)
+                         AS mean_word_len
+              FROM wc GROUP BY doc_id)
+    SELECT doc_id, n_words, n_distinct, mean_word_len,
+           ROUND(max_wc * 1.0 / n_words, 6) AS top_word_ratio,
+           ROUND(n_distinct * 1.0 / n_words, 6) AS distinct_ratio,
+           (n_words BETWEEN 10 AND 1000
+            AND mean_word_len BETWEEN 2 AND 12
+            AND max_wc * 1.0 / n_words <= 0.2
+            AND n_distinct * 1.0 / n_words >= 0.3) AS passes
+    FROM stats
+    """,
+)
+def quality_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality gates: word count in [10, 1000],
+    mean word length in [2, 12], most-common word <= 20% of tokens,
+    distinct-word ratio >= 30%. Word stats come from an explode +
+    (doc_id, word) partial count + per-doc rollup — two shuffles whose
+    key cardinality tracks corpus size linearly, no per-doc quadratic
+    work (the HOF alternative is O(words^2) per doc). Gate comparisons
+    run on unrounded doubles identically in both engines; the surfaced
+    ratios are rounded for hash stability."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    wc = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_wc"),
+        F.round(
+            (F.sum(F.length("word") * F.col("c"))).cast("double") / F.sum("c"), 6
+        ).alias("mean_word_len"),
+    )
+    top_ratio = F.col("max_wc") * 1.0 / F.col("n_words")
+    distinct_ratio = F.col("n_distinct") * 1.0 / F.col("n_words")
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        "mean_word_len",
+        F.round(top_ratio, 6).alias("top_word_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        (
+            F.col("n_words").between(10, 1000)
+            & F.col("mean_word_len").between(2, 12)
+            & (top_ratio <= 0.2)
+            & (distinct_ratio >= 0.3)
+        ).alias("passes"),
+    )
+
+
+@query(
+    "repetition_dup_ngram_fraction",
+    oracle=f"""
+    WITH words AS ({_WORDS_SQL}),
+    sh AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg
+           FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+    cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM sh GROUP BY doc_id, bg)
+    SELECT doc_id,
+           SUM(c) AS n_bigrams,
+           SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_repeated,
+           ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c), 6)
+               AS dup_bigram_fraction
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def repetition_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher's rep-2): the fraction of
+    bigram occurrences belonging to a bigram that appears more than once
+    in the document. High values flag boilerplate/spam. Same exploded
+    two-level aggregation shape as the quality gates; a bigram that
+    repeats k times contributes all k occurrences to the numerator."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    bg = d.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), 2)).alias("bg")
+    )
+    cnt = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    repeated = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        repeated.alias("n_repeated"),
+        F.round(repeated * 1.0 / F.sum("c"), 6).alias("dup_bigram_fraction"),
+    )
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH words AS ({_WORDS_SQL}),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS ng
+           FROM words, unnest(generate_series(1, len(w) - 4)) AS t(i)),
+    train_ng AS (SELECT DISTINCT ng FROM sh
+                 WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)")} < 80),
+    test_sh AS (SELECT * FROM sh
+                WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)")} >= 90)
+    SELECT t.doc_id,
+           COUNT(*) AS n_ngrams,
+           SUM(CASE WHEN tr.ng IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           ROUND(SUM(CASE WHEN tr.ng IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS contamination
+    FROM test_sh t LEFT JOIN train_ng tr ON t.ng = tr.ng
+    GROUP BY t.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (GPT-3-style n-gram overlap): for each
+    held-out document (hash split 'test', reusing split_train_val_test's
+    assignment), the fraction of its distinct 5-grams that also occur
+    anywhere in the train split. The overlap join keys on the n-gram
+    string — at real scale the held-out side is a small benchmark whose
+    n-gram set broadcasts (or ships as a bloom filter) so the train
+    corpus is filtered map-side; the shuffle-join form here is the
+    general case and the oracle target."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    bucket = poly_hash(F.col("doc_id").cast("string")) % 100
+    sh = d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.explode(shingles(tokens(F.col("text")), 5)).alias("ng"),
+    ).distinct()
+    train_ng = (
+        sh.filter(F.col("bucket") < 80)
+        .select(F.col("ng").alias("tr_ng"))
+        .distinct()
+    )
+    test_sh = sh.filter(F.col("bucket") >= 90)
+    hit = F.sum(F.when(F.col("tr_ng").isNotNull(), 1).otherwise(0))
+    return (
+        test_sh.join(train_ng, test_sh.ng == train_ng.tr_ng, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            hit.alias("n_contaminated"),
+            F.round(hit * 1.0 / F.count(F.lit(1)), 6).alias("contamination"),
+        )
+    )
