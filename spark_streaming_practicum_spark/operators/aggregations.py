@@ -311,3 +311,32 @@ def agg_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
         .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("total_qty"))
     )
+
+
+@query("agg_hll_partitioned_merge", oracle=None)  # sketch bytes are impl-specific -> rows-only
+def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch architecture (Apache DataSketches HLL, built into
+    Spark 3.5+): one compact sketch of distinct users per event_type,
+    then a union-merge into the corpus-wide estimate — per-type rows
+    plus an '__all__' row, union of two branches over the SAME grouped
+    sketches.
+
+    This is the 100 TB pattern for COUNT(DISTINCT) rollups: each
+    partition/group reduces to a few-KB sketch, re-aggregation at any
+    grouping level merges sketches instead of re-scanning raw data (the
+    exact count_distinct needs a full shuffle of every distinct key per
+    grouping level). Estimates are algorithm-specific, so the driver
+    checks rows-only; the error bound vs the exact count is asserted in
+    tests/test_northstar_properties.py."""
+    e = table(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    per_type = sk.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    merged = sk.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    return per_type.unionAll(merged)

@@ -190,3 +190,53 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(hit * 1.0 / F.count(F.lit(1)), 6).alias("contamination"),
         )
     )
+
+
+@query(
+    "dedup_crossdoc_ngram_coverage",
+    oracle=f"""
+    WITH words AS ({_WORDS_SQL}),
+    sh AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+           FROM words, unnest(generate_series(1, len(w) - 4)) AS t(i)),
+    docfreq AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY g)
+    SELECT doc_id,
+           COUNT(*) AS n_ngrams,
+           SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_crossdoc,
+           ROUND(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS crossdoc_fraction
+    FROM sh JOIN docfreq USING (g)
+    GROUP BY doc_id
+    """,
+)
+def dedup_crossdoc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", at n-gram granularity):
+    for every document, the fraction of its 5-gram occurrences that also
+    appear in at least one OTHER document. High coverage = boilerplate /
+    templated / copied text; the per-doc score drives drop-or-trim
+    decisions that within-doc repetition (rep-n) and whole-doc hashing
+    both miss.
+
+    Architecture is the suffix-array substitute that actually
+    distributes: an inverted index keyed on the n-gram — (doc, g)
+    occurrences, doc-frequency by g, join back on g. Two shuffles on the
+    n-gram key + one per-doc rollup, all hash-partitioned and
+    linear in corpus size; the df table is the only global state and is
+    itself partitioned by g (never collected)."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sh = d.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), 5)).alias("g")
+    ).persist()
+    docfreq = sh.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
+    dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        sh.join(docfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            dup.alias("n_crossdoc"),
+            F.round(dup * 1.0 / F.count(F.lit(1)), 6).alias("crossdoc_fraction"),
+        )
+    )

@@ -102,9 +102,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(frames).alias("frame_idx"))
 
 
-@query(
-    "mm_feature_extract",
-    oracle="""
+_FEATURE_ORACLE = """
     SELECT doc_id,
            [CAST(LENGTH(regexp_replace(text, '[^a-m]', '', 'g')) AS BIGINT),
             CAST(LENGTH(regexp_replace(text, '[^n-z]', '', 'g')) AS BIGINT),
@@ -113,8 +111,10 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS byte_histogram,
            CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
     FROM documents
-    """,
-)
+    """
+
+
+@query("mm_feature_extract", oracle=_FEATURE_ORACLE)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over the opaque binary payload: a 4-bin byte
     histogram computed in numpy over Arrow batches (mapInPandas) — the
@@ -201,4 +201,56 @@ def mm_fake_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize,
         schema="doc_id bigint, width bigint, height bigint, "
         "resized_w bigint, resized_h bigint, resized_bytes bigint",
+    )
+
+
+@query("mm_feature_extract_arrow", oracle=_FEATURE_ORACLE)
+def mm_feature_extract_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same byte-histogram feature extraction as ``mm_feature_extract``
+    but through ``mapInArrow``: the UDF receives raw ``pyarrow``
+    RecordBatches, skipping the Arrow->pandas conversion entirely. For
+    binary-payload media columns this is the fastest Python path Spark
+    has — zero-copy buffers in, columnar batch out — and the natural
+    slot for a real decoder (PIL/ffmpeg) on a cluster that has one.
+    Same oracle as the pandas variant: the two implementations must
+    agree bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    out_type = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("byte_histogram", pa.list_(pa.int64())),
+            ("payload_bytes", pa.int64()),
+        ]
+    )
+
+    def extract(batches):
+        for batch in batches:
+            doc_ids = batch.column("doc_id")
+            feats, sizes = [], []
+            for payload in batch.column("payload"):
+                b = np.frombuffer(payload.as_py(), dtype=np.uint8)
+                lower = (b >= ord("a")) & (b <= ord("z"))
+                digit_sp = ((b >= ord("0")) & (b <= ord("9"))) | (b == ord(" "))
+                feats.append(
+                    [
+                        int((lower & (b <= ord("m"))).sum()),
+                        int((lower & (b >= ord("n"))).sum()),
+                        int(digit_sp.sum()),
+                        int((~(lower | digit_sp)).sum()),
+                    ]
+                )
+                sizes.append(len(b))
+            yield pa.RecordBatch.from_arrays(
+                [doc_ids, pa.array(feats, type=pa.list_(pa.int64())), pa.array(sizes, type=pa.int64())],
+                schema=out_type,
+            )
+
+    return d.mapInArrow(
+        extract, schema="doc_id bigint, byte_histogram array<bigint>, payload_bytes bigint"
     )

