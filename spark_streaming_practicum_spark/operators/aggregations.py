@@ -340,3 +340,32 @@ def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("approx_users"),
     )
     return per_type.unionAll(merged)
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT)                AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT)                AS g_status,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)  AS gid,
+           COUNT(*)                                              AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING / GROUPING_ID markers on a rollup: the bitmask that lets
+    a consumer tell a real NULL group from a subtotal row — required
+    for any BI layer on top of multi-level aggregates. Same Expand +
+    two-phase hash-agg plan as the plain rollup."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

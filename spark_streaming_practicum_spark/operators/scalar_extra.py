@@ -1,7 +1,7 @@
 """Second scalar/aggregate function pack: statistical aggregates,
 boolean aggregates, bit manipulation, collection set-ops, nth_value —
 rounding out the function surface a DuckDB-shell user would expect
-(SURVEY.md §2B/§2C延長)."""
+(SURVEY.md §2B/§2C extensions)."""
 
 from __future__ import annotations
 
@@ -315,3 +315,25 @@ def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_dbl.try_cast("double").alias("as_double"),
         s_date.try_cast("date").alias("as_date"),
     )
+
+
+@query(
+    "scalar_posexplode_ordinality",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents WHERE doc_id % 50 = 0)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS word
+    FROM words, unnest(generate_series(1, len(w))) AS t(i)
+    """,
+)
+def scalar_posexplode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal table generation: ``posexplode`` emits (position, element)
+    pairs — the WITH ORDINALITY surface. Position-aware expansion is
+    what chunking/packing build on; the generator runs inside
+    whole-stage codegen, no Python. Docs subsampled to bound the
+    oracle compare."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\s+")),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), F.col("col").alias("word"))

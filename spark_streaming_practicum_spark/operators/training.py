@@ -283,3 +283,47 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("emb").cast("long").alias("n_dims"),
         F.when(F.col("qmax") > F.col("qmin"), qsum).otherwise(F.lit(0)).cast("long").alias("qsum"),
     )
+
+
+@query(
+    "ids_contiguous_global",
+    oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS global_id
+    FROM documents
+    """,
+)
+def ids_contiguous_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0-based global ids in doc_id order — the shard/example
+    numbering every training run needs — WITHOUT the single-partition
+    global window a naive ``row_number() OVER (ORDER BY ...)`` plans.
+
+    Two-pass zipWithIndex on DataFrames: (1) range-partition by the
+    order key, so partition i holds strictly smaller keys than i+1;
+    (2) per-partition sizes (a P-row aggregate) become cumulative
+    offsets, broadcast-joined back; (3) ids = offset + local
+    row_number within the partition. Every pass is fully parallel; the
+    only driver-side state is P integers. The partitioned frame is
+    persisted so both passes see identical range boundaries."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = {r["pid"]: r["n"] for r in d.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off_df = spark.createDataFrame(offsets, "pid int, off long")
+
+    from pyspark.sql import Window
+
+    local = F.row_number().over(Window.partitionBy("pid").orderBy("doc_id"))
+    return (
+        d.withColumn("rn", local)
+        .join(F.broadcast(off_df), "pid")
+        .select("doc_id", (F.col("off") + F.col("rn") - 1).alias("global_id"))
+    )
