@@ -51,6 +51,9 @@ HEADLINE = [
     # capstones
     "dedup_cluster_representatives",
     "asof_join_last_click",
+    "dedup_crossdoc_ngram_coverage",
+    "graph_pagerank_trade",
+    "ts_interpolate_linear",
 ]
 
 
