@@ -1,0 +1,106 @@
+"""Behavioral analytics over the events stream: funnels and cohorts.
+
+The two canonical product-analytics shapes a DuckDB-shell user of the
+reference would eventually ask of the bronze events table
+(/root/reference/demos/duckdb.tape stops at counts and breakdowns;
+these are the next queries after that). Both are pure DataFrame
+aggregation/join pipelines keyed on user_id — one shuffle partitioning
+serves every stage, which is what keeps them linear at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT '2_click', COUNT(*) FROM c
+    UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): a user converts a
+    stage only with an event strictly AFTER their entry into the
+    previous stage. Each stage is min-timestamp agg on user_id followed
+    by a user_id equi-join with a timestamp inequality — all stages
+    co-partitioned on user_id, so at scale the funnel is one shuffle
+    then narrow stage-to-stage joins. The events scan is reused across
+    stages (filter pushdown gives each stage only its event_type)."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage_after(prev: DataFrame, etype: str) -> DataFrame:
+        ev = e.filter(F.col("event_type") == etype).alias("e")
+        return (
+            ev.join(
+                prev.alias("p"),
+                (F.col("e.user_id") == F.col("p.user_id")) & (F.col("e.ts") > F.col("p.t")),
+            )
+            .groupBy(F.col("e.user_id").alias("user_id"))
+            .agg(F.min("e.ts").alias("t"))
+        )
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    c = stage_after(v, "click")
+    p = stage_after(c, "purchase")
+
+    def counted(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return counted(v, "1_view").unionAll(counted(c, "2_click")).unionAll(
+        counted(p, "3_purchase")
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firstseen AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+                       FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT f.d0 AS cohort_day,
+           date_diff('day', f.d0, a.d) AS day_offset,
+           COUNT(*) AS n_users
+    FROM firstseen f JOIN act a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, with
+    the count still active N days later. first-seen is a user_id agg,
+    activity is a distinct on (user, day), and the join + final rollup
+    stay keyed on user_id / (cohort, offset) — two shuffles total,
+    both with key cardinality far below the raw event count."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    firstseen = e.groupBy("user_id").agg(F.min("d").alias("d0"))
+    act = e.distinct()
+    return (
+        act.join(firstseen, "user_id")
+        .groupBy(
+            F.col("d0").alias("cohort_day"),
+            F.datediff("d", "d0").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

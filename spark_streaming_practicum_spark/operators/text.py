@@ -7,7 +7,7 @@ content fingerprinting over ``documents`` — all JVM-side expressions
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -310,4 +310,42 @@ def text_bpe_ish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(bpe).cast("long").alias("n_bpe_tokens"),
         F.size(ws).cast("long").alias("n_ws_tokens"),
         F.round(F.size(bpe) / F.size(ws), 4).alias("tokens_per_word"),
+    )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents),
+    cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+    tot AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY doc_id)
+    SELECT cnt.doc_id,
+           tot.n AS n_chars,
+           ROUND(-SUM((k * 1.0 / n) * ln(k * 1.0 / n) / ln(2.0)), 6)
+               AS char_entropy_bits
+    FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+    GROUP BY cnt.doc_id, tot.n
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    cheap randomness gate that catches base64 blobs, repeated padding
+    and mojibake without a model (low-entropy AND very-high-entropy
+    docs both fail curation). Char frequencies by (doc, char) then a
+    per-doc rollup: both shuffles carry at most |alphabet| rows per
+    doc, so the op scales with corpus bytes, never quadratically."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    p = F.col("k") / F.col("n")
+    return (
+        cnt.withColumn("n", F.sum("k").over(Window.partitionBy("doc_id")))
+        .groupBy("doc_id", F.col("n").alias("n_chars"))
+        .agg(F.round(-F.sum(p * F.log(p) / F.log(F.lit(2.0))), 6).alias("char_entropy_bits"))
     )

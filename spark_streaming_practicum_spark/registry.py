@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QueryDef]:
     from .operators import (  # noqa: F401
         advanced,
         aggregations,
+        analytics,
         curation,
         dedup,
         graph,
