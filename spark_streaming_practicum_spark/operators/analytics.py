@@ -10,7 +10,7 @@ serves every stage, which is what keeps them linear at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -103,4 +103,63 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("d", "d0").alias("day_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "scd2_user_state_history",
+    oracle="""
+    WITH sel AS (SELECT user_id, event_id, ts, event_type
+                 FROM events WHERE user_id % 13 = 0),
+    numbered AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+        FROM sel),
+    islands AS (
+        SELECT user_id, event_type, MIN(ts) AS valid_from, COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, event_type, grp)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to,
+           (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               IS NULL) AS is_current,
+           n_events
+    FROM islands
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) reconstruction from an event
+    log: collapse each user's consecutive runs of the same event_type
+    into versioned rows with [valid_from, valid_to) intervals and an
+    is_current flag — the gaps-and-islands shape (difference of two
+    row_numbers identifies each run) every warehouse dimension build
+    uses. All three window passes share the user_id partitioning, so
+    the whole reconstruction is one shuffle + sorted passes; ties are
+    broken on event_id so the versioning is deterministic in both
+    engines. Users subsampled to bound the oracle compare."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 13 == 0)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    numbered = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    islands = numbered.groupBy("user_id", "event_type", "grp").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(w_ver)
+    return islands.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        "n_events",
     )

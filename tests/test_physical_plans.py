@@ -117,3 +117,32 @@ def test_split_and_chunk_are_shuffle_free(spark):
     chunk_plan = formatted_plan(DEFS["text_chunk_fixed_tokens"].fn(spark, SF_DIR))
     import re
     assert len(re.findall(r"^\(\d+\) Exchange", chunk_plan, flags=re.M)) <= 1
+
+
+def test_contiguous_ids_avoid_single_partition_window(spark):
+    """The two-pass zipWithIndex must never plan the naive global
+    row_number's Exchange SinglePartition — that is the whole point."""
+    plan = formatted_plan(DEFS["ids_contiguous_global"].fn(spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan[:3000]
+    # the offset table rides a broadcast join, not a shuffle
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pagerank_broadcasts_dims_and_reuses_edges(spark):
+    """Dimension lookups broadcast; the normalized edge table is
+    persisted (InMemoryTableScan) so each iteration reuses one shuffle
+    instead of recomputing the 4-way join."""
+    df = DEFS["graph_pagerank_trade"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 1
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan[:3000]
+
+
+def test_scd2_windows_share_one_partitioning(spark):
+    """Gaps-and-islands: every window pass and the island aggregation
+    partition on user_id (or its subsets), so Catalyst plans exactly ONE
+    exchange for the entire SCD2 reconstruction."""
+    plan = formatted_plan(DEFS["scd2_user_state_history"].fn(spark, SF_DIR))
+    tree = plan.split("(1) ")[0]  # node tree precedes the details section
+    n_exchanges = sum(1 for line in tree.splitlines() if "Exchange" in line)
+    assert n_exchanges == 1, tree
