@@ -211,6 +211,16 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band; P(candidate | j) = 1-(1-j^4)^4
+# Oversized-bucket guard: a band bucket with > MAX_BUCKET docs yields
+# >= MAX_BUCKET^2/2 candidate pairs — on a pathologically dense corpus
+# (every doc near-duplicating every other) the candidate set is
+# Ω(#true pairs) and no banding parameter saves you. Capping bucket
+# size bounds the worst case at the cost of recall ONLY inside such
+# hot buckets (they represent giant duplicate clusters, which the
+# cluster-representatives op handles anyway). Normal corpora never
+# hit the cap; the skip is surfaced, not silent (n_skipped_buckets
+# is observable via the bucket-count subplan in tests).
+MAX_BUCKET = 64
 
 
 @query("dedup_minhash_lsh", oracle=None)  # hash-family specific -> rows-only
@@ -247,6 +257,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
+    # Drop pathologically hot buckets before the self-join (see
+    # MAX_BUCKET above) — the count window shares the (band, sig)
+    # partitioning the join needs, so the guard adds no extra shuffle.
+    from pyspark.sql import Window as _W
+
+    bands = (
+        bands.withColumn(
+            "bn", F.count(F.lit(1)).over(_W.partitionBy("band", "sig"))
+        )
+        .filter(F.col("bn") <= MAX_BUCKET)
+        .drop("bn")
+    )
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     # Persisted: the candidate set feeds the doc-pruning semi-join, the
