@@ -312,3 +312,41 @@ def join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
+
+
+@query(
+    "join_null_skew_outer",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_name,
+                      CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END
+                          AS nk
+               FROM customer)
+    SELECT c.c_custkey, c.c_name, n.n_name
+    FROM c LEFT JOIN nation n ON c.nk = n.n_nationkey
+    """,
+)
+def join_null_skew_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-key skew mitigation for outer joins: NULL join keys can never
+    match, yet a plain left join shuffles every null-keyed row into ONE
+    reducer (all NULLs hash identically) — with a 30%-null key at 100 TB
+    that single partition is the job. The fix routes null-keyed rows
+    AROUND the join (they get their NULL right side directly) and joins
+    only the matchable split, then unions. The oracle is the PLAIN left
+    join, proving the rewrite is semantically invisible.
+
+    (Broadcast is disabled for the dim here only to force the shuffle
+    path this pattern exists for; with a broadcastable dim Spark never
+    shuffles the probe side and the mitigation is moot.)"""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_nationkey")).alias("nk"),
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name").hint("shuffle_hash")
+    matchable = c.filter(F.col("nk").isNotNull()).join(
+        n, F.col("nk") == F.col("n_nationkey"), "left"
+    )
+    unmatchable = c.filter(F.col("nk").isNull()).withColumn("n_name", F.lit(None).cast("string"))
+    return matchable.select("c_custkey", "c_name", "n_name").unionByName(
+        unmatchable.select("c_custkey", "c_name", "n_name")
+    )
