@@ -150,3 +150,45 @@ def test_managed_table_ddl_roundtrip(spark):
         spark.sql("DROP TABLE IF EXISTS eng_ddl_test.t1")
         spark.sql("DROP DATABASE IF EXISTS eng_ddl_test")
     assert not spark.catalog.tableExists("eng_ddl_test.t1")
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """DPP: joining a day-partitioned fact to a FILTERED dim must prune
+    fact partitions via a runtime subquery on the join key — the filter
+    lives on the dim, not the fact, so static pruning can't do it.
+    At 100 TB this is the difference between scanning 3 days and 3
+    years."""
+    out = str(tmp_path / "fact")
+    events = table(spark, SF_DIR, "events").withColumn("event_date", F.to_date("ts"))
+    ParquetSink(out, partition_columns=("event_date",)).write(events)
+
+    events.select("event_date").distinct().withColumn(
+        "dow", F.dayofweek("event_date")
+    ).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    # DPP triggers only when the build side carries a FILTER that
+    # Catalyst's isLikelySelective accepts (comparisons/IN/LIKE — a bare
+    # boolean attribute does NOT qualify, a non-obvious gotcha).
+    dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("dow") == 2)
+
+    fact = spark.read.parquet(out)
+    joined = fact.join(dim, "event_date")
+    plan = fact._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    assert joined.count() > 0
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE must collapse the configured 32 shuffle partitions down to a
+    handful when the data is tiny — the executed plan carries
+    AQEShuffleRead(coalesced). On a cluster this is what keeps small
+    stages from scheduling thousands of empty tasks."""
+    df = (
+        table(spark, SF_DIR, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()  # AQE re-plans at runtime; executed plan holds the proof
+    final = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "AQEShuffleRead" in final and "coalesced" in final, final[:3000]
