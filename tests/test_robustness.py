@@ -64,3 +64,56 @@ def test_rate_streaming_source_smoke(spark):
         assert n > 0
     finally:
         q.stop()
+
+
+def test_ignore_corrupt_parquet_files(spark, tmp_path):
+    """File-level corruption tolerance: the batch analogue of the
+    reference's corrupted-batch dead-lettering (a truncated parquet in
+    a 100 TB lake must not kill the job). With ignoreCorruptFiles the
+    scan reads every healthy file and skips the bad one."""
+    out = tmp_path / "lake"
+    table(spark, SF_DIR, "region").write.parquet(str(out))
+    df = spark.read.parquet(str(out))
+    healthy, schema = df.count(), df.schema
+    # corrupt one data file mid-way, reference-producer style
+    part = next(p for p in out.iterdir() if p.name.endswith(".parquet"))
+    data = part.read_bytes()
+    part.write_bytes(data[: len(data) // 2])
+
+    # NB: the declared schema matters — footer-based inference itself
+    # dies on the truncated file before ignoreCorruptFiles can apply
+    # (at scale the lake schema comes from the catalog anyway).
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        survivors = spark.read.schema(schema).parquet(str(out)).count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    assert 0 <= survivors < healthy
+
+
+def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
+    """Runtime bloom-filter injection on a shuffle join: the selective
+    side's keys become a bloom filter applied to the probe side's scan
+    — the fact-fact analogue of DPP (no partition column needed).
+    Thresholds are lowered because the feature is sized for TB-scale
+    scans; the PLAN SHAPE is what the assertion checks."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F
+
+        li = table(spark, SF_DIR, "lineitem")
+        o = table(spark, SF_DIR, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+        assert "bloom_filter" in plan.lower() or "bloomfilter" in plan.lower(), plan[:2000]
+        assert joined.count() > 0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
