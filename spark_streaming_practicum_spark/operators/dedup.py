@@ -173,13 +173,16 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min >= t*max) prunes further before verification."""
     t = 0.8
     sh = _doc_shingles(spark, sf_dir)
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("gf"))
     w = Window.partitionBy("doc_id").orderBy(F.col("gf").asc(), F.col("shingle").asc())
-    ranked = (
-        sh.join(freq, "shingle")
-        .select("doc_id", "shingle", F.row_number().over(w).alias("pos"))
-        .join(cnt, "doc_id")
+    # Set size |x| rides the SAME doc_id window partitioning as the
+    # rank — computing it as a windowed count instead of a separate
+    # groupBy+join removes one shuffle and one join from the plan.
+    ranked = sh.join(freq, "shingle").select(
+        "doc_id",
+        "shingle",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("c"),
     )
     prefix = ranked.filter(
         F.col("pos") <= F.col("c") - F.ceil(F.lit(t) * F.col("c")) + 1
