@@ -163,3 +163,64 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.isNull().alias("is_current"),
         "n_events",
     )
+
+
+@query(
+    "basket_part_pairs_lift",
+    oracle="""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS cnt FROM po),
+    pc AS (SELECT l_partkey, COUNT(*) AS c FROM po GROUP BY l_partkey),
+    pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     COUNT(*) AS c_ab
+              FROM po a JOIN po b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2)
+    SELECT part_a, part_b, c_ab,
+           ROUND(c_ab * (SELECT cnt FROM n) / (ca.c * cb.c), 6) AS lift
+    FROM pairs
+    JOIN pc ca ON part_a = ca.l_partkey
+    JOIN pc cb ON part_b = cb.l_partkey
+    WHERE c_ab >= 2
+    """,
+)
+def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (frequent 2-itemsets with lift): parts
+    bought together in the same order, scored by lift = P(a,b)/P(a)P(b).
+    The pair generation is a self-join on l_orderkey — bounded by
+    (items per order)^2 per order, NOT corpus-quadratic, the same
+    output-bound argument as near-dup pair mining; the distinct
+    projection first keeps repeated part purchases from inflating
+    counts. Item frequencies broadcast back onto the pair aggregate."""
+    po = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    n = po.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("cnt")
+    )
+    pc = po.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = po.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = po.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    ca = pc.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    cb = pc.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            F.round(F.col("c_ab") * F.col("cnt") / (F.col("ca") * F.col("cb")), 6).alias("lift"),
+        )
+    )
