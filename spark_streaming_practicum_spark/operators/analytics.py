@@ -224,3 +224,103 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c_ab") * F.col("cnt") / (F.col("ca") * F.col("cb")), 6).alias("lift"),
         )
     )
+
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_custkey,
+               MAX(o.o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS monetary
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey)
+    SELECT c_custkey, last_order, frequency, ROUND(monetary, 2) AS monetary,
+           NTILE(4) OVER (ORDER BY last_order DESC, c_custkey) AS r_quartile,
+           NTILE(4) OVER (ORDER BY frequency DESC, c_custkey)  AS f_quartile,
+           NTILE(4) OVER (ORDER BY monetary DESC, c_custkey)   AS m_quartile
+    FROM base
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quartiles per
+    customer. The base is one customer-keyed aggregation; the three
+    NTILE windows are global sorts over the (small) per-customer
+    rollup, not the raw facts — at scale the rollup is 1/1000th the
+    fact size, and each quartile assignment is deterministic via the
+    custkey tiebreak. Monetary uses exact DECIMAL accumulation."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    base = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("monetary"),
+        )
+    )
+    wr = Window.orderBy(F.col("last_order").desc(), "c_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "c_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "c_custkey")
+    return base.select(
+        "c_custkey",
+        "last_order",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    )
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH sel AS (SELECT user_id, date_trunc('hour', ts) AS hour
+                 FROM events WHERE user_id % 29 = 0),
+    hourly AS (SELECT user_id, hour, COUNT(*) AS n
+               FROM sel GROUP BY user_id, hour),
+    stats AS (SELECT user_id, AVG(n) AS mu, STDDEV_SAMP(n) AS sigma,
+                     COUNT(*) AS n_hours
+              FROM hourly GROUP BY user_id)
+    SELECT h.user_id, h.hour, h.n,
+           ROUND((h.n - s.mu) / s.sigma, 6) AS zscore,
+           (ABS((h.n - s.mu) / s.sigma) > 2.0) AS is_anomaly
+    FROM hourly h JOIN stats s ON h.user_id = s.user_id
+    WHERE s.n_hours >= 3 AND s.sigma > 0
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: per-entity hourly event counts scored
+    against that entity's own mean/stddev; |z| > 2 flags the hour. Two
+    aggregations and a join, all keyed on user_id (one partitioning
+    end-to-end); entities with degenerate baselines (<3 hours or zero
+    variance) are excluded in both engines. This is the batch shape of
+    the reference's progress-monitoring SLO (stream_processor.py:131-144)
+    turned into a per-entity statistical gate."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 29 == 0)
+    hourly = (
+        e.select("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .groupBy("user_id", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = hourly.groupBy("user_id").agg(
+        F.avg("n").alias("mu"),
+        F.stddev_samp("n").alias("sigma"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(stats, "user_id")
+        .filter((F.col("n_hours") >= 3) & (F.col("sigma") > 0))
+        .select(
+            "user_id",
+            "hour",
+            "n",
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+    )
