@@ -1,0 +1,324 @@
+"""Modern-SQL pack: the Spark 4 surface a DuckDB-shell user of the
+reference would expect when moving their ad-hoc query layer
+(reference `src/duckdb/.duckdbrc:19-26` delegates ALL querying to a
+DuckDB shell) onto the engine itself.
+
+Everything here is a Spark 4.x built-in — no UDFs, no driver loops —
+so each query stays inside Catalyst/whole-stage-codegen and scales by
+partitioning like any other relational plan:
+
+- VARIANT (`parse_json`/`variant_get`): binary semi-structured
+  encoding; typed-path extraction is evaluated columnar-side, unlike
+  string re-parsing per row.
+- Recursive CTEs (`WITH RECURSIVE`, Spark 4.0+): iterative plans
+  expressed declaratively; each recursion step is a distributed join.
+- SQL pipe syntax (`|>`): same logical plan as nested SQL, linear
+  notation.
+- `listagg ... WITHIN GROUP` ordered string aggregation.
+- `approx_top_k`: sketch-based heavy hitters (mergeable across
+  partitions -> one shuffle of sketch bytes, not raw rows).
+- Theta sketches: mergeable distinct-count sketches that, unlike HLL,
+  support INTERSECTION/DIFFERENCE set algebra — at 100 TB, audience
+  overlap is computed from KB-sized sketches instead of a
+  multi-terabyte distinct join.
+- `from_xml`: schema-bound XML record parsing (the XML sibling of the
+  reference's `from_json` ingest at `src/consumer/batch_parsers.py:134-141`).
+- SQL scalar UDFs (`CREATE FUNCTION ... RETURN expr`): reusable logic
+  that Catalyst INLINES into the calling plan (still codegen'd; not a
+  black-box Python UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "scalar_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                                          AS n,
+           SUM(k_val)                                        AS sum_k,
+           MIN(k_val)                                        AS min_k,
+           MAX(k_val)                                        AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+          FROM events)
+    WHERE k_val IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion of the `events.props` JSON payload: parse once
+    into the binary variant encoding, then typed-path extraction with
+    `variant_get`. At scale this replaces per-query string re-parsing —
+    variant decode is a columnar kernel, and the extraction result is a
+    plain BIGINT column the optimizer can push around. Integer SUM, so
+    no float-order concern in the oracle hash."""
+    e = table(spark, sf_dir, "events")
+    k = e.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
+    )
+    return (
+        k.filter(F.col("k_val").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k_val").alias("sum_k"),
+            F.min("k_val").alias("min_k"),
+            F.max("k_val").alias("max_k"),
+        )
+    )
+
+
+_REACH_SQL = """
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM {lineitem} l
+        JOIN {orders}   o ON l.l_orderkey = o.o_orderkey
+        JOIN {customer} c ON o.o_custkey  = c.c_custkey
+        JOIN {supplier} s ON l.l_suppkey  = s.s_suppkey
+        WHERE c.c_nationkey < s.s_nationkey
+    ),
+    reach(dst, hops) AS (
+        SELECT dst, 1 FROM edges WHERE src = 0
+        UNION ALL
+        SELECT e.dst, r.hops + 1
+        FROM reach r JOIN edges e ON e.src = r.dst
+        WHERE r.hops < 3
+    )
+    SELECT dst AS nationkey, MIN(hops) AS min_hops
+    FROM reach
+    GROUP BY dst
+"""
+
+
+@query(
+    "recursive_cte_reachability",
+    oracle=_REACH_SQL.format(
+        lineitem="lineitem", orders="orders", customer="customer", supplier="supplier"
+    ),
+)
+def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.0+): shortest hop count from nation 0 over
+    the directed (src < dst, hence acyclic) trade graph derived from
+    lineitem⋈orders⋈customer⋈supplier, bounded at 3 hops. The recursion
+    is declared in SQL — each step is a distributed hash join against the
+    (tiny, reusable) edge table, the same frontier-expansion plan our
+    hand-rolled connected-components loop builds imperatively
+    (operators/graph.py). The MIN/GROUP BY collapse makes the result
+    path-order independent, so it is exactly oracle-able."""
+    return spark.sql(
+        _REACH_SQL.format(
+            lineitem=f"parquet.`{sf_dir}/lineitem.parquet`",
+            orders=f"parquet.`{sf_dir}/orders.parquet`",
+            customer=f"parquet.`{sf_dir}/customer.parquet`",
+            supplier=f"parquet.`{sf_dir}/supplier.parquet`",
+        )
+    )
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*)                                AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`listagg ... WITHIN GROUP (ORDER BY ...)` (Spark 4.0+): ordered
+    string aggregation — deterministic (hash-stable) because the in-group
+    order is total. The WITHIN GROUP sort is per-group, after the hash
+    aggregate's shuffle, so it scales with group size, not table size."""
+    return spark.sql(
+        f"""
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               COUNT(*)                                            AS n_nations
+        FROM parquet.`{sf_dir}/nation.parquet`
+        JOIN parquet.`{sf_dir}/region.parquet` ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+
+
+@query(
+    "pipe_syntax_revenue",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0+): the same scan->filter->extend->
+    aggregate->sort logical plan as nested SQL, written as a linear
+    pipeline. Catalyst output is identical — filters still push to the
+    parquet scan — so this is purely a query-surface feature. Sum rides
+    the house DECIMAL(38,6) policy for order-independent hashes."""
+    return spark.sql(
+        f"""
+        FROM parquet.`{sf_dir}/lineitem.parquet`
+        |> WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |> EXTEND CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS rev
+        |> AGGREGATE CAST(SUM(rev) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+           GROUP BY l_linestatus
+        |> ORDER BY l_linestatus
+        """
+    )
+
+
+@query(
+    "approx_topk_event_types",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, event_type
+    """,
+)
+def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`approx_top_k` heavy-hitters sketch, exploded to rows. The sketch
+    is mergeable: each partition ships a bounded-size summary instead of
+    raw rows, so at 100 TB the shuffle is KBs per partition. Exactly
+    oracle-able HERE because the domain (5 event types) is far below the
+    sketch width (10 000) — the sketch degenerates to exact counts; on a
+    real heavy-hitters domain this would be a rows-only entry."""
+    e = table(spark, sf_dir, "events")
+    topk = e.agg(F.expr("approx_top_k(event_type, 10)").alias("tk"))
+    return (
+        topk.select(F.explode("tk").alias("t"))
+        .select(
+            F.col("t.item").alias("event_type"),
+            F.col("t.count").alias("cnt"),
+        )
+        .orderBy(F.desc("cnt"), "event_type")
+    )
+
+
+@query("sketch_theta_distinct", oracle=None)  # sketch estimates are impl-specific -> rows-only
+def sketch_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Spark 4.1 DataSketches bindings): per-event-type
+    distinct-user sketches, merged two ways — UNION across all types
+    (the mergeable-rollup path, same topology as our HLL query) and
+    INTERSECTION of 'view' and 'purchase' audiences. Intersection is the
+    theta feature HLL lacks: audience overlap at 100 TB from KB-size
+    sketches, no distinct-join of raw ids. Estimates are
+    implementation-defined -> rows-only; tests/test_modern_sql.py bounds
+    them against exact cardinalities."""
+    e = table(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    sk = sk.persist()
+    per_type = sk.select(
+        "event_type", F.expr("theta_sketch_estimate(sk)").alias("approx_users")
+    )
+    union_all = sk.agg(F.expr("theta_union_agg(sk)").alias("u")).select(
+        F.lit("__union_all__").alias("event_type"),
+        F.expr("theta_sketch_estimate(u)").alias("approx_users"),
+    )
+    overlap = (
+        sk.filter(F.col("event_type") == "view")
+        .crossJoin(
+            sk.filter(F.col("event_type") == "purchase").select(
+                F.col("sk").alias("sk2")
+            )
+        )
+        .select(
+            F.lit("__view_and_purchase__").alias("event_type"),
+            F.expr("theta_sketch_estimate(theta_intersection(sk, sk2))").alias(
+                "approx_users"
+            ),
+        )
+    )
+    return per_type.unionAll(union_all).unionAll(overlap)
+
+
+@query(
+    "scalar_xml_roundtrip",
+    oracle="""
+    SELECT doc_id, lang AS xml_lang, source AS xml_source, n_chars AS xml_n_chars
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def scalar_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-bound XML parsing (`from_xml`, built-in since Spark 4.0) —
+    the XML sibling of the reference's JSON ingest contract
+    (`src/consumer/batch_parsers.py:134-141`: declared schema, permissive
+    nulls on mismatch). Documents are serialized to XML records from
+    XML-safe columns and parsed back; the oracle checks the roundtrip
+    against the base columns directly."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    xml = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<doc><lang>"),
+            "lang",
+            F.lit("</lang><source>"),
+            "source",
+            F.lit("</source><n>"),
+            F.col("n_chars").cast("string"),
+            F.lit("</n></doc>"),
+        ).alias("xml"),
+    )
+    parsed = xml.select(
+        "doc_id",
+        F.from_xml("xml", "lang STRING, source STRING, n BIGINT").alias("p"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("p.lang").alias("xml_lang"),
+        F.col("p.source").alias("xml_source"),
+        F.col("p.n").alias("xml_n_chars"),
+    )
+
+
+@query(
+    "sql_udf_net_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sql_udf_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (`CREATE FUNCTION ... RETURN expr`, Spark 3.5+/4.x):
+    reusable business logic that Catalyst INLINES into the calling plan —
+    the aggregate below compiles to the same whole-stage-codegen as the
+    hand-expanded expression (no serialization wall, unlike a Python
+    UDF). The right tool for shared expression libraries at scale."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_revenue(ext DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS DOUBLE
+        RETURN ext * (1 - disc) * (1 + tax)
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(net_revenue(l_extendedprice, l_discount, l_tax)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue,
+               COUNT(*) AS n_items
+        FROM parquet.`{sf_dir}/lineitem.parquet`
+        GROUP BY l_returnflag
+        """
+    )

@@ -57,6 +57,7 @@ def all_queries() -> dict[str, QueryDef]:
         graph,
         ingestion,
         joins,
+        modern_sql,
         multimodal,
         scalar_extra,
         scalar_fns,
