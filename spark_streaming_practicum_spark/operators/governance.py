@@ -1,0 +1,229 @@
+"""Data-governance pack: the operators that keep a 100 TB lakehouse
+trustworthy — change-data capture between table snapshots, one-pass
+column profiling, and Deequ-style expectation checks.
+
+The reference defers all of this ("Silver layer" quality work,
+`README.md:58-72`) and its observability is two `count()` actions per
+micro-batch (`src/consumer/stream_processor.py:118-122`). Here each
+concern is a declarative DataFrame plan:
+
+- CDC diff: one co-partitioned FULL OUTER JOIN — at scale, snapshots
+  of the same table share bucketing, so this is a zero-shuffle
+  sort-merge join, not a table-squared comparison.
+- Profiling: ALL per-column stats in a single scan (one multi-distinct
+  hash aggregate) — never one job per column.
+- Expectations: a single global aggregate evaluating every rule at
+  once; the same expressions can ride `df.observe()` on a streaming
+  query for zero-extra-job enforcement (tests/test_bucketing_observe.py
+  shows the observe path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+# Deterministic "two snapshots of the same table" derivation, shared by
+# the Spark plan and the DuckDB oracle: the old snapshot is orders minus
+# every 10th key; the new snapshot drops every 7th key and re-prices
+# every 3rd. Integer arithmetic only -> bit-identical across engines.
+_OLD_PRED = "o_orderkey % 10 <> 0"
+_NEW_PRED = "o_orderkey % 7 <> 0"
+_NEW_PRICE = "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END"
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH old_snap AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE {_OLD_PRED}
+    ),
+    new_snap AS (
+        SELECT o_orderkey, {_NEW_PRICE} AS o_totalprice
+        FROM orders WHERE {_NEW_PRED}
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END               AS change_type,
+           o.o_totalprice                       AS old_price,
+           n.o_totalprice                       AS new_price
+    FROM old_snap o
+    FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL
+       OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data capture by snapshot diff: FULL OUTER JOIN two
+    versions of a table on the primary key, classify each key as
+    insert / delete / update (value drift), drop unchanged rows. This
+    is the batch CDC primitive behind incremental downstream refresh
+    when the source has no change log. One shuffle per side on the
+    join key; with both snapshots bucketed by key (the layout
+    tests/test_bucketing_observe.py proves) it is zero-shuffle."""
+    o = table(spark, sf_dir, "orders")
+    old_snap = o.filter(F.expr(_OLD_PRED)).select("o_orderkey", "o_totalprice")
+    new_snap = (
+        o.filter(F.expr(_NEW_PRED))
+        .select("o_orderkey", F.expr(_NEW_PRICE).alias("o_totalprice"))
+    )
+    j = old_snap.alias("o").join(
+        new_snap.alias("n"), F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    return (
+        j.select(
+            F.coalesce("o.o_orderkey", "n.o_orderkey").alias("o_orderkey"),
+            F.when(F.col("o.o_orderkey").isNull(), "insert")
+            .when(F.col("n.o_orderkey").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            F.col("o.o_totalprice").alias("old_price"),
+            F.col("n.o_totalprice").alias("new_price"),
+        )
+        .filter(
+            F.col("old_price").isNull()
+            | F.col("new_price").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+    )
+
+
+# Columns profiled (numeric, so min/max stay typed and float-tolerant
+# in the compare instead of string-formatted, which differs by engine).
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey")
+
+
+@query(
+    "profile_table_stats",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}'                            AS column_name,
+               COUNT(*) - COUNT({c})            AS n_nulls,
+               COUNT(DISTINCT {c})              AS n_distinct,
+               CAST(MIN({c}) AS DOUBLE)         AS min_val,
+               CAST(MAX({c}) AS DOUBLE)         AS max_val
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler: nulls / exact distinct / min / max for
+    every profiled column in a SINGLE aggregate over a single scan
+    (Catalyst plans the multi-distinct via Expand), then unpivoted to
+    one row per column. The naive per-column loop is N full scans; this
+    is one — the difference between a profiling job that reads 100 TB
+    once and one that reads it five times. (The oracle is the readable
+    per-column UNION ALL; DuckDB scans a view per branch.)"""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"{c}__nulls").alias("n_nulls"),
+                        F.col(f"{c}__distinct").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_val"),
+                        F.col(f"{c}__max").alias("max_val"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*")
+
+
+@query(
+    "dq_expectation_checks",
+    oracle="""
+    WITH m AS (
+        SELECT COUNT(*)                                          AS n_rows,
+               COUNT(l_orderkey)                                 AS n_orderkey,
+               COUNT(DISTINCT (l_orderkey, l_linenumber))        AS n_pk,
+               MIN(l_discount)                                   AS min_disc,
+               MAX(l_discount)                                   AS max_disc,
+               MIN(l_quantity)                                   AS min_qty,
+               SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS bad_flags
+        FROM lineitem
+    )
+    SELECT check_name, passed, actual FROM (
+        SELECT 'completeness_l_orderkey' AS check_name,
+               n_orderkey = n_rows AS passed,
+               CAST(n_orderkey AS DOUBLE) / n_rows AS actual FROM m
+        UNION ALL
+        SELECT 'pk_uniqueness', n_pk = n_rows, CAST(n_pk AS DOUBLE) / n_rows FROM m
+        UNION ALL
+        SELECT 'discount_range_0_to_0.1',
+               min_disc >= 0 AND max_disc <= 0.1, max_disc FROM m
+        UNION ALL
+        SELECT 'quantity_positive', min_qty > 0, min_qty FROM m
+        UNION ALL
+        SELECT 'returnflag_domain', bad_flags = 0, CAST(bad_flags AS DOUBLE) FROM m)
+    """,
+)
+def dq_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality suite: every expectation (completeness,
+    PK uniqueness, value ranges, domain membership) evaluated in ONE
+    global aggregate over one scan, emitted as (check, passed, actual)
+    rows. The identical expressions can be attached to a streaming
+    write via `df.observe()` so enforcement costs zero extra jobs."""
+    li = table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_orderkey").alias("n_orderkey"),
+        F.count_distinct(F.struct("l_orderkey", "l_linenumber")).alias("n_pk"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_discount").alias("max_disc"),
+        F.min("l_quantity").alias("min_qty"),
+        F.sum(
+            F.when(F.col("l_returnflag").isin("A", "N", "R"), 0).otherwise(1)
+        ).alias("bad_flags"),
+    )
+    checks = m.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("completeness_l_orderkey").alias("check_name"),
+                    (F.col("n_orderkey") == F.col("n_rows")).alias("passed"),
+                    (F.col("n_orderkey").cast("double") / F.col("n_rows")).alias("actual"),
+                ),
+                F.struct(
+                    F.lit("pk_uniqueness").alias("check_name"),
+                    (F.col("n_pk") == F.col("n_rows")).alias("passed"),
+                    (F.col("n_pk").cast("double") / F.col("n_rows")).alias("actual"),
+                ),
+                F.struct(
+                    F.lit("discount_range_0_to_0.1").alias("check_name"),
+                    ((F.col("min_disc") >= 0) & (F.col("max_disc") <= 0.1)).alias("passed"),
+                    F.col("max_disc").alias("actual"),
+                ),
+                F.struct(
+                    F.lit("quantity_positive").alias("check_name"),
+                    (F.col("min_qty") > 0).alias("passed"),
+                    F.col("min_qty").alias("actual"),
+                ),
+                F.struct(
+                    F.lit("returnflag_domain").alias("check_name"),
+                    (F.col("bad_flags") == 0).alias("passed"),
+                    F.col("bad_flags").cast("double").alias("actual"),
+                ),
+            )
+        ).alias("c")
+    )
+    return checks.select("c.*")
