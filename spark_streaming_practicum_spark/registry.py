@@ -65,6 +65,7 @@ def all_queries() -> dict[str, QueryDef]:
         setops,
         similarity,
         sort_topk,
+        spatial,
         stateful_stream,
         streaming_equiv,
         text,
