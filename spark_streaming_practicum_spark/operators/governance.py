@@ -93,6 +93,80 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_agg_refresh",
+    oracle=f"""
+    WITH new_snap AS (
+        SELECT o_orderpriority, {_NEW_PRICE} AS o_totalprice
+        FROM orders WHERE {_NEW_PRED}
+    )
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+           COUNT(*) AS n_orders
+    FROM new_snap
+    GROUP BY o_orderpriority
+    """,
+)
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view delta maintenance: refresh a grouped aggregate
+    by applying ONLY the CDC delta (insert/update/delete contributions)
+    to the previous aggregate state — never rescanning the full new
+    snapshot. The oracle recomputes the aggregate from scratch on the
+    new snapshot, so the test proves incremental == full recompute.
+    Accumulation stays in DECIMAL(38,6) end-to-end, so the delta path is
+    EXACTLY equal to the recompute, not approximately. At 100 TB this is
+    the difference between reprocessing a table and reprocessing a day's
+    changes; the delta agg shuffles only changed keys."""
+    o = table(spark, sf_dir, "orders")
+    dec = "decimal(38,6)"
+    old_snap = o.filter(F.expr(_OLD_PRED)).select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").cast(dec).alias("price")
+    )
+    new_snap = o.filter(F.expr(_NEW_PRED)).select(
+        "o_orderkey", "o_orderpriority", F.expr(_NEW_PRICE).cast(dec).alias("price")
+    )
+    # Previous MV state (in real life: the stored aggregate, not a scan).
+    old_agg = old_snap.groupBy("o_orderpriority").agg(
+        F.sum("price").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    # CDC delta -> per-group (sum, count) contributions.
+    j = old_snap.alias("o").join(
+        new_snap.alias("n"), F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    delta = j.select(
+        F.coalesce("o.o_orderpriority", "n.o_orderpriority").alias("o_orderpriority"),
+        (
+            F.coalesce(F.col("n.price"), F.lit(0).cast(dec))
+            - F.coalesce(F.col("o.price"), F.lit(0).cast(dec))
+        ).alias("d_sum"),
+        F.when(F.col("o.o_orderkey").isNull(), F.lit(1))
+        .when(F.col("n.o_orderkey").isNull(), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("d_n"),
+    ).filter((F.col("d_sum") != 0) | (F.col("d_n") != 0))
+    delta_agg = delta.groupBy("o_orderpriority").agg(
+        F.sum("d_sum").alias("ds"), F.sum("d_n").alias("dn")
+    )
+    refreshed = (
+        old_agg.alias("a")
+        .join(delta_agg.alias("d"), "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce(F.col("s"), F.lit(0).cast(dec))
+                + F.coalesce(F.col("ds"), F.lit(0).cast(dec))
+            )
+            .cast("double")
+            .alias("total_price"),
+            (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias(
+                "n_orders"
+            ),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return refreshed
+
+
 # Columns profiled (numeric, so min/max stay typed and float-tolerant
 # in the compare instead of string-formatted, which differs by engine).
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey")

@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QueryDef]:
         graph,
         ingestion,
         joins,
+        ml,
         modern_sql,
         multimodal,
         scalar_extra,
