@@ -54,6 +54,9 @@ HEADLINE = [
     "dedup_crossdoc_ngram_coverage",
     "graph_pagerank_trade",
     "ts_interpolate_linear",
+    "cdc_snapshot_diff",
+    "geo_grid_knn_join",
+    "kmeans_lloyd_assignments",
 ]
 
 
