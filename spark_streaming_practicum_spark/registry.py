@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QueryDef]:
         analytics,
         curation,
         dedup,
+        features,
         governance,
         graph,
         ingestion,
