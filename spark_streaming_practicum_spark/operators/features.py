@@ -99,6 +99,43 @@ def pit_join_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pareto_frontier_price_date",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               MAX(o_totalprice)         AS day_max_price
+        FROM orders
+        GROUP BY CAST(o_orderdate AS DATE)
+    )
+    SELECT d.day, d.day_max_price
+    FROM daily d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM daily d2
+        WHERE d2.day < d.day AND d2.day_max_price >= d.day_max_price)
+    """,
+)
+def pareto_frontier_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) over (order day, max price): the days
+    that set a new all-time price record. The oracle states the textbook
+    quadratic NOT-EXISTS dominance check; the Spark plan is the
+    O(n log n) single-pass equivalent — sort by day, running max over
+    the strict past, keep rows that beat it. For 2-D skylines the
+    running-extreme pass is the standard distributed rewrite (sort is
+    a range partition, the window a sorted scan); the quadratic
+    formulation would be a self-join explosion at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.max("o_totalprice").alias("day_max_price")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        daily.withColumn("prev_max", F.max("day_max_price").over(w))
+        .filter(F.col("prev_max").isNull() | (F.col("day_max_price") > F.col("prev_max")))
+        .select("day", "day_max_price")
+    )
+
+
 def _zorder_expr(a: str, b: str, bits: int = 16) -> str:
     """Bit-interleave expression text, valid in both Spark SQL and DuckDB:
     z = .. b1 a1 b0 a0 (a gets even bit positions)."""
