@@ -337,3 +337,30 @@ def scalar_posexplode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.col("text"), r"\s+")),
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), F.col("col").alias("word"))
+
+
+@query(
+    "agg_regression_price_qty",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           regr_count(l_extendedprice, l_quantity)               AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope/intercept/r2/count,
+    Spark 3.4+): price-vs-quantity fit per return flag, computed as
+    one-pass moment sums inside the hash aggregate — the same
+    partial/final merge as any sum, so it distributes like COUNT.
+    Rounded at 6 (irrational ratios) like the other statistical aggs."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
