@@ -1,0 +1,204 @@
+"""Web-corpus curation operators: URL parsing, per-domain quotas, vocab coverage.
+
+Large-scale web-text pipelines (C4, RefinedWeb, Dolma) all share three
+front-door steps that operate on the *provenance* of a document rather
+than its content:
+
+1. **URL normalization/parsing** — split a crawl URL into host / path /
+   query components so later stages can filter by domain, dedupe by
+   canonical path, or bucket by TLD. Spark's ``parse_url`` is a codegen'd
+   JVM expression, so this stays in whole-stage codegen at any scale.
+2. **Per-domain quota sampling** — RefinedWeb-style anti-bias control:
+   no single domain may contribute more than N documents. The scalable
+   formulation is a *deterministic priority* per document plus a ranking
+   window partitioned by domain: one shuffle on the domain key, no
+   global sort, no collect. (On skewed corpora the same priority column
+   supports threshold sampling: compute the per-domain Nth-smallest
+   priority with ``percentile_approx`` and filter, which removes the
+   window entirely — both shapes shuffle only (domain, priority) pairs.)
+3. **Vocabulary coverage / OOV rate** — given a top-K corpus vocabulary
+   (the zeroth step of tokenizer training), measure what fraction of
+   each document's tokens fall outside it. High OOV → boilerplate,
+   non-linguistic noise, or language-ID misses. Two aggregates over one
+   tokenized intermediate; the vocab (K rows) broadcasts.
+
+The reference has no web-curation surface (it stops at bronze ingest,
+/root/reference/README.md:58-72); these are north-star extension
+operators over the ``documents`` table. The testdata has no URL column,
+so a deterministic crawl URL is synthesized from (source, lang, doc_id)
+— the *parsing* is the operator under test, and the oracle rebuilds the
+same components with portable string functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+# Knuth multiplicative-hash constants: portable integer arithmetic that
+# both engines evaluate identically (unlike xxhash64, which DuckDB lacks).
+_PRIORITY_SQL = "(doc_id * 2654435761) % 1000003"
+_QUOTA = 10
+
+
+def _with_url(d: DataFrame) -> DataFrame:
+    return d.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("lang"),
+            F.lit("/doc/"),
+            F.col("doc_id"),
+            F.lit("?ref=r"),
+            F.col("doc_id") % 7,
+        ),
+    )
+
+
+@query(
+    "url_parse_host_stats",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, n_chars,
+               source || '.example.com' AS host,
+               '/' || lang || '/doc/' || doc_id AS path,
+               'r' || (doc_id % 7) AS ref
+        FROM documents)
+    SELECT host, ref,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT path) AS n_paths,
+           SUM(n_chars) AS total_chars
+    FROM u
+    GROUP BY host, ref
+    ORDER BY host, ref
+    """,
+)
+def url_parse_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier stats keyed by (host, query-param bucket).
+
+    ``parse_url`` extracts HOST / PATH / QUERY:ref as codegen'd JVM
+    expressions — no UDF, no regex in the hot path. The aggregate is a
+    plain two-phase hash agg on a low-cardinality key; at 100 TB the
+    map-side partials reduce each (host, ref) group to one row per task
+    before the shuffle."""
+    d = _with_url(table(spark, sf_dir, "documents"))
+    parsed = d.select(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        "n_chars",
+    )
+    return (
+        parsed.groupBy("host", "ref")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("path").alias("n_paths"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("host", "ref")
+    )
+
+
+@query(
+    "domain_quota_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {_PRIORITY_SQL}, doc_id) AS rk
+        FROM documents)
+    SELECT source, doc_id, lang, rk
+    FROM ranked
+    WHERE rk <= {_QUOTA}
+    ORDER BY source, rk
+    """,
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document quota (max {N} docs/domain), deterministic.
+
+    The priority is a multiplicative hash of doc_id — stable across
+    runs, engines, and partitionings, so the sample is reproducible
+    (unlike ``rand()``-based sampling). One shuffle on the domain key;
+    the ranking window never materializes more than a task's rows."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.expr(_PRIORITY_SQL), F.col("doc_id"))
+    return (
+        d.select("source", "doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _QUOTA)
+        .orderBy("source", "rk")
+    )
+
+
+@query(
+    "vocab_oov_rate",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    vocab AS (
+        SELECT token FROM tok
+        GROUP BY token
+        ORDER BY COUNT(*) DESC, token ASC
+        LIMIT 50),
+    per_doc AS (
+        SELECT t.doc_id, t.lang,
+               COUNT(*) AS n_tokens,
+               SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM tok t LEFT JOIN vocab v USING (token)
+        GROUP BY t.doc_id, t.lang)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(n_oov AS DOUBLE) / n_tokens), 6) AS avg_oov_rate,
+           ROUND(SUM(CAST(n_oov AS DOUBLE)) / SUM(n_tokens), 6) AS corpus_oov_rate
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against a top-50 corpus vocab.
+
+    Two passes over one tokenized intermediate: (1) global top-K vocab
+    (tiny — broadcast to the null-producing LEFT join), (2) per-doc OOV
+    counts rolled up per language. At 100 TB the vocab stays KB-sized
+    regardless of corpus size, so the join side never shuffles; the
+    per-doc aggregate rides the tokenizer explode's natural partitioning."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(50)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("n_oov").cast("double") / F.col("n_tokens")), 6).alias(
+                "avg_oov_rate"
+            ),
+            F.round(
+                F.sum(F.col("n_oov").cast("double")) / F.sum("n_tokens"), 6
+            ).alias("corpus_oov_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -75,6 +75,7 @@ def all_queries() -> dict[str, QueryDef]:
         tpch_extra,
         training,
         udfs,
+        web_curation,
         windows,
     )
 
