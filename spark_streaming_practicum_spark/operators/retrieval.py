@@ -1,0 +1,106 @@
+"""Lexical retrieval: BM25 scoring over the documents corpus.
+
+The standard first-stage ranker for search and for RAG-style training
+data selection. Everything is relational — no inverted-index service,
+no UDFs:
+
+- tokenize once (``split`` + ``explode``, map-side);
+- per-(doc, term) TF and per-doc length from the same intermediate;
+- document frequencies for the query terms only (a handful of rows →
+  broadcast);
+- the corpus constants (N, avgdl) are one global aggregate row,
+  cross-join-broadcast into the scoring expression.
+
+At 100 TB the only shuffle is the (doc_id, token) TF aggregate, which
+rides the tokenizer's natural partitioning; the query-term DF table and
+the scalar constants stay KB-sized regardless of corpus size. The
+final top-k is a ``TakeOrderedAndProject`` (per-partition heaps, no
+global sort).
+
+The reference has no retrieval surface (it stops at bronze ingest,
+/root/reference/README.md:58-72); this is north-star extension work.
+Okapi BM25 with the standard k1=1.2, b=0.75 and the Robertson-
+Sparck Jones idf with +1 smoothing (Lucene's formulation, always
+positive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+_TERMS = ("table", "spark", "hash")
+_K1 = 1.2
+_B = 0.75
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    consts AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl
+        FROM dl),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tok
+        WHERE token IN {_TERMS!r}
+        GROUP BY doc_id, token),
+    df AS (
+        SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tf GROUP BY token),
+    scored AS (
+        SELECT t.doc_id,
+               SUM(
+                   LN((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * t.tf * ({_K1} + 1.0)
+                   / (t.tf + {_K1} * (1.0 - {_B} + {_B} * l.dl / c.avgdl))
+               ) AS score
+        FROM tf t
+        JOIN df d USING (token)
+        JOIN dl l USING (doc_id)
+        CROSS JOIN consts c
+        GROUP BY t.doc_id)
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 for a fixed conjunctive query.
+
+    One tokenize feeds TF, doc-length, and (via the TF side) DF; the
+    scoring join broadcasts everything except the TF rows themselves."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    consts = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (_K1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

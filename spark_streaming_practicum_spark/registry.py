@@ -62,6 +62,7 @@ def all_queries() -> dict[str, QueryDef]:
         ml,
         modern_sql,
         multimodal,
+        retrieval,
         scalar_extra,
         scalar_fns,
         setops,
