@@ -275,3 +275,70 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("value_interp"),
     )
+
+
+_EWMA_R = 0.8  # 1 - alpha
+
+
+@query(
+    "ts_ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               AVG(value) AS v
+        FROM events GROUP BY 1, 2),
+    idx AS (
+        SELECT event_type, day, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+        FROM daily),
+    cum AS (
+        SELECT event_type, day,
+               SUM(v * POWER({_EWMA_R}, -i)) OVER w AS num,
+               SUM(POWER({_EWMA_R}, -i)) OVER w AS den
+        FROM idx
+        WINDOW w AS (PARTITION BY event_type ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, ROUND(num / den, 6) AS ewma
+    FROM cum
+    ORDER BY event_type, day
+    """,
+)
+def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily event value.
+
+    EWMA looks inherently sequential (y_i = a*x_i + (1-a)*y_{i-1}), but
+    the weight-normalized ("adjust=True") form is a RATIO OF TWO
+    CUMULATIVE SUMS: ewma_i = sum_j x_j r^(i-j) / sum_j r^(i-j)
+    = (sum_j x_j r^(-j)) / (sum_j r^(-j)) — the r^i scale factor
+    cancels, so two running-sum window frames compute the whole series
+    with ONE shuffle on the entity key and no recursion, UDF, or
+    iteration. The r^(-j) terms grow with series length; per-entity
+    day indices keep the exponent bounded (30 here; re-base the index
+    per year-partition if a series spans decades). The same plan runs
+    unchanged as a streaming window over a watermark."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    idx = daily.withColumn(
+        "i",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")) - 1,
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = F.lit(float(_EWMA_R))
+    cum = idx.select(
+        "event_type",
+        "day",
+        F.sum(F.col("v") * F.pow(r, -F.col("i"))).over(w).alias("num"),
+        F.sum(F.pow(r, -F.col("i"))).over(w).alias("den"),
+    )
+    return cum.select(
+        "event_type", "day", F.round(F.col("num") / F.col("den"), 6).alias("ewma")
+    ).orderBy("event_type", "day")
