@@ -324,3 +324,57 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 2.0).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "winsorize_values",
+    oracle="""
+    WITH cuts AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           SUM(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS n_clamped_lo,
+           SUM(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS n_clamped_hi,
+           ROUND(AVG(LEAST(GREATEST(e.value, c.lo), c.hi)), 6) AS winsorized_mean,
+           ROUND(AVG(e.value), 6) AS raw_mean
+    FROM events e JOIN cuts c USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorized mean: clamp values into [p05, p95] before
+    averaging — the standard robust-statistics guard against heavy-tailed
+    metrics (payment amounts, token counts, latencies).
+
+    Two aggregates over the same key: the exact-quantile pass (full sort
+    per group — at 100 TB swap in percentile_approx, whose fixed-size
+    sketch state makes this a single streaming-friendly pass) and the
+    clamped re-aggregate. The cuts table is one row per group →
+    broadcast back; the fact table shuffles once per pass on the same
+    key, and AQE coalesces both to the group cardinality."""
+    e = table(spark, sf_dir, "events")
+    cuts = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias(
+                "n_clamped_lo"
+            ),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias(
+                "n_clamped_hi"
+            ),
+            F.round(F.avg(clamped), 6).alias("winsorized_mean"),
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+        )
+        .orderBy("event_type")
+    )
