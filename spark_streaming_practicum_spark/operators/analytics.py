@@ -378,3 +378,54 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "event_transition_probs",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM trans
+    ORDER BY from_type, to_type
+    """,
+)
+def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams.
+
+    LEAD over (user, time) pairs consecutive events without a self-join
+    — the window rides ONE shuffle on user_id, and the transition count
+    plus the row-normalizing window both group on the tiny (from, to)
+    key space, so everything after the first exchange is
+    broadcast-sized. The classic session-path analysis shape: at 100 TB
+    the only big data movement is the per-user sort, which a bucketed
+    events layout (user_id buckets, ts-sorted) eliminates entirely."""
+    e = table(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(norm), 6).alias("p"),
+    ).orderBy("from_type", "to_type")

@@ -240,3 +240,76 @@ def dedup_crossdoc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(dup * 1.0 / F.count(F.lit(1)), 6).alias("crossdoc_fraction"),
         )
     )
+
+
+@query(
+    "doc_bigram_logprob",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    v AS (SELECT CAST(COUNT(DISTINCT w2) AS DOUBLE) AS vocab FROM bg),
+    scored AS (
+        SELECT b.doc_id,
+               SUM(LN((m.c12 + 1.0) / (u.c1 + v.vocab))) AS lp,
+               COUNT(*) AS n_bigrams
+        FROM bg b
+        JOIN bi m ON b.w1 = m.w1 AND b.w2 = m.w2
+        JOIN uni u ON b.w1 = u.w1
+        CROSS JOIN v
+        GROUP BY b.doc_id)
+    SELECT doc_id, ROUND(lp / n_bigrams, 6) AS avg_logprob
+    FROM scored
+    ORDER BY avg_logprob ASC, doc_id ASC
+    LIMIT 25
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter, fully relational: score each
+    document's average bigram log-probability under a Laplace-smoothed
+    bigram LM trained on the corpus itself, and surface the 25 least
+    probable (most anomalous) documents.
+
+    The relational KenLM move: the "model" is two count tables (unigram
+    contexts, bigrams) produced by the same explode that generates the
+    scoring stream, so training and inference are one job. The bigram
+    table is the only possibly-large join side — it's keyed exactly like
+    the scoring stream (w1, w2), so the join co-partitions with no extra
+    exchange; context counts and the vocab scalar broadcast. At 100 TB
+    you'd prune the LM to counts > 1 (the long tail is where the size
+    is, and smoothing covers it) — the plan shape is unchanged."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    bg = d.select(
+        "doc_id", F.explode(shingles(w, 2)).alias("bigram")
+    ).select(
+        "doc_id",
+        F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
+        F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
+    )
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = bg.agg(F.countDistinct("w2").cast("double").alias("vocab"))
+    scored = (
+        bg.join(bi, ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("vocab")))
+            ).alias("lp"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", F.round(F.col("lp") / F.col("n_bigrams"), 6).alias("avg_logprob")
+        )
+        .orderBy(F.col("avg_logprob").asc(), F.col("doc_id").asc())
+        .limit(25)
+    )

@@ -584,3 +584,59 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("total_tokens"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@query(
+    "fuzzy_join_blocked_levenshtein",
+    oracle="""
+    WITH names AS (
+        SELECT p_name, string_split(p_name, ' ')[2] AS noun, COUNT(*) AS n_parts
+        FROM part GROUP BY p_name),
+    pairs AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name) AS dist,
+               a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        FROM names a
+        JOIN names b
+          ON a.noun = b.noun AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 3)
+    SELECT name_a, name_b, dist, n_parts_a, n_parts_b
+    FROM pairs
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_join_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked edit-distance join over the name
+    DICTIONARY, not the raw rows.
+
+    The two scale tricks that make fuzzy matching feasible at 100 TB:
+    (1) aggregate to distinct names first — the dictionary is orders of
+    magnitude smaller than the fact table and carries the counts along;
+    (2) a blocking key (here the head noun; in production a phonetic
+    key, length bucket, or q-gram prefix) turns the quadratic all-pairs
+    comparison into per-block candidate sets. ``levenshtein`` is a
+    codegen'd JVM expression evaluated only on candidates that survive
+    the equi-join on the block key, and the dictionary side broadcasts."""
+    p = table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts")).withColumn(
+        "noun", F.split(F.col("p_name"), " ").getItem(1)
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        .filter(F.col("dist") <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            "dist",
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+        .orderBy("name_a", "name_b")
+    )
