@@ -48,6 +48,9 @@ HEADLINE = [
     "text_chunk_fixed_tokens",
     "pack_sequences_budget",
     "embedding_quantize_int8",
+    # retrieval / web curation
+    "text_bm25_topk",
+    "domain_quota_sample",
     # capstones
     "dedup_cluster_representatives",
     "asof_join_last_click",

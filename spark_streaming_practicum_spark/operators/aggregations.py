@@ -369,3 +369,44 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "agg_count_distinct_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_count_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) with an explicit two-level salted plan —
+    the skew-buster for a hot group key, result-identical to the plain
+    distinct aggregate (the oracle IS the plain form).
+
+    Level 1 groups by (key, salt(value)) and dedups values inside each
+    of 16 salt shards; level 2 sums the shard cardinalities. A hot key
+    that would hash every distinct value into ONE reducer now spreads
+    across 16, and the salt is derived from the VALUE (hash % 16) so
+    the same value always lands in the same shard — no double counting,
+    exactness preserved. This is what Spark's own
+    spark.sql.optimizer.distinctBeforeIntersect / AQE skew handling
+    can't do for distinct aggregates; at 100 TB it's the difference
+    between one straggler task and an even fan-out."""
+    o = table(spark, sf_dir, "orders")
+    shards = (
+        o.select(
+            "o_orderpriority",
+            "o_custkey",
+            (F.xxhash64(F.col("o_custkey")) % 16).alias("salt"),
+        )
+        .groupBy("o_orderpriority", "salt")
+        .agg(F.countDistinct("o_custkey").alias("shard_n"))
+    )
+    return (
+        shards.groupBy("o_orderpriority")
+        .agg(F.sum("shard_n").cast("long").alias("n_customers"))
+        .orderBy("o_orderpriority")
+    )

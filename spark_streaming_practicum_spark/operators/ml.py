@@ -136,3 +136,87 @@ def kmeans_lloyd_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign1.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"), F.min("vec_id").alias("min_vec_id")
     )
+
+
+@query(
+    "embedding_covariance_topk",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS v
+        FROM embeddings),
+    pairs AS (
+        SELECT a.i AS dim_i, b.i AS dim_j, covar_pop(a.v, b.v) AS cov
+        FROM dims a JOIN dims b
+          ON a.vec_id = b.vec_id AND a.i < b.i
+        GROUP BY a.i, b.i)
+    SELECT CAST(dim_i - 1 AS INT) AS dim_i, CAST(dim_j - 1 AS INT) AS dim_j,
+           ROUND(cov, 9) AS cov
+    FROM pairs
+    ORDER BY ABS(cov) DESC, dim_i ASC, dim_j ASC
+    LIMIT 15
+    """,
+)
+def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 most-covarying embedding-dimension pairs via a partitioned
+    Gram matrix — the treeAggregate pattern that PCA/whitening at 100 TB
+    is built on.
+
+    Each Arrow batch is reduced IN PYTHON to a single d x d partial
+    (X^T X, column sums, count) with one numpy matmul — so the shuffle
+    carries O(partitions * d^2) tiny rows instead of O(n * d^2): the
+    per-row pair explode a pure-SQL formulation needs (and the oracle
+    uses) would be 4096 cells per vector. Partials combine
+    associatively in a JVM hash aggregate; covariance is then
+    Sxy/n - mean_i * mean_j on d^2/2 rows. This is the one family where
+    mapInPandas BEATS built-in operators, because the reduction inside
+    the batch is a BLAS call."""
+    import pandas as pd  # noqa: F401  (pandas ships with the pyspark env)
+
+    e = table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partials(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            g = x.T @ x
+            s = x.sum(axis=0)
+            n = float(len(pdf))
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "sxy": g[iu, ju],
+                    "sx": s[iu],
+                    "sy": s[ju],
+                    "n": np.full(len(iu), n),
+                }
+            )
+
+    partials = e.mapInPandas(
+        gram_partials, schema="i int, j int, sxy double, sx double, sy double, n double"
+    )
+    tot = partials.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("n").alias("n"),
+    )
+    cov = tot.filter(F.col("i") < F.col("j")).select(
+        F.col("i").alias("dim_i"),
+        F.col("j").alias("dim_j"),
+        F.round(
+            F.col("sxy") / F.col("n")
+            - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")),
+            9,
+        ).alias("cov"),
+    )
+    return cov.orderBy(
+        F.abs(F.col("cov")).desc(), F.col("dim_i").asc(), F.col("dim_j").asc()
+    ).limit(15)

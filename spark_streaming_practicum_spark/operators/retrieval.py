@@ -74,33 +74,46 @@ _B = 0.75
     """,
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 documents by BM25 for a fixed conjunctive query.
+    """Top-20 documents by BM25 for a fixed conjunctive query — ONE
+    corpus scan, zero joins.
 
-    One tokenize feeds TF, doc-length, and (via the TF side) DF; the
-    scoring join broadcasts everything except the TF rows themselves."""
+    Because the query terms are known up front, per-term TF becomes
+    conditional aggregation inside the same (doc_id) hash agg that
+    computes document length — so the corpus is tokenized and reduced
+    exactly once. The corpus constants (N, avgdl, per-term DF) are one
+    further global aggregate over that per-doc frame, whose input
+    exchange Catalyst dedups via ReusedExchange; the single constants
+    row then rides a broadcast cross join into the scoring projection,
+    and the top-k is a TakeOrderedAndProject. Adding terms widens the
+    aggregate by two columns per term — the scan count stays 1."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
-    consts = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl"),
+        *[
+            F.sum((F.col("token") == t).cast("double")).alias(f"tf_{i}")
+            for i, t in enumerate(_TERMS)
+        ],
     )
-    tf = (
-        tok.filter(F.col("token").isin(*_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    consts = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+            for i in range(len(_TERMS))
+        ],
     )
-    df = tf.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("double").alias("df")
-    )
-    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    denom = F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
-    contrib = idf * F.col("tf") * (_K1 + 1.0) / denom
+    contribs = []
+    for i in range(len(_TERMS)):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log((F.col("n") - df + 0.5) / (df + 0.5) + 1.0)
+        denom = tf + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+        contribs.append(idf * tf * (_K1 + 1.0) / denom)
+    score = sum(contribs[1:], contribs[0])
     return (
-        tf.join(F.broadcast(df), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(consts))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        per_doc.crossJoin(F.broadcast(consts))
+        .filter(sum([F.col(f"tf_{i}") for i in range(1, len(_TERMS))], F.col("tf_0")) > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )

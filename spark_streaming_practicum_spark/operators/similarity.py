@@ -278,3 +278,88 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe, schema="vec_id bigint, cosine double"
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(TOP_K)
+
+
+_DF_CAP = 40  # drop tokens appearing in more of the corpus than this
+
+
+@query(
+    "sparse_cosine_pairs_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    wv AS (
+        SELECT t.doc_id, t.token,
+               LN(n.n / d.df) AS w
+        FROM tok t JOIN df d USING (token) CROSS JOIN n
+        WHERE d.df <= {_DF_CAP}),
+    nrm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM wv GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+        FROM wv a JOIN wv b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT d.doc_a, d.doc_b,
+           ROUND(d.dot / (x.nrm * y.nrm), 6) AS cosine
+    FROM dots d
+    JOIN nrm x ON d.doc_a = x.doc_id
+    JOIN nrm y ON d.doc_b = y.doc_id
+    ORDER BY cosine DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+)
+def sparse_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar document pairs by idf-weighted sparse cosine,
+    via an inverted-index self-join (no dense vectors, no LSH).
+
+    The scalability lever is the DF CAP: a token held by f documents
+    generates f^2 candidate pairs, so dropping high-df (stopword-like)
+    tokens before the self-join bounds the quadratic blowup — the same
+    move DIMSUM/DISCO make, and those tokens carry ~zero idf weight
+    anyway, so the dropped mass barely moves the scores. After the cap
+    the join is keyed on token (co-partitioned with the weight table's
+    own grouping) and the per-pair partial dot products combine
+    map-side. Norm tables are one row per doc and broadcast-join back
+    onto the top-k heap's input."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).distinct()
+    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    wv = (
+        tok.join(F.broadcast(df.filter(F.col("df") <= _DF_CAP)), "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", F.log(F.col("n") / F.col("df")).alias("w"))
+    )
+    nrm = wv.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = wv.alias("a")
+    b = wv.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    x = nrm.alias("x")
+    y = nrm.alias("y")
+    return (
+        dots.join(F.broadcast(x), F.col("doc_a") == F.col("x.doc_id"))
+        .join(F.broadcast(y), F.col("doc_b") == F.col("y.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("x.nrm") * F.col("y.nrm")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(20)
+    )
