@@ -11,7 +11,7 @@ summation order — no rounding fudge anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -409,4 +409,45 @@ def agg_count_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         shards.groupBy("o_orderpriority")
         .agg(F.sum("shard_n").cast("long").alias("n_customers"))
         .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "histogram_equidepth",
+    oracle="""
+    WITH b AS (
+        SELECT value,
+               NTILE(8) OVER (ORDER BY value, event_id) AS bucket
+        FROM events)
+    SELECT bucket, COUNT(*) AS n,
+           ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+    FROM b GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram: 8 buckets with equal row
+    counts and data-driven boundaries — what optimizers and data
+    profilers store for selectivity estimation on skewed columns, where
+    equi-WIDTH buckets collapse into one hot bin.
+
+    NTILE over a global sort is the exact small-scale form; the ties
+    are made deterministic by the (value, event_id) total order so the
+    oracle comparison is stable. At 100 TB the exact global sort is
+    replaced by percentile_approx boundaries (fixed-size sketch, one
+    pass) + a map-side bucket lookup — same output contract, and the
+    sketch's error bound is the documented trade."""
+    e = table(spark, sf_dir, "events")
+    b = e.select(
+        "value",
+        F.ntile(8).over(Window.orderBy("value", "event_id")).alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
     )

@@ -327,3 +327,102 @@ def ids_contiguous_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(off_df), "pid")
         .select("doc_id", (F.col("off") + F.col("rn") - 1).alias("global_id"))
     )
+
+
+_WRS_A = 1103515245
+_WRS_M = 1000003
+_WRS_K = 25
+
+
+@query(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH pri AS (
+        SELECT doc_id, source, n_chars,
+               POWER(((doc_id * {_WRS_A} + 12345) % {_WRS_M}) / {_WRS_M}.0,
+                     1.0 / n_chars) AS priority
+        FROM documents)
+    SELECT doc_id, source, n_chars, ROUND(priority, 9) AS priority
+    FROM pri
+    ORDER BY priority DESC, doc_id ASC
+    LIMIT {_WRS_K}
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-Res): each row gets priority u^(1/w) for a uniform u and weight w
+    (here: document length), and the global top-k by priority IS a
+    weighted sample — long documents proportionally more likely, yet
+    every row decided independently.
+
+    This is THE distributed weighted sampler: no pass over cumulative
+    weights, no rejection loop — one map-side priority expression and a
+    TakeOrderedAndProject (per-partition heaps of k rows, then a k-row
+    merge on the driver). The uniform comes from a multiplicative hash
+    of the key rather than rand(), making the sample deterministic and
+    engine-portable — the property the oracle check depends on, and the
+    property that makes reruns of a 100 TB sampling job reproducible."""
+    d = table(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * _WRS_A + 12345) % _WRS_M) / float(_WRS_M)
+    pri = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.pow(u, 1.0 / F.col("n_chars")), 9).alias("priority"),
+    )
+    return pri.orderBy(F.col("priority").desc(), F.col("doc_id").asc()).limit(_WRS_K)
+
+
+_RV_SHARDS = 8
+
+
+@query(
+    "rendezvous_shard_assign",
+    oracle=f"""
+    WITH cand AS (
+        SELECT d.doc_id, s.shard,
+               (d.doc_id * 2654435761 + s.shard * 40503) % 999983 AS score
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(0, {_RV_SHARDS - 1})) AS shard) s),
+    best AS (
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, shard ASC) AS rk
+        FROM cand)
+    SELECT shard, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM best WHERE rk = 1
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def rendezvous_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding: each doc scores all
+    8 shards with a portable hash and takes the argmax — the assignment
+    scheme whose property modulo-hashing lacks: removing one shard
+    reassigns ONLY that shard's keys (1/n of data moves, not (n-1)/n).
+
+    Relationally: the shard list is a tiny generated dimension, the
+    cross join is a broadcast replicate (8x map-side, no shuffle), and
+    the argmax is max_by inside a map-side-combining aggregate keyed on
+    doc_id — which collapses back to one row per doc before any
+    exchange. At 100 TB this is a scan-shaped job: per-row arithmetic
+    plus a final roll-up on the 8-row shard key."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    shards = spark.range(_RV_SHARDS).select(F.col("id").cast("int").alias("shard"))
+    score = (F.col("doc_id") * 2654435761 + F.col("shard") * 40503) % 999983
+    best = (
+        d.crossJoin(F.broadcast(shards))
+        .select("doc_id", "shard", score.alias("score"))
+        .groupBy("doc_id")
+        .agg(F.expr("max_by(shard, struct(score, -shard))").alias("shard"))
+    )
+    return (
+        best.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
