@@ -26,14 +26,31 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (session tz is pinned UTC,
+    so the wall clock is unchanged). Parquet writers vary between
+    isAdjustedToUTC true/false across testdata generations; NTZ breaks
+    watermarks (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and would fork the
+    oracle's type expectations, so reads present one type everywhere."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (lazy; schema from parquet footer).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    rejects natively; it is read as nanosecond longs
-    (``spark.sql.legacy.parquet.nanosAsLong``) and floor-converted to a
-    microsecond timestamp — the same truncation DuckDB applies when its
-    TIMESTAMP_NS values surface as microsecond datetimes."""
+    ``events.ts`` has been written as parquet TIMESTAMP(NANOS) in some
+    testdata generations, which Spark rejects natively; it is read as
+    nanosecond longs (``spark.sql.legacy.parquet.nanosAsLong``) and
+    floor-converted to a microsecond timestamp — the same truncation
+    DuckDB applies when its TIMESTAMP_NS values surface as microsecond
+    datetimes. Other generations write TIMESTAMP(MICROS) without the UTC
+    flag; those surface as TIMESTAMP_NTZ and are normalized to TIMESTAMP."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     # Defensive: the driver harness may hand us a session without the UTC
@@ -48,8 +65,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _normalize_timestamps(df)
+    return _normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -69,7 +86,7 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_timestamps(df)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
