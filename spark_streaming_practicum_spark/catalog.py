@@ -76,6 +76,9 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # Same defensive UTC pin as table(): without it, streamed timestamps
+    # would shift by the session tz offset and diverge from batch reads.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema

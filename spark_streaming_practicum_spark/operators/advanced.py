@@ -239,7 +239,7 @@ def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_sorted",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(o_orderkey)) AS orderkeys,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
            COUNT(*) AS n
     FROM orders
     GROUP BY o_custkey
@@ -248,12 +248,16 @@ def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered array aggregation (collect_list is unordered across tasks;
-    array_sort makes it deterministic — required at any scale)."""
+    array_sort makes it deterministic — required at any scale). Emitted
+    as a comma-joined string so the result is hashable by value-based
+    comparison harnesses; the array itself is the pre-join expression."""
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.array_join(
+                F.array_sort(F.collect_list("o_orderkey")).cast("array<string>"), ","
+            ).alias("orderkeys"),
             F.count(F.lit(1)).alias("n"),
         )
         .filter(F.col("n").between(2, 5))

@@ -336,8 +336,8 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type)
     SELECT e.event_type,
            COUNT(*) AS n,
-           SUM(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS n_clamped_lo,
-           SUM(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS n_clamped_hi,
+           CAST(SUM(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+           CAST(SUM(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
            ROUND(AVG(LEAST(GREATEST(e.value, c.lo), c.hi)), 6) AS winsorized_mean,
            ROUND(AVG(e.value), 6) AS raw_mean
     FROM events e JOIN cuts c USING (event_type)

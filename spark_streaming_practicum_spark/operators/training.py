@@ -78,8 +78,8 @@ _RATE_SQL = "CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 50 ELSE 100 END"
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_total,
-           SUM(CASE WHEN {_bucket_sql(_SAMPLE_KEY)} < {_RATE_SQL}
-                    THEN 1 ELSE 0 END) AS n_kept,
+           CAST(SUM(CASE WHEN {_bucket_sql(_SAMPLE_KEY)} < {_RATE_SQL}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            ROUND(SUM(CASE WHEN {_bucket_sql(_SAMPLE_KEY)} < {_RATE_SQL}
                           THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS kept_ratio
     FROM documents
