@@ -60,6 +60,12 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "geo_grid_knn_join",
     "kmeans_lloyd_assignments",
+    # expensive families added round 2 so regressions stay visible
+    "dedup_embedding_cosine",
+    "sparse_cosine_pairs_topk",
+    "fuzzy_join_blocked_levenshtein",
+    "q9_product_profit",
+    "scd2_user_state_history",
 ]
 
 

@@ -225,13 +225,39 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("percentile_approx_sketch", oracle=None)  # sketch-specific -> rows-only
+@query(
+    "percentile_approx_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_median,
+           TRUE AS within_rank_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentile sketch — the 100 TB path (fixed-size state
-    vs. full sort). Accuracy vs. the exact quantile is asserted in tests."""
+    vs. full sort). The sketch value is algorithm-specific, so the oracled
+    output is the INVARIANT: the exact median (computed both engines) plus
+    a boolean asserting the sketch landed inside the exact [p45, p55] rank
+    band — far looser than the sketch's n/accuracy rank guarantee, so
+    stable at every scale factor."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+            F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("p50", 6).alias("exact_median"),
+            F.col("approx_median").between(F.col("p45"), F.col("p55")).alias(
+                "within_rank_band"
+            ),
+        )
     )
 
 
@@ -419,7 +445,17 @@ def _cms_bucket(d: int, key) -> F.Column:
     return F.pmod(F.xxhash64(F.lit(d), key), F.lit(CMS_WIDTH))
 
 
-@query("sketch_count_min", oracle=None)  # sketch estimates -> rows-only
+@query(
+    "sketch_count_min",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_exact,
+           TRUE AS never_undercounts,
+           TRUE AS within_eps_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Count-Min sketch built from DataFrame primitives: every row
     increments one counter per hash row (depth 4 x width 1024, seeded
@@ -427,8 +463,11 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The sketch table is a fixed-size aggregate — the 100 TB shape for
     frequency queries (counter merge is commutative, so partial
-    aggregation works and estimates are deterministic). The CM overcount
-    bound vs exact counts is asserted in unit tests."""
+    aggregation works and estimates are deterministic). The oracled
+    output is the CM INVARIANT pair: estimates never undercount, and the
+    overcount stays within the eps*N sketch bound (booleans certified
+    against the exact per-key counts, which exist here only to ground the
+    check)."""
     e = table(spark, sf_dir, "events")
     increments = e.select(
         F.explode(
@@ -458,10 +497,21 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x"),
     ).select("event_type", "x.d", "x.b")
-    return (
+    estimates = (
         key_buckets.join(counters, ["d", "b"])
         .groupBy("event_type")
         .agg(F.min("c").alias("est_count"))
+    )
+    exact = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    total = e.count()  # scalar N for the eps*N bound (one cheap job)
+    return estimates.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        (F.col("est_count") >= F.col("n_exact")).alias("never_undercounts"),
+        (
+            F.col("est_count") - F.col("n_exact")
+            <= F.greatest(F.lit(8.0), F.lit(float(total) * CMS_DEPTH / CMS_WIDTH))
+        ).alias("within_eps_bound"),
     )
 
 

@@ -112,15 +112,39 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct", oracle=None)  # algorithm-specific -> rows-only
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_exact,
+           TRUE AS within_3rsd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB-scale path where exact
-    distinct would shuffle every key. Rows-only check (estimator differs
-    from DuckDB's)."""
+    distinct would shuffle every key.
+
+    The estimate itself is estimator-specific (Spark HLL++ vs anything
+    else), so the oracled output is the INVARIANT: the exact count plus a
+    boolean asserting the estimate landed within 3x the requested relative
+    standard deviation. The exact side exists only to certify the bound —
+    at 100 TB you'd ship the estimate alone."""
+    approx = F.approx_count_distinct("l_partkey", rsd=0.02)
+    exact = F.countDistinct("l_partkey")
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+        .agg(approx.alias("approx_parts"), exact.alias("n_exact"))
+        .select(
+            "l_returnflag",
+            "n_exact",
+            (
+                F.abs(F.col("approx_parts") - F.col("n_exact"))
+                <= F.greatest(F.lit(3.0), 0.06 * F.col("n_exact"))
+            ).alias("within_3rsd"),
+        )
     )
 
 
@@ -313,7 +337,15 @@ def agg_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_partitioned_merge", oracle=None)  # sketch bytes are impl-specific -> rows-only
+@query(
+    "agg_hll_partitioned_merge",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_bound
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__', COUNT(DISTINCT user_id), TRUE FROM events
+    """,
+)
 def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch architecture (Apache DataSketches HLL, built into
     Spark 3.5+): one compact sketch of distinct users per event_type,
@@ -325,8 +357,10 @@ def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition/group reduces to a few-KB sketch, re-aggregation at any
     grouping level merges sketches instead of re-scanning raw data (the
     exact count_distinct needs a full shuffle of every distinct key per
-    grouping level). Estimates are algorithm-specific, so the driver
-    checks rows-only; the error bound vs the exact count is asserted in
+    grouping level). Estimates are algorithm-specific, so the oracled
+    output is the INVARIANT: exact distinct count plus a boolean
+    asserting the merged-sketch estimate is within 3x the lgK=14 relative
+    error (~0.8%); the raw bound is additionally asserted in
     tests/test_northstar_properties.py."""
     e = table(spark, sf_dir, "events")
     sk = e.groupBy("event_type").agg(
@@ -339,7 +373,23 @@ def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__all__").alias("event_type"),
         F.hll_sketch_estimate("sk").alias("approx_users"),
     )
-    return per_type.unionAll(merged)
+    estimates = per_type.unionAll(merged)
+
+    exact_per_type = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    exact_all = e.agg(F.countDistinct("user_id").alias("n_exact")).select(
+        F.lit("__all__").alias("event_type"), "n_exact"
+    )
+    exact = exact_per_type.unionAll(exact_all)
+    return estimates.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("approx_users") - F.col("n_exact"))
+            <= F.greatest(F.lit(3.0), 0.025 * F.col("n_exact"))
+        ).alias("within_bound"),
+    )
 
 
 @query(

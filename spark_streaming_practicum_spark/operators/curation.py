@@ -42,7 +42,7 @@ _WORDS_SQL = "SELECT doc_id, string_split(text, ' ') AS w FROM documents"
     tok AS (SELECT doc_id, unnest(w) AS word FROM words),
     wc AS (SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY doc_id, word),
     stats AS (SELECT doc_id,
-                     SUM(c) AS n_words,
+                     CAST(SUM(c) AS BIGINT) AS n_words,
                      COUNT(*) AS n_distinct,
                      MAX(c) AS max_wc,
                      ROUND(CAST(SUM(LENGTH(word) * c) AS DOUBLE) / SUM(c), 6)
@@ -109,8 +109,8 @@ def quality_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)),
     cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM sh GROUP BY doc_id, bg)
     SELECT doc_id,
-           SUM(c) AS n_bigrams,
-           SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_repeated,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_repeated,
            ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c), 6)
                AS dup_bigram_fraction
     FROM cnt GROUP BY doc_id
@@ -149,7 +149,7 @@ def repetition_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame
                 WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)")} >= 90)
     SELECT t.doc_id,
            COUNT(*) AS n_ngrams,
-           SUM(CASE WHEN tr.ng IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           CAST(SUM(CASE WHEN tr.ng IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
            ROUND(SUM(CASE WHEN tr.ng IS NOT NULL THEN 1 ELSE 0 END) * 1.0
                  / COUNT(*), 6) AS contamination
     FROM test_sh t LEFT JOIN train_ng tr ON t.ng = tr.ng
@@ -201,7 +201,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docfreq AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY g)
     SELECT doc_id,
            COUNT(*) AS n_ngrams,
-           SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_crossdoc,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossdoc,
            ROUND(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
                AS crossdoc_fraction
     FROM sh JOIN docfreq USING (g)

@@ -389,32 +389,70 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise cosine near-duplicate pairs (threshold 0.45).
+    """Exact pairwise cosine near-duplicate pairs (threshold 0.45),
+    computed as a BLOCKED distributed matrix product.
 
-    Brute-force O(n^2) — correct baseline at this corpus size; the
-    LSH-bucketed variant (sim_ann_lsh_bucketed) is the at-scale path.
-    Norms are precomputed once per side before the join, so the join
-    condition only evaluates the dot product."""
-    from ..functions.vector import dot, l2_norm
+    Exact all-pairs cosine over dense vectors is inherently O(n^2) work —
+    but the naive shape (a nested-loop join evaluating a fold per row
+    pair) serializes that work into its slowest form. Here vectors are
+    hash-assigned to B blocks, the B(B+1)/2 unordered block pairs fan out
+    through a broadcast join (each vector replicated B+1 times), and one
+    numpy GEMM scores each block pair inside applyInPandas (Arrow batch
+    in, vectorized f64 math). Work is embarrassingly parallel across
+    block pairs, memory per task is |block|^2 scores, and the plan
+    contains no BroadcastNestedLoopJoin (asserted in
+    tests/test_physical_plans.py). Sub-quadratic exact pruning does not
+    exist for dense vectors at threshold 0.45; the at-scale recall
+    trade-offs live in sim_ann_lsh_bucketed / sim_ann_ivf."""
+    import numpy as np
+    import pandas as pd
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", l2_norm("embedding").alias("norm")
+    B = 8
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int"))
     )
-    a = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(B) for j in range(i, B)], "ba int, bb int"
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
-    )
-    cos = F.round(dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 4)
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.45)
+    left = e.join(
+        F.broadcast(block_pairs), e.blk == block_pairs.ba, "inner"
+    ).select("ba", "bb", F.lit(0).alias("role"), "vec_id", "emb")
+    right = e.join(
+        F.broadcast(block_pairs), e.blk == block_pairs.bb, "inner"
+    ).select("ba", "bb", F.lit(1).alias("role"), "vec_id", "emb")
+    tagged = left.unionByName(right)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        lhs = pdf[pdf["role"] == 0]
+        rhs = pdf[pdf["role"] == 1]
+        if lhs.empty or rhs.empty:
+            return empty
+        A = np.vstack(lhs["emb"].to_numpy())
+        C = np.vstack(rhs["emb"].to_numpy())
+        na = np.sqrt((A * A).sum(axis=1))
+        nc = np.sqrt((C * C).sum(axis=1))
+        cos = np.round((A @ C.T) / np.outer(na, nc), 4)
+        ia, jb = np.nonzero(cos >= 0.45)
+        if ia.size == 0:
+            return empty
+        va = lhs["vec_id"].to_numpy()[ia]
+        vb = rhs["vec_id"].to_numpy()[jb]
+        cv = cos[ia, jb]
+        if pdf["ba"].iloc[0] == pdf["bb"].iloc[0]:
+            # diagonal block: L and R are the same set; keep each pair once
+            keep = va < vb
+            va, vb, cv = va[keep], vb[keep], cv[keep]
+        else:
+            # off-diagonal: each unordered pair appears exactly once;
+            # canonicalize order (block hash ignores id order)
+            va, vb = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": cv})
+
+    return tagged.groupBy("ba", "bb").applyInPandas(
+        score, "vec_a bigint, vec_b bigint, cosine double"
     )
 
 

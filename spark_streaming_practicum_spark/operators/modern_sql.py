@@ -42,7 +42,7 @@ from ..registry import query
     oracle="""
     SELECT event_type,
            COUNT(*)                                          AS n,
-           SUM(k_val)                                        AS sum_k,
+           CAST(SUM(k_val) AS BIGINT)                        AS sum_k,
            MIN(k_val)                                        AS min_k,
            MAX(k_val)                                        AS max_k
     FROM (SELECT event_type,

@@ -104,11 +104,12 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FEATURE_ORACLE = """
     SELECT doc_id,
-           [CAST(LENGTH(regexp_replace(text, '[^a-m]', '', 'g')) AS BIGINT),
-            CAST(LENGTH(regexp_replace(text, '[^n-z]', '', 'g')) AS BIGINT),
-            CAST(LENGTH(regexp_replace(text, '[^0-9 ]', '', 'g')) AS BIGINT),
-            CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT)]
-               AS byte_histogram,
+           array_to_string(
+               [CAST(LENGTH(regexp_replace(text, '[^a-m]', '', 'g')) AS BIGINT),
+                CAST(LENGTH(regexp_replace(text, '[^n-z]', '', 'g')) AS BIGINT),
+                CAST(LENGTH(regexp_replace(text, '[^0-9 ]', '', 'g')) AS BIGINT),
+                CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT)],
+               ',') AS byte_histogram,
            CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
     FROM documents
     """
@@ -151,11 +152,15 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 sizes.append(len(payload))
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "byte_histogram": feats, "payload_bytes": sizes}
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_histogram": [",".join(map(str, f)) for f in feats],
+                    "payload_bytes": sizes,
+                }
             )
 
     return d.mapInPandas(
-        extract, schema="doc_id bigint, byte_histogram array<bigint>, payload_bytes bigint"
+        extract, schema="doc_id bigint, byte_histogram string, payload_bytes bigint"
     )
 
 
@@ -224,7 +229,7 @@ def mm_feature_extract_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_type = pa.schema(
         [
             ("doc_id", pa.int64()),
-            ("byte_histogram", pa.list_(pa.int64())),
+            ("byte_histogram", pa.string()),
             ("payload_bytes", pa.int64()),
         ]
     )
@@ -238,19 +243,22 @@ def mm_feature_extract_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lower = (b >= ord("a")) & (b <= ord("z"))
                 digit_sp = ((b >= ord("0")) & (b <= ord("9"))) | (b == ord(" "))
                 feats.append(
-                    [
-                        int((lower & (b <= ord("m"))).sum()),
-                        int((lower & (b >= ord("n"))).sum()),
-                        int(digit_sp.sum()),
-                        int((~(lower | digit_sp)).sum()),
-                    ]
+                    ",".join(
+                        str(x)
+                        for x in (
+                            int((lower & (b <= ord("m"))).sum()),
+                            int((lower & (b >= ord("n"))).sum()),
+                            int(digit_sp.sum()),
+                            int((~(lower | digit_sp)).sum()),
+                        )
+                    )
                 )
                 sizes.append(len(b))
             yield pa.RecordBatch.from_arrays(
-                [doc_ids, pa.array(feats, type=pa.list_(pa.int64())), pa.array(sizes, type=pa.int64())],
+                [doc_ids, pa.array(feats, type=pa.string()), pa.array(sizes, type=pa.int64())],
                 schema=out_type,
             )
 
     return d.mapInArrow(
-        extract, schema="doc_id bigint, byte_histogram array<bigint>, payload_bytes bigint"
+        extract, schema="doc_id bigint, byte_histogram string, payload_bytes bigint"
     )

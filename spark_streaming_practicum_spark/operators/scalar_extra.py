@@ -63,7 +63,7 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set_sorted",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
            COUNT(*) AS n
     FROM orders
     GROUP BY o_custkey
@@ -71,12 +71,15 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set made deterministic with array_sort."""
+    """collect_set made deterministic with array_sort (joined to a string
+    so the output is value-hashable by the comparison harness)."""
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+                "statuses"
+            ),
             F.count(F.lit(1)).alias("n"),
         )
         .filter(F.col("n") >= 4)
@@ -114,12 +117,12 @@ def scalar_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_array_setops",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           list_sort(list_distinct(list_intersect(
+           array_to_string(list_sort(list_distinct(list_intersect(
                [l_partkey % 5, l_suppkey % 5, l_linenumber % 5],
-               [l_suppkey % 5, CAST(l_linenumber AS BIGINT)])))       AS inter,
-           list_sort(list_distinct(
+               [l_suppkey % 5, CAST(l_linenumber AS BIGINT)]))), ',') AS inter,
+           array_to_string(list_sort(list_distinct(
                [l_partkey % 5, l_suppkey % 5, l_linenumber % 5] ||
-               [l_suppkey % 5, CAST(l_linenumber AS BIGINT)]))        AS uni,
+               [l_suppkey % 5, CAST(l_linenumber AS BIGINT)])), ',')  AS uni,
            len(list_intersect([l_partkey % 5, l_suppkey % 5],
                               [l_suppkey % 5])) > 0                   AS overlaps
     FROM lineitem
@@ -127,7 +130,8 @@ def scalar_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set operations (intersect/union/overlap), sorted+deduped so
-    both engines' internal orderings cancel out."""
+    both engines' internal orderings cancel out; arrays are emitted as
+    joined strings so the output is value-hashable."""
     li = table(spark, sf_dir, "lineitem")
     a = F.array(
         (F.col("l_partkey") % 5),
@@ -137,11 +141,15 @@ def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.array((F.col("l_suppkey") % 5), F.col("l_linenumber").cast("long"))
     a2 = F.array((F.col("l_partkey") % 5), (F.col("l_suppkey") % 5))
     b2 = F.array((F.col("l_suppkey") % 5))
+
+    def joined(col: F.Column) -> F.Column:
+        return F.array_join(col.cast("array<string>"), ",")
+
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.array_sort(F.array_distinct(F.array_intersect(a, b))).alias("inter"),
-        F.array_sort(F.array_distinct(F.array_union(a, b))).alias("uni"),
+        joined(F.array_sort(F.array_distinct(F.array_intersect(a, b)))).alias("inter"),
+        joined(F.array_sort(F.array_distinct(F.array_union(a, b)))).alias("uni"),
         F.arrays_overlap(a2, b2).alias("overlaps"),
     )
 

@@ -168,20 +168,21 @@ def scalar_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_json_fns",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
-           list_sort(json_keys(props))                       AS prop_keys
+           CAST(json_extract_string(props, '$.k') AS BIGINT)     AS prop_k,
+           array_to_string(list_sort(json_keys(props)), ',')     AS prop_keys
     FROM events
     """,
 )
 def scalar_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the events.props payload (reference parity:
-    from_json usage at /root/reference/src/consumer/batch_parsers.py:135-141)."""
+    from_json usage at /root/reference/src/consumer/batch_parsers.py:135-141).
+    Key list emitted as a joined string so the output is value-hashable."""
     e = table(spark, sf_dir, "events")
     props_map = F.from_json("props", T.MapType(T.StringType(), T.StringType()))
     return e.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
-        F.array_sort(F.map_keys(props_map)).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(props_map)), ",").alias("prop_keys"),
     )
 
 

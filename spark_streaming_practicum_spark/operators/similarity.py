@@ -173,10 +173,10 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vector_normalize",
     oracle="""
     SELECT vec_id,
-           list_transform(embedding,
-               x -> ROUND(CAST(x AS DOUBLE) /
+           array_to_string(list_transform(embedding,
+               x -> printf('%.6f', ROUND(CAST(x AS DOUBLE) /
                     SQRT(list_sum(list_transform(embedding,
-                         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)) AS unit_vec,
+                         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6))), ',') AS unit_vec,
            ROUND(SQRT(list_sum(list_transform(embedding,
                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)          AS norm
     FROM embeddings
@@ -186,14 +186,19 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalize embeddings with higher-order functions — the
     write-once preprocessing step that turns cosine top-k into a pure
-    dot product at query time."""
+    dot product at query time. The unit vector is emitted as a joined
+    string (fixed %.6f formatting — double-to-string casts use different
+    scientific-notation thresholds per engine); the array expression is
+    the pre-join transform."""
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     norm = l2_norm("embedding")
+    unit = F.transform(
+        "embedding",
+        lambda x: F.format_string("%.6f", F.round(x.cast("double") / norm, 6)),
+    )
     return e.select(
         "vec_id",
-        F.transform("embedding", lambda x: F.round(x.cast("double") / norm, 6)).alias(
-            "unit_vec"
-        ),
+        F.array_join(unit, ",").alias("unit_vec"),
         F.round(norm, 6).alias("norm"),
     )
 

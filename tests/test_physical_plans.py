@@ -146,3 +146,11 @@ def test_scd2_windows_share_one_partitioning(spark):
     tree = plan.split("(1) ")[0]  # node tree precedes the details section
     n_exchanges = sum(1 for line in tree.splitlines() if "Exchange" in line)
     assert n_exchanges == 1, tree
+
+
+def test_embedding_cosine_dedup_has_no_nested_loop_join(spark):
+    """Exact all-pairs cosine must run as blocked GEMM (grouped pandas over
+    broadcast-fanned block pairs), never as a BroadcastNestedLoopJoin."""
+    plan = formatted_plan(DEFS["dedup_embedding_cosine"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan

@@ -117,3 +117,38 @@ def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+# --- catalog dtype parity with the DuckDB oracle ---------------------------
+
+_DUCK_TO_SPARK = {
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "VARCHAR": "string",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+    "DATE": "date",
+    "FLOAT[]": "array<float>",
+    "DOUBLE[]": "array<double>",
+}
+
+
+def test_catalog_dtypes_match_duckdb_views(spark, oracle_con):
+    """Every catalog.table() column must surface exactly the dtype the
+    DuckDB oracle sees for the same parquet — any drift (TIMESTAMP_NTZ,
+    DECIMAL, INT96...) forks the two engines' arithmetic/type behavior
+    and shows up later as inscrutable hash mismatches."""
+    from spark_streaming_practicum_spark.catalog import TABLES, table
+
+    from .conftest import SF_DIR
+
+    for t in TABLES:
+        duck = oracle_con.execute(f"DESCRIBE SELECT * FROM {t}").fetchall()
+        spark_types = dict(table(spark, SF_DIR, t).dtypes)
+        for col, ducktype, *_ in duck:
+            expected = _DUCK_TO_SPARK.get(ducktype, ducktype.lower())
+            assert spark_types.get(col) == expected, (
+                f"{t}.{col}: spark={spark_types.get(col)} duckdb={ducktype}"
+            )

@@ -192,3 +192,68 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     df.collect()  # AQE re-plans at runtime; executed plan holds the proof
     final = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "AQEShuffleRead" in final and "coalesced" in final, final[:3000]
+
+
+# --- Iceberg schema-evolution PLANNING (pure, no catalog needed) -----------
+# Exercises the decision logic of reference data_sinks.py:103-125 (A22)
+# without Iceberg runtime JARs, which this sandbox lacks.
+
+from pyspark.sql import types as T  # noqa: E402
+
+from spark_streaming_practicum_spark.streaming.sinks import (  # noqa: E402
+    plan_schema_evolution,
+)
+
+
+def _st(*fields):
+    return T.StructType([T.StructField(n, t) for n, t in fields])
+
+
+def test_evolution_plan_noop_on_identical_schema():
+    s = _st(("id", T.StringType()), ("v", T.LongType()))
+    assert plan_schema_evolution("cat.ns.t", s, s) == []
+
+
+def test_evolution_plan_adds_new_columns_in_batch_order():
+    current = _st(("id", T.StringType()))
+    incoming = _st(
+        ("id", T.StringType()),
+        ("product_id", T.StringType()),
+        ("qty", T.LongType()),
+    )
+    assert plan_schema_evolution("cat.ns.t", current, incoming) == [
+        "ALTER TABLE cat.ns.t ADD COLUMN `product_id` string",
+        "ALTER TABLE cat.ns.t ADD COLUMN `qty` bigint",
+    ]
+
+
+def test_evolution_plan_widens_int_to_long_and_float_to_double():
+    current = _st(("a", T.IntegerType()), ("b", T.FloatType()))
+    incoming = _st(("a", T.LongType()), ("b", T.DoubleType()))
+    assert plan_schema_evolution("t", current, incoming) == [
+        "ALTER TABLE t ALTER COLUMN `a` TYPE bigint",
+        "ALTER TABLE t ALTER COLUMN `b` TYPE double",
+    ]
+
+
+def test_evolution_plan_never_narrows_or_rewrites_incompatible():
+    current = _st(("a", T.LongType()), ("b", T.DoubleType()), ("c", T.StringType()))
+    # narrowing long->int / double->float and string->int must NOT be planned
+    incoming = _st(("a", T.IntegerType()), ("b", T.FloatType()), ("c", T.IntegerType()))
+    assert plan_schema_evolution("t", current, incoming) == []
+
+
+def test_evolution_plan_missing_batch_columns_are_left_alone():
+    # batch missing a table column: no DROP is ever planned (append fills null)
+    current = _st(("id", T.StringType()), ("old_col", T.StringType()))
+    incoming = _st(("id", T.StringType()))
+    assert plan_schema_evolution("t", current, incoming) == []
+
+
+def test_evolution_plan_add_and_widen_combined():
+    current = _st(("id", T.StringType()), ("n", T.IntegerType()))
+    incoming = _st(("id", T.StringType()), ("n", T.LongType()), ("extra", T.DoubleType()))
+    assert plan_schema_evolution("t", current, incoming) == [
+        "ALTER TABLE t ALTER COLUMN `n` TYPE bigint",
+        "ALTER TABLE t ADD COLUMN `extra` double",
+    ]
