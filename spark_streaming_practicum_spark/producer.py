@@ -159,3 +159,54 @@ class StdoutSink:
 
     def write(self, payload: str) -> None:
         print(payload)
+
+
+class S3Sink:
+    """One batch per ``<prefix>/<uuid4>.json`` object (reference S3 sink,
+    producer/data_sinks.py:140-167: boto3 ``upload_fileobj`` of the
+    serialized batch to ``bucket/prefix/uuid.json``).
+
+    The client is injectable: pass any object with
+    ``upload_fileobj(Fileobj=, Bucket=, Key=)`` — a boto3 client in
+    production, a recording stub in tests — so the sink's key naming and
+    payload contract are verified without network access. When ``client``
+    is omitted, a boto3 client is built lazily from the given endpoint and
+    credentials (boto3 is not vendored here; importing it is the caller's
+    environment's concern, mirroring the reference's docker-only S3 path).
+    """
+
+    def __init__(
+        self,
+        bucket: str,
+        prefix: str,
+        client=None,
+        *,
+        endpoint_url: str | None = None,
+        access_key: str | None = None,
+        secret_key: str | None = None,
+        region: str | None = None,
+        seed: int = 45,
+    ):
+        if client is None:
+            import boto3  # gated: absent in the harness sandbox
+
+            client = boto3.client(
+                service_name="s3",
+                region_name=region,
+                endpoint_url=endpoint_url,
+                aws_access_key_id=access_key,
+                aws_secret_access_key=secret_key,
+            )
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self._client = client
+        self._rng = random.Random(seed)
+
+    def write(self, payload: str) -> str:
+        from io import BytesIO
+
+        key = f"{self.prefix}/{_uuid(self._rng)}.json"
+        self._client.upload_fileobj(
+            Fileobj=BytesIO(payload.encode("utf-8")), Bucket=self.bucket, Key=key
+        )
+        return key

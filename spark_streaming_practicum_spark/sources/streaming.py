@@ -23,6 +23,13 @@ def text_file_stream(
     return reader.load(path)
 
 
+def s3a_path(uri: str) -> str:
+    """Rewrite an s3:// URI to the s3a:// scheme Spark's Hadoop connector
+    expects (reference consumer/utilities.py:6-10). Local paths pass
+    through unchanged."""
+    return f"s3a://{uri[len('s3://'):]}" if uri.startswith("s3://") else uri
+
+
 def s3a_conf(endpoint: str, access_key: str, secret_key: str) -> dict[str, str]:
     """Session conf for an S3-compatible store (path-style, reference
     session_builder.py:53-81). Returned as a dict for build_session's

@@ -257,3 +257,62 @@ def test_evolution_plan_add_and_widen_combined():
         "ALTER TABLE t ALTER COLUMN `n` TYPE bigint",
         "ALTER TABLE t ADD COLUMN `extra` double",
     ]
+
+
+# --- S3 surface (A2/A17/A34): conf + key contract, no network needed -------
+
+
+class _RecordingS3Client:
+    """Duck-typed boto3 stand-in capturing upload_fileobj calls."""
+
+    def __init__(self):
+        self.uploads = []
+
+    def upload_fileobj(self, Fileobj, Bucket, Key):  # noqa: N803 (boto3 API)
+        self.uploads.append((Bucket, Key, Fileobj.read()))
+
+
+def test_s3_sink_key_contract_and_payload_roundtrip():
+    from spark_streaming_practicum_spark.producer import S3Sink
+
+    client = _RecordingS3Client()
+    sink = S3Sink("raw-events", "batches/", client=client)
+    keys = [sink.write('[{"id": 1}]'), sink.write('[{"id": 2}]')]
+    assert len(set(keys)) == 2  # uuid per batch, never overwritten
+    for (bucket, key, payload), written in zip(client.uploads, keys):
+        assert bucket == "raw-events"
+        assert key == written
+        assert key.startswith("batches/") and key.endswith(".json")
+    assert client.uploads[0][2] == b'[{"id": 1}]'
+
+
+def test_s3_sink_carries_corrupted_batches_verbatim():
+    """Corruption happens at serialization (reference data_sinks.py:59-64);
+    the S3 writer must ship the truncated bytes untouched."""
+    from spark_streaming_practicum_spark.producer import BatchSerializer, S3Sink
+
+    ser = BatchSerializer(corruption_chance=1.0)
+    payload = ser.serialize([{"id": 1, "name": "x"}] * 4)
+    client = _RecordingS3Client()
+    S3Sink("b", "p", client=client).write(payload)
+    body = client.uploads[0][2].decode()
+    assert body == payload
+    assert not body.endswith("]")  # midpoint truncation preserved
+
+
+def test_s3a_path_rewrite_and_passthrough():
+    from spark_streaming_practicum_spark.sources.streaming import s3a_path
+
+    assert s3a_path("s3://bucket/raw/batches") == "s3a://bucket/raw/batches"
+    assert s3a_path("/local/dir") == "/local/dir"
+    assert s3a_path("s3a://already/fine") == "s3a://already/fine"
+
+
+def test_s3a_conf_covers_endpoint_creds_and_path_style():
+    from spark_streaming_practicum_spark.sources.streaming import s3a_conf
+
+    conf = s3a_conf("http://minio:9000", "ak", "sk")
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://minio:9000"
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "ak"
+    assert conf["spark.hadoop.fs.s3a.secret.key"] == "sk"
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
