@@ -66,6 +66,10 @@ HEADLINE = [
     "fuzzy_join_blocked_levenshtein",
     "q9_product_profit",
     "scd2_user_state_history",
+    # round-2 LLM-pipeline additions
+    "semdedup_cluster_prune",
+    "dsir_importance_weights",
+    "mm_phash_near_dup",
 ]
 
 

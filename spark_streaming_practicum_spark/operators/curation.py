@@ -313,3 +313,88 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_logprob").asc(), F.col("doc_id").asc())
         .limit(25)
     )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+    src AS (SELECT w, COUNT(*) AS cs FROM toks GROUP BY w),
+    tgt AS (SELECT w, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY w),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS ns,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS nt,
+               CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+        FROM toks),
+    scored AS (
+        SELECT t.doc_id, t.lang,
+               COUNT(*) AS n_tokens,
+               SUM(LN((COALESCE(g.ct, 0) + 1.0) / (s.nt + s.v))
+                   - LN((c.cs + 1.0) / (s.ns + s.v))) AS lr
+        FROM toks t
+        JOIN src c ON t.w = c.w
+        LEFT JOIN tgt g ON t.w = g.w
+        CROSS JOIN stats s
+        GROUP BY t.doc_id, t.lang)
+    SELECT doc_id, lang, n_tokens, ROUND(lr / n_tokens, 6) AS avg_log_ratio
+    FROM scored
+    ORDER BY avg_log_ratio DESC, doc_id ASC
+    LIMIT 30
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) data selection via importance resampling:
+    score every document by the average per-token log-ratio of a target-
+    domain language model to the source (whole-corpus) model, and surface
+    the 30 most target-like documents. The target domain here is the
+    English slice — the deterministic stand-in for "high-quality
+    reference corpus" in the paper's recipe.
+
+    Both "models" are Laplace-smoothed unigram count tables produced by
+    the SAME token explode that generates the scoring stream (the
+    relational-KenLM move of doc_bigram_logprob): training and inference
+    are one job. The source table joins co-keyed on the token (no extra
+    exchange after the explode shuffle); the target table and the 3-value
+    stats row broadcast. At 100 TB, DSIR's own trick applies unchanged:
+    replace raw tokens with hashed n-gram buckets (a fixed-width modulo
+    on xxhash64) so the model tables have bounded cardinality."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    src = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("ns"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double").alias("nt"),
+        F.countDistinct("w").cast("double").alias("v"),
+    )
+    log_ratio = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + F.col("v"))
+    ) - F.log((F.col("cs") + 1.0) / (F.col("ns") + F.col("v")))
+    scored = (
+        toks.join(src, "w")
+        .join(F.broadcast(tgt), "w", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(log_ratio).alias("lr"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round(F.col("lr") / F.col("n_tokens"), 6).alias("avg_log_ratio"),
+        )
+        .orderBy(F.col("avg_log_ratio").desc(), F.col("doc_id").asc())
+        .limit(30)
+    )

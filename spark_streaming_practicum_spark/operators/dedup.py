@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions.textfns import shingles, tokens
 from ..registry import query
+from .ml import _ASSIGN_SQL as _KM_ASSIGN_SQL
+from .ml import _UPDATE_SQL as _KM_UPDATE_SQL
 
 # --- exact ---------------------------------------------------------------
 
@@ -677,4 +679,100 @@ def fuzzy_join_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("b.n_parts").alias("n_parts_b"),
         )
         .orderBy("name_a", "name_b")
+    )
+
+
+# --- SemDeDup: semantic dedup via cluster-then-prune -----------------------
+
+
+@query(
+    "semdedup_cluster_prune",
+    oracle=(
+        """
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    cents0 AS (
+        SELECT vec_id AS cluster, e AS cemb FROM vecs WHERE vec_id < 4
+    ),
+    """
+        + _KM_ASSIGN_SQL.format(out="assign0", cents="cents0")
+        + ","
+        + _KM_UPDATE_SQL.format(out="cents1", assigned="assign0")
+        + ","
+        + _KM_ASSIGN_SQL.format(out="assign1", cents="cents1")
+        + """,
+    pruned AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign1 a JOIN assign1 b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         AND ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.45
+    )
+    SELECT s.cluster,
+           COUNT(*) AS n_members,
+           CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pruned,
+           MIN(CASE WHEN p.vec_id IS NULL THEN s.vec_id END) AS min_kept_vec_id
+    FROM assign1 s LEFT JOIN pruned p ON s.vec_id = p.vec_id
+    GROUP BY s.cluster
+    """
+    ),
+)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    clustering the embedding space, then pruning near-duplicate pairs
+    WITHIN each cluster only — the trick that makes semantic dedup
+    feasible at corpus scale, because the quadratic cosine comparison is
+    bounded by cluster size instead of corpus size.
+
+    A vector is pruned when a lower-id member of its cluster sits at
+    cosine >= 0.45 (deterministic keep-lowest-id representative rule).
+    Reuses the relational Lloyd iterations of kmeans_lloyd_assignments
+    (broadcast assignment, O(k*d) shuffle update); the within-cluster
+    pair join shuffles on the cluster key, so at 100 TB the knob is k:
+    more clusters => smaller blocks => less pairwise work, exactly the
+    SemDeDup paper's recipe. Reported per cluster: size, pruned count,
+    smallest kept representative."""
+    from .ml import _assign, _update
+
+    from ..functions.vector import dot, l2_norm
+
+    vecs = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents0 = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cluster"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cemb"),
+    )
+    assign1 = _assign(vecs, _update(_assign(vecs, cents0)))
+
+    a = assign1.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        l2_norm("embedding").alias("na"),
+    )
+    b = assign1.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        l2_norm("embedding").alias("nb"),
+    )
+    cos = F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 4)
+    pruned = (
+        a.join(b, ["cluster"])
+        .filter(F.col("va") < F.col("vb"))
+        .filter(cos >= 0.45)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("is_pruned", F.lit(True))
+    )
+    return (
+        assign1.join(pruned, "vec_id", "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.when(F.col("is_pruned"), 1).otherwise(0)).alias("n_pruned"),
+            F.min(F.when(F.col("is_pruned").isNull(), F.col("vec_id"))).alias(
+                "min_kept_vec_id"
+            ),
+        )
     )

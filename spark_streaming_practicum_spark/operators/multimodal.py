@@ -262,3 +262,125 @@ def mm_feature_extract_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         extract, schema="doc_id bigint, byte_histogram string, payload_bytes bigint"
     )
+
+
+# --- perceptual-hash near-duplicate detection ------------------------------
+
+_PHASH_BITS = 16
+_PHASH_BANDS = 4
+_PHASH_HAMMING_MAX = 3  # 4 bands x 4 bits: any pair within 3 bit flips
+#                         still agrees on >= 1 whole band (pigeonhole), so
+#                         band-join candidate generation has EXACT recall.
+
+
+def _phash_tile_counts_sql() -> str:
+    """DuckDB per-tile [a-m]-char counts over 16 equal substring tiles."""
+    tiles = []
+    for i in range(_PHASH_BITS):
+        start = f"(({i} * l) // {_PHASH_BITS}) + 1"
+        length = f"((({i} + 1) * l) // {_PHASH_BITS}) - (({i} * l) // {_PHASH_BITS})"
+        tiles.append(
+            f"LENGTH(regexp_replace(substring(text, {start}, {length}),"
+            f" '[^a-m]', '', 'g'))"
+        )
+    return "[" + ", ".join(tiles) + "]"
+
+
+@query(
+    "mm_phash_near_dup",
+    oracle=f"""
+    WITH sized AS (SELECT doc_id, text, LENGTH(text) AS l FROM documents),
+    tiles AS (
+        SELECT doc_id,
+               {_phash_tile_counts_sql()} AS c,
+               LENGTH(regexp_replace(text, '[^a-m]', '', 'g')) AS total
+        FROM sized),
+    hashed AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(generate_series(1, {_PHASH_BITS}),
+                    i -> CASE WHEN c[i] * {_PHASH_BITS} >= total
+                              THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS phash
+        FROM tiles)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(list_sum(list_transform(generate_series(0, {_PHASH_BITS - 1}),
+                i -> (xor(a.phash, b.phash) >> i) & 1)) AS BIGINT) AS hamming
+    FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+    WHERE list_sum(list_transform(generate_series(0, {_PHASH_BITS - 1}),
+          i -> (xor(a.phash, b.phash) >> i) & 1)) <= {_PHASH_HAMMING_MAX}
+    """,
+)
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for media payloads — the
+    image-dedup half of a multimodal curation pipeline (aHash family:
+    tile the decoded image, threshold each tile's mean against the global
+    mean, compare hashes by Hamming distance).
+
+    The "decode" here is the repo's deterministic fake (tile statistics
+    over the payload bytes — a real PIL tile-mean drops into the same
+    expressions); everything downstream is the production shape:
+    a {_PHASH_BITS}-bit signature per doc built map-side from integer
+    arithmetic, then banded blocking — docs joined only within equal
+    4-bit bands, NEVER all-pairs. With Hamming radius
+    {_PHASH_HAMMING_MAX} and {_PHASH_BANDS} bands the pigeonhole
+    principle makes band blocking lossless, so the oracle's quadratic
+    self-join provably matches the banded plan. At 100 TB the hash grows
+    to 64 bits with 16-bit bands and the same guarantee (radius 3).
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("l")
+    )
+    tile_counts = []
+    for i in range(_PHASH_BITS):
+        start = (F.lit(i) * F.col("l")) / _PHASH_BITS
+        start = F.floor(start).cast("int") + 1
+        end = F.floor((F.lit(i + 1) * F.col("l")) / _PHASH_BITS).cast("int")
+        length = end - start + 1
+        tile = F.expr(
+            f"substring(text, {i} * l div {_PHASH_BITS} + 1, "
+            f"({i} + 1) * l div {_PHASH_BITS} - {i} * l div {_PHASH_BITS})"
+        )
+        tile_counts.append(F.length(F.regexp_replace(tile, "[^a-m]", "")))
+    total = F.length(F.regexp_replace(F.col("text"), "[^a-m]", ""))
+    phash = None
+    for i, c in enumerate(tile_counts):
+        bit = F.when(c * _PHASH_BITS >= total, F.lit(1 << i)).otherwise(F.lit(0))
+        phash = bit if phash is None else phash + bit
+    hashed = d.select("doc_id", phash.cast("bigint").alias("phash"))
+
+    band_width = _PHASH_BITS // _PHASH_BANDS
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    (
+                        F.shiftright(F.col("phash"), j * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                    ).alias("key"),
+                )
+                for j in range(_PHASH_BANDS)
+            ]
+        )
+    ).alias("b")
+    banded = hashed.select("doc_id", "phash", bands).select(
+        "doc_id", "phash", "b.band", "b.key"
+    )
+    a = banded.select(
+        F.col("band"), F.col("key"),
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("key"),
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"),
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
+    )

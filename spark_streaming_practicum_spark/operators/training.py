@@ -426,3 +426,69 @@ def rendezvous_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "corpus_mixture_weights",
+    oracle="""
+    WITH grouped AS (
+        SELECT CASE lang WHEN 'en' THEN 'en' WHEN 'es' THEN 'es'
+                         ELSE 'other' END AS mix_group,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY 1),
+    weighted AS (
+        SELECT *, CAST(CASE mix_group WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.3
+                                      ELSE 0.2 END AS DOUBLE) AS target_w
+        FROM grouped),
+    budget AS (SELECT MIN(n_tokens / target_w) AS total FROM weighted)
+    SELECT mix_group, n_docs, n_tokens, target_w,
+           ROUND(target_w * b.total / n_tokens, 6) AS sampling_rate,
+           CAST(ROUND(target_w * b.total, 0) AS BIGINT) AS expected_tokens
+    FROM weighted CROSS JOIN budget b
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture solver (the Pile / LLaMA-style source weighting):
+    given target token-share weights per language group (en 0.5, es 0.3,
+    other 0.2), find the largest single-epoch corpus satisfying them —
+    total budget T = min_g(tokens_g / w_g) — and report each group's
+    sampling rate (w_g*T / tokens_g, exactly 1.0 for the binding group)
+    and expected token contribution.
+
+    One aggregate over the corpus (token counts ride the same scan as
+    the group-by), then pure arithmetic on a 3-row table with the scalar
+    budget broadcast — the planning step that precedes
+    sample_stratified_hash's execution step at any scale."""
+    d = table(spark, sf_dir, "documents")
+    grp = (
+        F.when(F.col("lang") == "en", "en")
+        .when(F.col("lang") == "es", "es")
+        .otherwise("other")
+    )
+    grouped = d.groupBy(grp.alias("mix_group")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        F.when(F.col("mix_group") == "en", 0.5)
+        .when(F.col("mix_group") == "es", 0.3)
+        .otherwise(0.2)
+    )
+    weighted = grouped.withColumn("target_w", w)
+    budget = weighted.agg(
+        F.min(F.col("n_tokens") / F.col("target_w")).alias("total")
+    )
+    return weighted.crossJoin(F.broadcast(budget)).select(
+        "mix_group",
+        "n_docs",
+        "n_tokens",
+        "target_w",
+        F.round(F.col("target_w") * F.col("total") / F.col("n_tokens"), 6).alias(
+            "sampling_rate"
+        ),
+        F.round(F.col("target_w") * F.col("total"), 0).cast("bigint").alias(
+            "expected_tokens"
+        ),
+    )

@@ -154,3 +154,12 @@ def test_embedding_cosine_dedup_has_no_nested_loop_join(spark):
     plan = formatted_plan(DEFS["dedup_embedding_cosine"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_phash_near_dup_uses_band_join_not_all_pairs(spark):
+    """Perceptual-hash dedup must generate candidates through the 4-bit
+    band equi-join — an all-pairs cartesian/nested-loop would defeat the
+    blocking design."""
+    plan = formatted_plan(DEFS["mm_phash_near_dup"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
