@@ -409,12 +409,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    B = 8
-    e = (
-        table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-        .withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int"))
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # Block count scales with corpus size so per-task score matrices stay
+    # bounded (~4k x 4k max): B = ceil(n / 4096), floor 8. One cheap count
+    # job; the result is independent of B.
+    n = base.count()
+    B = max(8, -(-n // 4096))
+    e = base.withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int"))
     block_pairs = spark.createDataFrame(
         [(i, j) for i in range(B) for j in range(i, B)], "ba int, bb int"
     )

@@ -266,15 +266,16 @@ def mm_feature_extract_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- perceptual-hash near-duplicate detection ------------------------------
 
-_PHASH_BITS = 16
+_PHASH_BITS = 64
 _PHASH_BANDS = 4
-_PHASH_HAMMING_MAX = 3  # 4 bands x 4 bits: any pair within 3 bit flips
-#                         still agrees on >= 1 whole band (pigeonhole), so
-#                         band-join candidate generation has EXACT recall.
+_PHASH_BAND_BITS = _PHASH_BITS // _PHASH_BANDS  # 16-bit bands
+_PHASH_HAMMING_MAX = 3  # 4 bands: any pair within 3 bit flips still agrees
+#                         on >= 1 whole band (pigeonhole), so band-join
+#                         candidate generation has EXACT recall.
 
 
 def _phash_tile_counts_sql() -> str:
-    """DuckDB per-tile [a-m]-char counts over 16 equal substring tiles."""
+    """DuckDB per-tile [a-m]-char counts over 64 equal substring tiles."""
     tiles = []
     for i in range(_PHASH_BITS):
         start = f"(({i} * l) // {_PHASH_BITS}) + 1"
@@ -286,28 +287,57 @@ def _phash_tile_counts_sql() -> str:
     return "[" + ", ".join(tiles) + "]"
 
 
+def _phash_band_sql(j: int) -> str:
+    """Pack tiles 16j..16j+15 into one 16-bit band value."""
+    w = _PHASH_BAND_BITS
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {w}), i -> "
+        f"CASE WHEN c[{w * j} + i] * {_PHASH_BITS} >= total "
+        f"THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT)"
+    )
+
+
+def _pop_sql(x: str) -> str:
+    """16-bit popcount of an integer expression."""
+    return (
+        f"list_sum(list_transform(generate_series(0, {_PHASH_BAND_BITS - 1}), "
+        f"i -> ({x} >> i) & 1))"
+    )
+
+
+_PHASH_HAMMING_SQL = " + ".join(
+    _pop_sql(f"xor(a.b{j}, b.b{j})") for j in range(_PHASH_BANDS)
+)
+
+
 @query(
     "mm_phash_near_dup",
     oracle=f"""
-    WITH sized AS (SELECT doc_id, text, LENGTH(text) AS l FROM documents),
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000,
+               substring(text, 1, LENGTH(text) - 2) || 'xx'
+        FROM documents WHERE LENGTH(text) >= 2),
+    sized AS (SELECT doc_id, text, LENGTH(text) AS l FROM corpus),
     tiles AS (
         SELECT doc_id,
-               {_phash_tile_counts_sql()} AS c,
+               {{tile_counts}} AS c,
                LENGTH(regexp_replace(text, '[^a-m]', '', 'g')) AS total
         FROM sized),
     hashed AS (
         SELECT doc_id,
-               CAST(list_sum(list_transform(generate_series(1, {_PHASH_BITS}),
-                    i -> CASE WHEN c[i] * {_PHASH_BITS} >= total
-                              THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS phash
+               {_phash_band_sql(0)} AS b0,
+               {_phash_band_sql(1)} AS b1,
+               {_phash_band_sql(2)} AS b2,
+               {_phash_band_sql(3)} AS b3
         FROM tiles)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(list_sum(list_transform(generate_series(0, {_PHASH_BITS - 1}),
-                i -> (xor(a.phash, b.phash) >> i) & 1)) AS BIGINT) AS hamming
-    FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
-    WHERE list_sum(list_transform(generate_series(0, {_PHASH_BITS - 1}),
-          i -> (xor(a.phash, b.phash) >> i) & 1)) <= {_PHASH_HAMMING_MAX}
-    """,
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST({_PHASH_HAMMING_SQL} AS BIGINT) AS hamming
+        FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id)
+    WHERE hamming <= {_PHASH_HAMMING_MAX}
+    """.format(tile_counts=_phash_tile_counts_sql()),
 )
 def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate detection for media payloads — the
@@ -317,69 +347,85 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The "decode" here is the repo's deterministic fake (tile statistics
     over the payload bytes — a real PIL tile-mean drops into the same
-    expressions); everything downstream is the production shape:
-    a {_PHASH_BITS}-bit signature per doc built map-side from integer
-    arithmetic, then banded blocking — docs joined only within equal
-    4-bit bands, NEVER all-pairs. With Hamming radius
-    {_PHASH_HAMMING_MAX} and {_PHASH_BANDS} bands the pigeonhole
+    expressions); everything downstream is the production shape: a
+    64-bit signature per doc built map-side from integer arithmetic,
+    carried as four 16-bit band values (no 64-bit shift overflow edge),
+    then banded blocking — docs joined only where a whole band matches,
+    NEVER all-pairs. With Hamming radius 3 and 4 bands the pigeonhole
     principle makes band blocking lossless, so the oracle's quadratic
-    self-join provably matches the banded plan. At 100 TB the hash grows
-    to 64 bits with 16-bit bands and the same guarantee (radius 3).
-    """
-    d = table(spark, sf_dir, "documents").select(
+    self-join provably matches the banded plan. 16-bit bands give 65,536
+    bucket values per band, so bucket sizes — and with them candidate
+    volume — stay near the true near-dup count as the corpus grows (a
+    20x corpus probe with a 16-bit/4-bit toy sizing showed exactly why
+    band width must scale: 4-bit bands cap at 16 buckets and the join
+    degenerates toward all-pairs).
+
+    The synthetic corpus has no true near-duplicate media, so the query
+    deterministically plants one same-length "re-encoded replica" per
+    document (last two payload units rewritten — the tile-statistics
+    analogue of recompression noise) before hashing; the detector then
+    runs over originals + replicas exactly as it would over a real
+    corpus."""
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    replicas = base.filter(F.length("text") >= 2).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.expr("substring(text, 1, length(text) - 2)"), F.lit("xx")
+        ).alias("text"),
+    )
+    d = base.unionByName(replicas).select(
         "doc_id", "text", F.length("text").alias("l")
     )
     tile_counts = []
     for i in range(_PHASH_BITS):
-        start = (F.lit(i) * F.col("l")) / _PHASH_BITS
-        start = F.floor(start).cast("int") + 1
-        end = F.floor((F.lit(i + 1) * F.col("l")) / _PHASH_BITS).cast("int")
-        length = end - start + 1
         tile = F.expr(
             f"substring(text, {i} * l div {_PHASH_BITS} + 1, "
             f"({i} + 1) * l div {_PHASH_BITS} - {i} * l div {_PHASH_BITS})"
         )
         tile_counts.append(F.length(F.regexp_replace(tile, "[^a-m]", "")))
     total = F.length(F.regexp_replace(F.col("text"), "[^a-m]", ""))
-    phash = None
-    for i, c in enumerate(tile_counts):
-        bit = F.when(c * _PHASH_BITS >= total, F.lit(1 << i)).otherwise(F.lit(0))
-        phash = bit if phash is None else phash + bit
-    hashed = d.select("doc_id", phash.cast("bigint").alias("phash"))
 
-    band_width = _PHASH_BITS // _PHASH_BANDS
+    def band(j: int) -> F.Column:
+        acc = None
+        for i in range(_PHASH_BAND_BITS):
+            c = tile_counts[_PHASH_BAND_BITS * j + i]
+            bit = F.when(c * _PHASH_BITS >= total, F.lit(1 << i)).otherwise(F.lit(0))
+            acc = bit if acc is None else acc + bit
+        return acc.cast("bigint")
+
+    hashed = d.select(
+        "doc_id", *[band(j).alias(f"b{j}") for j in range(_PHASH_BANDS)]
+    )
+
     bands = F.explode(
         F.array(
             *[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    (
-                        F.shiftright(F.col("phash"), j * band_width)
-                        .bitwiseAND(F.lit((1 << band_width) - 1))
-                    ).alias("key"),
-                )
+                F.struct(F.lit(j).alias("band"), F.col(f"b{j}").alias("key"))
                 for j in range(_PHASH_BANDS)
             ]
         )
-    ).alias("b")
-    banded = hashed.select("doc_id", "phash", bands).select(
-        "doc_id", "phash", "b.band", "b.key"
+    ).alias("bd")
+    banded = hashed.select("*", bands).select(
+        "doc_id", *[f"b{j}" for j in range(_PHASH_BANDS)], "bd.band", "bd.key"
     )
     a = banded.select(
-        F.col("band"), F.col("key"),
-        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"),
+        "band", "key", F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(_PHASH_BANDS)],
     )
     b = banded.select(
-        F.col("band"), F.col("key"),
-        F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"),
+        "band", "key", F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{j}").alias(f"c{j}") for j in range(_PHASH_BANDS)],
     )
     cand = (
         a.join(b, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .drop("band", "key")
         .distinct()
     )
-    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    hamming = None
+    for j in range(_PHASH_BANDS):
+        h = F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"c{j}")))
+        hamming = h if hamming is None else hamming + h
     return (
         cand.select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
