@@ -70,6 +70,8 @@ HEADLINE = [
     "semdedup_cluster_prune",
     "dsir_importance_weights",
     "mm_phash_near_dup",
+    "bpe_learn_merges",
+    "mm_audio_energy_windows",
 ]
 
 

@@ -430,3 +430,67 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
     )
+
+
+# --- audio: windowed energy over fake-decoded PCM --------------------------
+
+_AUDIO_WIN = 400  # samples per analysis window (25 ms @ 16 kHz)
+_AUDIO_HOP = 160  # hop (10 ms @ 16 kHz) — standard ASR frontend framing
+
+
+@query(
+    "mm_audio_energy_windows",
+    oracle=f"""
+    WITH pcm AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, LENGTH(text)),
+                              i -> CAST(ascii(text[i:i]) - 96 AS DOUBLE)) AS s
+        FROM documents WHERE doc_id % 20 = 0),
+    framed AS (
+        SELECT doc_id, s,
+               unnest(generate_series(1, len(s) - {_AUDIO_WIN} + 1, {_AUDIO_HOP}))
+                   AS start
+        FROM pcm WHERE len(s) >= {_AUDIO_WIN})
+    SELECT doc_id,
+           CAST((start - 1) // {_AUDIO_HOP} AS BIGINT) AS frame_id,
+           ROUND(SQRT(list_sum(list_transform(s[start : start + {_AUDIO_WIN} - 1],
+                 x -> x * x)) / {_AUDIO_WIN}), 6) AS rms_energy
+    FROM framed
+    """,
+)
+def mm_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality frontend: framed RMS energy over decoded PCM — the
+    voice-activity / silence-trim primitive every speech-data pipeline
+    runs before feature extraction (25 ms windows, 10 ms hop).
+
+    The "decoder" is the deterministic fake (payload units -> centered
+    sample values; a real ffmpeg/soundfile decode returns the same
+    array<double> column). Framing is sequence+slice over the sample
+    array — JVM-side HOFs, map-side only, rows multiply by
+    n_frames without any shuffle. The frame loop never leaves the array:
+    at 100 TB the cost is exactly one pass over the decoded samples."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    # fake PCM decode: one sample per payload unit, centered around 0
+    samples = F.transform(
+        F.split(F.col("text"), ""),
+        lambda ch: F.ascii(ch).cast("double") - 96.0,
+    )
+    d = d.select("doc_id", samples.alias("s")).filter(
+        F.size("s") >= _AUDIO_WIN
+    )
+    framed = d.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.sequence(F.lit(1), F.size("s") - _AUDIO_WIN + 1, F.lit(_AUDIO_HOP))
+        ).alias("start"),
+    )
+    win = F.slice(F.col("s"), F.col("start"), _AUDIO_WIN)
+    energy = F.aggregate(
+        win, F.lit(0.0), lambda acc, x: acc + x * x
+    ) / float(_AUDIO_WIN)
+    return framed.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / _AUDIO_HOP).cast("bigint").alias("frame_id"),
+        F.round(F.sqrt(energy), 6).alias("rms_energy"),
+    )

@@ -73,6 +73,7 @@ def all_queries() -> dict[str, QueryDef]:
         streaming_equiv,
         text,
         timeseries,
+        tokenizer,
         tpch_extra,
         training,
         udfs,
