@@ -72,6 +72,7 @@ HEADLINE = [
     "mm_phash_near_dup",
     "bpe_learn_merges",
     "mm_audio_energy_windows",
+    "quality_model_score",
 ]
 
 

@@ -398,3 +398,74 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_log_ratio").desc(), F.col("doc_id").asc())
         .limit(30)
     )
+
+
+_QM_DIM = 1024  # hashed feature space width
+
+
+@query(
+    "quality_model_score",
+    oracle=f"""
+    WITH tri AS (
+        SELECT doc_id, lang,
+               substring(text, i, 3) AS tg
+        FROM documents, unnest(generate_series(1, LENGTH(text) - 2)) AS t(i)
+        WHERE LENGTH(text) >= 3),
+    feats AS (
+        SELECT doc_id, lang,
+               list_reduce(list_transform(generate_series(1, 3),
+                   k -> CAST(ascii(tg[k:k]) AS BIGINT)),
+                   (acc, x) -> (acc * 131 + x) % 1000000007) % {_QM_DIM} AS j,
+               COUNT(*) AS c
+        FROM tri GROUP BY 1, 2, 3),
+    scored AS (
+        SELECT doc_id, lang,
+               SUM(c) AS n,
+               SUM(c * (CAST((j * 2654435761) % 1000 AS DOUBLE) / 500.0 - 1.0))
+                   AS raw
+        FROM feats GROUP BY doc_id, lang)
+    SELECT doc_id, lang,
+           ROUND(1.0 / (1.0 + EXP(-(raw / n))), 6) AS quality_score,
+           1.0 / (1.0 + EXP(-(raw / n))) >= 0.5 AS passes
+    FROM scored
+    """,
+)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality-classifier INFERENCE at corpus scale — the
+    CCNet/LLaMA-pipeline step that scores every document with a linear
+    model over hashed character-n-gram features (bag of hashed trigrams
+    -> weight lookup -> mean -> sigmoid).
+
+    The weight vector is synthesized deterministically from the feature
+    index (a Knuth multiplicative hash into [-1, 1]) so both engines
+    score identically; swapping in real trained weights is a broadcast
+    join against a 1024-row table with the same plan. Everything is one
+    explode + two hash aggs keyed by (doc, feature): inference cost is
+    linear in corpus bytes and embarrassingly parallel — the shape that
+    lets a quality model run over 100 TB as a single pass."""
+    from ..functions.textfns import poly_hash
+
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    tri = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("tg"),
+    )
+    j = poly_hash(F.col("tg")) % _QM_DIM
+    feats = tri.groupBy("doc_id", "lang", j.alias("j")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    weight = ((F.col("j") * 2654435761) % 1000).cast("double") / 500.0 - 1.0
+    scored = feats.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * weight).alias("raw"),
+    )
+    score = 1.0 / (1.0 + F.exp(-(F.col("raw") / F.col("n"))))
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0.5).alias("passes"),
+    )
