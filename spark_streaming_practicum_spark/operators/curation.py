@@ -415,13 +415,12 @@ _QM_DIM = 1024  # hashed feature space width
         SELECT doc_id, lang,
                list_reduce(list_transform(generate_series(1, 3),
                    k -> CAST(ascii(tg[k:k]) AS BIGINT)),
-                   (acc, x) -> (acc * 131 + x) % 1000000007) % {_QM_DIM} AS j,
-               COUNT(*) AS c
-        FROM tri GROUP BY 1, 2, 3),
+                   (acc, x) -> (acc * 131 + x) % 1000000007) % {_QM_DIM} AS j
+        FROM tri),
     scored AS (
         SELECT doc_id, lang,
-               SUM(c) AS n,
-               SUM(c * (CAST((j * 2654435761) % 1000 AS DOUBLE) / 500.0 - 1.0))
+               COUNT(*) AS n,
+               SUM(CAST((j * 2654435761) % 1000 AS DOUBLE) / 500.0 - 1.0)
                    AS raw
         FROM feats GROUP BY doc_id, lang)
     SELECT doc_id, lang,
@@ -454,13 +453,13 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tg"),
     )
     j = poly_hash(F.col("tg")) % _QM_DIM
-    feats = tri.groupBy("doc_id", "lang", j.alias("j")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    weight = ((F.col("j") * 2654435761) % 1000).cast("double") / 500.0 - 1.0
-    scored = feats.groupBy("doc_id", "lang").agg(
-        F.sum("c").alias("n"),
-        F.sum(F.col("c") * weight).alias("raw"),
+    # Per-occurrence weight summed directly: sum_occ w(j) == sum_j c_j*w_j,
+    # so the per-feature intermediate aggregate (an extra shuffle keyed by
+    # (doc, feature)) is unnecessary — inference is ONE hash agg per doc.
+    weight = ((j * 2654435761) % 1000).cast("double") / 500.0 - 1.0
+    scored = tri.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(weight).alias("raw"),
     )
     score = 1.0 / (1.0 + F.exp(-(F.col("raw") / F.col("n"))))
     return scored.select(

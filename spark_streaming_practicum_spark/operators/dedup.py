@@ -745,7 +745,9 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cluster"),
         F.transform("embedding", lambda x: x.cast("double")).alias("cemb"),
     )
-    assign1 = _assign(vecs, _update(_assign(vecs, cents0)))
+    # Three consumers (both pair-join sides + the final rollup) would each
+    # recompute the 2-round Lloyd lineage — materialize the assignment once.
+    assign1 = _assign(vecs, _update(_assign(vecs, cents0))).persist()
 
     a = assign1.select(
         F.col("cluster"),
