@@ -350,3 +350,40 @@ def join_null_skew_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matchable.select("c_custkey", "c_name", "n_name").unionByName(
         unmatchable.select("c_custkey", "c_name", "n_name")
     )
+
+
+@query(
+    "join_runtime_bloom_filter",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(l.l_quantity AS DOUBLE) AS qty,
+           o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 250000
+    """,
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join shaped for Spark's RUNTIME BLOOM FILTER injection —
+    the row-level runtime-filtering feature that matters most at 100 TB:
+    when one join side carries a selective filter, the optimizer builds a
+    bloom filter over its join keys and pushes a might_contain() probe
+    into the OTHER side's scan, discarding non-joining fact rows before
+    they reach the shuffle. Here the selective side (urgent, high-value
+    orders) filters the lineitem scan; the merge hint forces the shuffle
+    path the feature exists for (a broadcast join already implies its own
+    filter). The injection itself is asserted in
+    tests/test_physical_plans.py with the size thresholds lowered to
+    harness scale; semantics are the plain join, which is what the
+    oracle checks."""
+    li = table(spark, sf_dir, "lineitem")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 250000))
+        .hint("merge")
+    )
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("qty"),
+        "o_orderpriority",
+    )

@@ -163,3 +163,29 @@ def test_phash_near_dup_uses_band_join_not_all_pairs(spark):
     plan = formatted_plan(DEFS["mm_phash_near_dup"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_injected_on_fact_scan(spark):
+    """With creation thresholds at harness scale, the selective orders
+    side must inject a bloom-filter probe into the lineitem side."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # injection only happens for probable SHUFFLE joins; at harness
+        # scale the dim is broadcastable-by-size, so disable auto-broadcast
+        # to reproduce the cluster-scale shape
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = formatted_plan(DEFS["join_runtime_bloom_filter"].fn(spark, SF_DIR))
+        assert "bloom_filter" in plan.lower() or "might_contain" in plan.lower(), (
+            plan[:3000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
