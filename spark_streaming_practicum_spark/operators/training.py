@@ -20,7 +20,7 @@ BASELINE.json north-star extension set.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -491,4 +491,96 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("target_w") * F.col("total"), 0).cast("bigint").alias(
             "expected_tokens"
         ),
+    )
+
+
+@query(
+    "sft_pack_conversations",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN datediff('second',
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+                         ts) > 1800
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WHERE user_id % 17 = 0),
+    numbered AS (
+        SELECT user_id, event_id, ts, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_no
+        FROM flagged),
+    turns AS (
+        SELECT user_id, session_no, event_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+                                  ORDER BY ts ASC, event_id ASC) AS rn,
+               event_type
+        FROM numbered)
+    SELECT user_id,
+           CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_turns,
+           COUNT(*) % 2 = 0 AS ends_with_assistant,
+           string_agg(
+               '<|' || CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END
+               || '|>' || event_type || '#' || event_id,
+               chr(10) ORDER BY rn) AS transcript
+    FROM turns
+    GROUP BY user_id, session_no
+    """,
+)
+def sft_pack_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-format SFT data prep: turn per-user event streams into
+    conversation transcripts — sessionize on a 30-minute inactivity gap,
+    alternate user/assistant roles by turn parity, render each session
+    as one chat-template string, and flag whether it ends on an
+    assistant turn (the usual SFT validity requirement).
+
+    Everything rides ONE shuffle on user_id: the gap flag, the running
+    session number, the turn index and the ordered transcript
+    aggregation all share that partitioning (the windows and the final
+    group-by are co-keyed). The ordered concat is collect_list over
+    (ts, event_id)-sorted structs — deterministic across engines and
+    partitionings at any scale."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 17 == 0)
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    numbered = e.select(
+        "user_id", "event_id", "ts", "event_type", is_new.alias("is_new")
+    ).withColumn("session_no", F.sum("is_new").over(w_run).cast("bigint"))
+    w_sess = Window.partitionBy("user_id", "session_no").orderBy(*order)
+    turns = numbered.withColumn("rn", F.row_number().over(w_sess)).withColumn(
+        "msg",
+        F.concat(
+            F.lit("<|"),
+            F.when(F.col("rn") % 2 == 1, "user").otherwise("assistant"),
+            F.lit("|>"),
+            F.col("event_type"),
+            F.lit("#"),
+            F.col("event_id"),
+        ),
+    )
+    return (
+        turns.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            (F.count(F.lit(1)) % 2 == 0).alias("ends_with_assistant"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "msg"))),
+                    lambda s: s.msg,
+                ),
+                "\n",
+            ).alias("transcript"),
+        )
+        .select(
+            "user_id", "session_no", "n_turns", "ends_with_assistant", "transcript"
+        )
     )

@@ -202,3 +202,97 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "url_canonicalize_dedup",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END
+               || '://'
+               || CASE WHEN doc_id % 3 = 0 THEN upper(source) || '.Example.com'
+                       ELSE source || '.example.com' END
+               || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+               || '/doc/' || CAST(doc_id // 10 AS VARCHAR)
+               || '?'
+               || CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed&b=2&a=1'
+                       ELSE 'a=1&b=2' END
+               || CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS url
+        FROM documents),
+    parsed AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^([A-Za-z]+)://', 1))   AS scheme,
+               lower(regexp_extract(url, '://([^/:?#]+)', 1))     AS host,
+               regexp_extract(url, '://[^/?#]*(/[^?#]*)', 1)      AS path,
+               array_to_string(list_sort(list_filter(
+                   string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                   p -> NOT starts_with(p, 'utm_'))), '&')        AS query
+        FROM raw),
+    canon AS (
+        SELECT doc_id,
+               scheme || '://' || host || path
+               || CASE WHEN query <> '' THEN '?' || query ELSE '' END
+                   AS canonical_url
+        FROM parsed)
+    SELECT canonical_url,
+           COUNT(*)    AS n_raw,
+           MIN(doc_id) AS keep_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-frontier/provenance step
+    every web corpus runs before content dedup: lowercase scheme and
+    host, strip the default port, drop tracking parameters (utm_*) and
+    fragments, sort the surviving query parameters, then keep one
+    document per canonical URL.
+
+    The messy inputs are synthesized deterministically (case/port/
+    tracking/fragment/param-order variants of the same logical URL, ~10
+    docs per canonical path) since the corpus carries no URL column; the
+    normalization chain — parse_url components, JVM-side array
+    filter/sort over query params — is exactly what runs on a real
+    crawl. Map-side until the single canonical-key aggregation."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "HTTPS").otherwise("https"),
+        F.lit("://"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.upper("source"), F.lit(".Example.com")),
+        ).otherwise(F.concat(F.col("source"), F.lit(".example.com"))),
+        F.when(F.col("doc_id") % 4 == 0, ":443").otherwise(""),
+        F.lit("/doc/"),
+        F.floor(F.col("doc_id") / 10).cast("string"),
+        F.lit("?"),
+        F.when(F.col("doc_id") % 2 == 0, "utm_source=feed&b=2&a=1").otherwise(
+            "a=1&b=2"
+        ),
+        F.when(F.col("doc_id") % 5 == 0, "#sec").otherwise(""),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    query_kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.coalesce(F.parse_url("url", F.lit("QUERY")), F.lit("")), "&"),
+                lambda p: ~p.startswith("utm_") & (p != ""),
+            )
+        ),
+        "&",
+    )
+    canon = raw.select(
+        "doc_id",
+        F.concat(
+            F.lower(F.parse_url("url", F.lit("PROTOCOL"))),
+            F.lit("://"),
+            F.lower(F.parse_url("url", F.lit("HOST"))),
+            F.parse_url("url", F.lit("PATH")),
+            F.when(query_kept != "", F.concat(F.lit("?"), query_kept)).otherwise(""),
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
