@@ -301,3 +301,64 @@ def dq_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c")
     )
     return checks.select("c.*")
+
+
+_K_ANON = 5
+
+
+@query(
+    "privacy_k_anonymity_audit",
+    oracle=f"""
+    WITH quasi AS (
+        SELECT user_id % 50                 AS age_band,
+               CAST(ts AS DATE)             AS event_day,
+               event_type
+        FROM events),
+    groups AS (
+        SELECT age_band, event_day, event_type, COUNT(*) AS group_size
+        FROM quasi GROUP BY 1, 2, 3)
+    SELECT event_type,
+           COUNT(*)                                    AS n_groups,
+           CAST(SUM(CASE WHEN group_size < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+                                                       AS n_violating,
+           CAST(SUM(CASE WHEN group_size < {_K_ANON} THEN group_size ELSE 0 END)
+                AS BIGINT)                             AS n_rows_at_risk,
+           MIN(group_size)                             AS min_group_size,
+           CAST(SUM(CASE WHEN group_size < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+               = 0                                     AS k_anonymous
+    FROM groups
+    GROUP BY event_type
+    """,
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k={_K_ANON}) over quasi-identifier combinations
+    — the privacy gate run before releasing interaction data into a
+    training corpus: any (age-band, day, event-type) cell smaller than k
+    makes its members re-identifiable, so the release either generalizes
+    those cells or drops the rows.
+
+    Two chained hash aggregates (cell sizes, then per-type rollup of
+    violating cells / rows at risk / minimum cell size) — the first
+    shuffles on the quasi-identifier tuple, the second on the tiny type
+    key. The quasi-identifiers are derived deterministically (user_id
+    band, event day) so both engines audit identical cells."""
+    e = table(spark, sf_dir, "events")
+    groups = (
+        e.select(
+            (F.col("user_id") % 50).alias("age_band"),
+            F.col("ts").cast("date").alias("event_day"),
+            "event_type",
+        )
+        .groupBy("age_band", "event_day", "event_type")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    violating = F.sum(F.when(F.col("group_size") < _K_ANON, 1).otherwise(0))
+    return groups.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        violating.alias("n_violating"),
+        F.sum(
+            F.when(F.col("group_size") < _K_ANON, F.col("group_size")).otherwise(0)
+        ).alias("n_rows_at_risk"),
+        F.min("group_size").alias("min_group_size"),
+        (violating == 0).alias("k_anonymous"),
+    )
