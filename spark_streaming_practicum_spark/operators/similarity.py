@@ -14,7 +14,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -367,4 +367,108 @@ def sparse_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cosine").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
         .limit(20)
+    )
+
+
+@query(
+    "contrastive_pair_mining",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id, label,
+               CAST((vec_id * 2654435761) % 1000003 % 16 AS BIGINT) AS blk,
+               CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings),
+    pos AS (
+        SELECT vec_id, pos_id, pos_cos FROM (
+            SELECT a.vec_id, b.vec_id AS pos_id,
+                   ROUND(list_cosine_similarity(a.e, b.e), 4) AS pos_cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(a.e, b.e), 4) DESC,
+                                b.vec_id ASC) AS rn
+            FROM vecs a JOIN vecs b
+              ON a.label = b.label AND a.vec_id <> b.vec_id)
+        WHERE rn = 1),
+    neg AS (
+        SELECT vec_id, neg_id, neg_cos FROM (
+            SELECT a.vec_id, b.vec_id AS neg_id,
+                   ROUND(list_cosine_similarity(a.e, b.e), 4) AS neg_cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(a.e, b.e), 4) DESC,
+                                b.vec_id ASC) AS rn
+            FROM vecs a JOIN vecs b
+              ON a.blk = b.blk AND a.label <> b.label)
+        WHERE rn = 1)
+    SELECT p.vec_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+           ROUND(p.pos_cos - n.neg_cos, 4) AS margin
+    FROM pos p JOIN neg n ON p.vec_id = n.vec_id
+    """,
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-learning data prep: for every anchor embedding, mine
+    the hardest POSITIVE (most similar same-label vector) and the
+    hardest NEGATIVE (most similar different-label vector inside the
+    anchor's hash block) plus the resulting margin — the triplet/InfoNCE
+    mining step of embedding-model training.
+
+    Positives join on the label key (bounded by class size); negatives
+    are blocked by a portable multiplicative hash — the distributed
+    analogue of in-batch negative mining, where the "batch" is the hash
+    block, keeping the pair space linear in corpus size at fixed block
+    width. Both argmaxes are ranking windows with deterministic
+    (cosine desc, id asc) tie-breaks, so results are engine-portable."""
+    from ..functions.vector import dot, l2_norm
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        ((F.col("vec_id") * 2654435761) % 1000003 % 16).alias("blk"),
+        "embedding",
+        l2_norm("embedding").alias("nrm"),
+    )
+
+    def hardest(join_keys_equal: bool) -> DataFrame:
+        a = e.select(
+            F.col("vec_id"),
+            F.col("label").alias("la"),
+            F.col("blk").alias("ba"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        b = e.select(
+            F.col("vec_id").alias("other_id"),
+            F.col("label").alias("lb"),
+            F.col("blk").alias("bb"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        if join_keys_equal:  # positives: same label, different vector
+            joined = a.join(b, (a.la == b.lb) & (a.vec_id != b.other_id))
+        else:  # negatives: same hash block, different label
+            joined = a.join(b, (a.ba == b.bb) & (a.la != b.lb))
+        cos = F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 4)
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cos").desc(), F.col("other_id").asc()
+        )
+        return (
+            joined.select("vec_id", "other_id", cos.alias("cos"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    pos = hardest(True).select(
+        "vec_id", F.col("other_id").alias("pos_id"), F.col("cos").alias("pos_cos")
+    )
+    neg = hardest(False).select(
+        "vec_id", F.col("other_id").alias("neg_id"), F.col("cos").alias("neg_cos")
+    )
+    return pos.join(neg, "vec_id").select(
+        "vec_id",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 4).alias("margin"),
     )
