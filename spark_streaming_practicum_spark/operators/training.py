@@ -584,3 +584,135 @@ def sft_pack_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "session_no", "n_turns", "ends_with_assistant", "transcript"
         )
     )
+
+
+@query(
+    "rlhf_preference_pairs",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY value DESC, event_id ASC) AS rb,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY value ASC, event_id ASC)  AS rw,
+               COUNT(*)    OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS n
+        FROM events WHERE user_id % 23 = 0),
+    best AS (SELECT user_id, day, event_id AS chosen_id,
+                    ROUND(value, 6) AS chosen_value
+             FROM ranked WHERE rb = 1 AND n >= 2),
+    worst AS (SELECT user_id, day, event_id AS rejected_id,
+                     ROUND(value, 6) AS rejected_value
+              FROM ranked WHERE rw = 1 AND n >= 2)
+    SELECT b.user_id, b.day, b.chosen_id, b.chosen_value,
+           w.rejected_id, w.rejected_value,
+           ROUND(b.chosen_value - w.rejected_value, 6) AS reward_gap
+    FROM best b JOIN worst w ON b.user_id = w.user_id AND b.day = w.day
+    WHERE b.chosen_id <> w.rejected_id
+    """,
+)
+def rlhf_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF reward modeling: within
+    each (user, day) group — the stand-in for "responses to the same
+    prompt" — pair the highest-scored interaction (chosen) with the
+    lowest (rejected) and report the reward gap. Groups with one
+    interaction or a degenerate tie (same event both ways) are dropped,
+    as a preference pair needs two distinct sides.
+
+    Both extreme picks are ranking windows over ONE shuffle on the group
+    key with deterministic (value, event_id) tie-breaks; the best/worst
+    join is co-partitioned on that same key. At 100 TB the group key is
+    the prompt id and the shape is unchanged."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 23 == 0)
+    g = e.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_id", "value"
+    )
+    w_best = Window.partitionBy("user_id", "day").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    w_worst = Window.partitionBy("user_id", "day").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    w_n = Window.partitionBy("user_id", "day")
+    ranked = (
+        g.withColumn("rb", F.row_number().over(w_best))
+        .withColumn("rw", F.row_number().over(w_worst))
+        .withColumn("n", F.count(F.lit(1)).over(w_n))
+        .filter(F.col("n") >= 2)
+    )
+    best = ranked.filter(F.col("rb") == 1).select(
+        "user_id",
+        "day",
+        F.col("event_id").alias("chosen_id"),
+        F.round("value", 6).alias("chosen_value"),
+    )
+    worst = ranked.filter(F.col("rw") == 1).select(
+        "user_id",
+        "day",
+        F.col("event_id").alias("rejected_id"),
+        F.round("value", 6).alias("rejected_value"),
+    )
+    return (
+        best.join(worst, ["user_id", "day"])
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .select(
+            "user_id",
+            "day",
+            "chosen_id",
+            "chosen_value",
+            "rejected_id",
+            "rejected_value",
+            F.round(F.col("chosen_value") - F.col("rejected_value"), 6).alias(
+                "reward_gap"
+            ),
+        )
+    )
+
+
+@query(
+    "shard_manifest_checksums",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               {_POLY_SQL.format(e="'m:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard_id,
+               {_POLY_SQL.format(e="text")} AS row_fp
+        FROM documents)
+    SELECT CAST(shard_id AS BIGINT)          AS shard_id,
+           COUNT(*)                          AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)     AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT)      AS total_chars,
+           CAST(SUM(row_fp) % 1000000007 AS BIGINT) AS content_checksum
+    FROM assigned
+    GROUP BY shard_id
+    """,
+)
+def shard_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-release manifest: per training shard, the row count, token
+    and char totals, and an ORDER-INDEPENDENT content checksum (sum of
+    per-row fingerprints mod p) — what lets a consumer verify a
+    multi-terabyte release shard-by-shard without re-reading it in any
+    particular order, and lets the producer regenerate any shard and
+    prove it identical.
+
+    Shard assignment is the deterministic key hash (re-derivable from
+    doc_id alone); the checksum is commutative so partial aggregation
+    works and no sort is ever needed — one shuffle of 5-number rows per
+    shard."""
+    d = table(spark, sf_dir, "documents")
+    shard = _bucket(F.concat(F.lit("m:"), F.col("doc_id").cast("string")), 8)
+    row_fp = poly_hash(F.col("text"))
+    return (
+        d.select(
+            shard.alias("shard_id"),
+            "n_chars",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            row_fp.alias("row_fp"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (F.sum("row_fp") % 1000000007).cast("bigint").alias("content_checksum"),
+        )
+    )
