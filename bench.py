@@ -73,6 +73,9 @@ HEADLINE = [
     "bpe_learn_merges",
     "mm_audio_energy_windows",
     "quality_model_score",
+    "contrastive_pair_mining",
+    "sft_pack_conversations",
+    "url_canonicalize_dedup",
 ]
 
 
