@@ -1,0 +1,149 @@
+"""Corpus balancing: temperature resampling and length-bucket batching.
+
+Two pre-training data-mix primitives that sit between curation and
+sharding in a large-scale pipeline:
+
+1. **Temperature resampling** (multilingual up/down-weighting, the
+   mBERT / XLM-R exponential-smoothing scheme): a language with token
+   share p_l is sampled with probability q_l proportional to p_l^alpha
+   (alpha < 1 lifts low-resource languages). The whole computation is
+   one token-count aggregate over the corpus followed by arithmetic on
+   L rows — at 100 TB the heavy part is the single scan; the smoothing
+   itself is constant-size.
+2. **Length-bucket batching stats** (the dynamic-batching planner):
+   bucket documents by power-of-two token length, then report per
+   bucket how many sequences, how much padding a [batch, cap] tensor
+   would waste, and how many fixed-size batches result. Bucket
+   assignment is a pure codegen'd CASE ladder on one derived column —
+   no shuffle beyond the final per-bucket aggregate.
+
+The reference has no training-prep surface (ingest-only,
+/root/reference/README.md:58-72); these extend the north-star pipeline
+over ``documents``. Both oracles use integer-exact bucket math and
+round the float shares so the hashes are engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+ALPHA = 0.3
+BATCH = 32
+
+# power-of-two CASE ladder (integer-exact in both engines; float LOG2
+# near integer boundaries is libm-dependent, so we never use it)
+_BUCKET_SQL = """CASE WHEN tok_len <= 16 THEN 16 WHEN tok_len <= 32 THEN 32
+    WHEN tok_len <= 64 THEN 64 WHEN tok_len <= 128 THEN 128
+    WHEN tok_len <= 256 THEN 256 ELSE 512 END"""
+
+
+@query(
+    "lang_temperature_resample",
+    oracle=f"""
+    WITH per_lang AS (
+        SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_count
+        FROM documents GROUP BY lang
+    ),
+    p AS (
+        SELECT lang, tok_count,
+               CAST(tok_count AS DOUBLE) / SUM(tok_count) OVER () AS p_share
+        FROM per_lang
+    ),
+    pq AS (
+        SELECT lang, tok_count, p_share,
+               POWER(p_share, {ALPHA}) / SUM(POWER(p_share, {ALPHA})) OVER () AS q_share
+        FROM p
+    )
+    SELECT lang, tok_count,
+           ROUND(p_share, 6) AS p_share,
+           ROUND(q_share, 6) AS q_share,
+           ROUND(q_share / p_share, 6) AS resample_factor
+    FROM pq
+    ORDER BY lang
+    """,
+)
+def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling shares under temperature alpha=0.3.
+
+    One corpus scan reduces to L rows (token count per language); the
+    unpartitioned windows then run over those L rows only — the
+    single-partition window is on constant-size data, never the corpus.
+    resample_factor > 1 means the language is up-sampled."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.sum(F.size(F.split(F.col("text"), " "))).alias("tok_count"))
+    )
+    w = Window.partitionBy()
+    p = F.col("tok_count").cast("double") / F.sum("tok_count").over(w)
+    shares = toks.withColumn("p_share", p).withColumn(
+        "pa", F.pow(F.col("p_share"), F.lit(ALPHA))
+    )
+    q = F.col("pa") / F.sum("pa").over(w)
+    return (
+        shares.withColumn("q_share", q)
+        .select(
+            "lang",
+            "tok_count",
+            F.round("p_share", 6).alias("p_share"),
+            F.round("q_share", 6).alias("q_share"),
+            F.round(F.col("q_share") / F.col("p_share"), 6).alias("resample_factor"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "length_bucket_batches",
+    oracle=f"""
+    WITH lens AS (
+        SELECT len(string_split(text, ' ')) AS tok_len FROM documents
+    ),
+    bucketed AS (SELECT tok_len, {_BUCKET_SQL} AS bucket_cap FROM lens)
+    SELECT bucket_cap,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok_len) AS BIGINT) AS total_tokens,
+           CAST(SUM(bucket_cap - tok_len) AS BIGINT) AS padding_tokens,
+           ROUND(CAST(SUM(bucket_cap - tok_len) AS DOUBLE)
+                 / (COUNT(*) * bucket_cap), 6) AS waste_frac,
+           CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / {BATCH}) AS BIGINT) AS n_batches
+    FROM bucketed
+    GROUP BY bucket_cap
+    ORDER BY bucket_cap
+    """,
+)
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching plan: power-of-two length buckets with padding
+    waste and batch counts.
+
+    The bucket id is an integer CASE ladder (no float log2 — libm
+    rounding near powers of two differs across engines), evaluated
+    inside whole-stage codegen; the only shuffle is the 6-ish-row
+    bucket aggregate."""
+    lens = table(spark, sf_dir, "documents").select(
+        F.size(F.split(F.col("text"), " ")).alias("tok_len")
+    )
+    bucketed = lens.withColumn("bucket_cap", F.expr(_BUCKET_SQL))
+    return (
+        bucketed.groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok_len").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("bucket_cap") - F.col("tok_len"))
+            .cast("bigint")
+            .alias("padding_tokens"),
+            F.round(
+                F.sum(F.col("bucket_cap") - F.col("tok_len")).cast("double")
+                / (F.count(F.lit(1)) * F.first("bucket_cap")),
+                6,
+            ).alias("waste_frac"),
+            F.ceil(F.count(F.lit(1)).cast("double") / F.lit(BATCH))
+            .cast("bigint")
+            .alias("n_batches"),
+        )
+        .orderBy("bucket_cap")
+    )

@@ -1,0 +1,190 @@
+"""Retrieval-evaluation metrics: NDCG@k, MRR@k, recall@k over a ranked run.
+
+A retrieval/embedding pipeline is only as good as its eval loop, and at
+corpus scale the eval itself is a distributed job: score every
+(query, candidate) pair the run produced, join ground-truth labels, and
+reduce to per-query ranking metrics. The shapes here are the standard
+ones (TREC eval / BEIR):
+
+- **Ranking** comes from exact cosine against each query vector. The
+  query set is tiny (``N_QUERIES`` vectors) and rides a broadcast; the
+  candidate corpus streams through one scan per metric family — scoring
+  is dot/norm arithmetic inside whole-stage codegen, never a UDF.
+- **Ground truth** is label equality (``embeddings.label``), the usual
+  proxy when explicit qrels are absent.
+- **Determinism**: ranks order by ``(ROUND(cosine, 6) DESC, vec_id)`` in
+  BOTH engines, so float noise below 1e-6 cannot flip a rank and the
+  DuckDB oracle reproduces the run bit-for-bit.
+
+At 100 TB the plan is unchanged: Q queries broadcast against the corpus
+scan (no shuffle of the corpus), per-query TakeOrdered keeps k rows, and
+the metric reduction touches Q*k rows — driver-side work is zero.
+
+The reference has no evaluation surface (it stops at ingest); these are
+north-star extension operators over the ``embeddings`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.vector import dot, l2_norm
+from ..registry import query
+
+N_QUERIES = 5  # vec_id 0..4 act as queries
+K = 10
+
+# Shared ranked-run CTE: per query, candidates ranked by rounded cosine.
+_RUN_CTE = f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.qid, q.qlabel, e.vec_id, e.label,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id >= {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT qid, qlabel, vec_id, label, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored
+    ),
+    nrel AS (
+        SELECT qid, COUNT(*) AS n_rel
+        FROM scored WHERE label = qlabel GROUP BY qid
+    )
+"""
+
+
+def _ranked_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, qlabel, vec_id, label, cosine, rnk) for every candidate.
+
+    Queries broadcast (N_QUERIES rows); candidates never shuffle before
+    the per-query ranking window, which partitions on qid — Q partitions,
+    each a corpus-sized sort only because we rank the FULL run here for
+    metric exactness. The k-truncated variants below cut that to
+    TakeOrdered per query."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    cand = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "qlabel",
+        "vec_id",
+        "label",
+        F.round(
+            dot("emb", F.col("qv")) / (l2_norm("emb") * l2_norm(F.col("qv"))), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w))
+
+
+@query(
+    "eval_ndcg_at_k",
+    oracle=_RUN_CTE
+    + f"""
+    SELECT r.qid,
+           ROUND(SUM(CASE WHEN r.rnk <= {K} AND r.label = r.qlabel
+                          THEN 1.0 / LOG2(r.rnk + 1) ELSE 0 END)
+                 / MAX(i.idcg), 6) AS ndcg_at_k
+    FROM ranked r
+    JOIN (SELECT n.qid,
+                 SUM(1.0 / LOG2(gs.g + 1)) AS idcg
+          FROM nrel n, generate_series(1, {K}) AS gs(g)
+          WHERE gs.g <= LEAST(n.n_rel, {K})
+          GROUP BY n.qid) i ON i.qid = r.qid
+    GROUP BY r.qid
+    ORDER BY r.qid
+    """,
+)
+def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-relevance NDCG@10 per query over the exact-cosine run.
+
+    DCG accumulates 1/log2(rank+1) over relevant hits in the top k; the
+    ideal DCG closed form needs only n_rel (one count per query), so no
+    second ranking pass exists. Everything after the scored scan touches
+    Q*k + Q rows."""
+    run = _ranked_run(spark, sf_dir)
+    dcg = run.filter(F.col("rnk") <= K).groupBy("qid").agg(
+        F.sum(
+            F.when(
+                F.col("label") == F.col("qlabel"),
+                F.lit(1.0) / F.log2(F.col("rnk") + F.lit(1)),
+            ).otherwise(F.lit(0.0))
+        ).alias("dcg")
+    )
+    # closed-form IDCG from n_rel: sum_{r=1..min(n_rel,k)} 1/log2(r+1)
+    nrel = (
+        run.filter(F.col("label") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    idcg = nrel.select(
+        "qid",
+        F.aggregate(
+            F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(K)).cast("int")),
+            F.lit(0.0),
+            lambda acc, r: acc + F.lit(1.0) / F.log2(r.cast("double") + F.lit(1.0)),
+        ).alias("idcg"),
+    )
+    return (
+        dcg.join(F.broadcast(idcg), "qid")
+        .select("qid", F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"))
+        .orderBy("qid")
+    )
+
+
+@query(
+    "eval_mrr_recall_at_k",
+    oracle=_RUN_CTE
+    + f"""
+    SELECT r.qid,
+           ROUND(COALESCE(MAX(CASE WHEN r.label = r.qlabel AND r.rnk <= {K}
+                                   THEN 1.0 / r.rnk END), 0), 6) AS mrr_at_k,
+           ROUND(CAST(SUM(CASE WHEN r.label = r.qlabel AND r.rnk <= {K}
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / LEAST(MAX(n.n_rel), {K}), 6) AS recall_at_k
+    FROM ranked r JOIN nrel n ON n.qid = r.qid
+    GROUP BY r.qid
+    ORDER BY r.qid
+    """,
+)
+def eval_mrr_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 and (capped) recall@10 per query, one aggregate over the run.
+
+    MRR is MAX(1/rank) over relevant top-k hits — no per-query argmin
+    pass; recall divides top-k hits by min(n_rel, k) so a query with 50
+    relevant docs is not penalized for a k=10 cutoff."""
+    run = _ranked_run(spark, sf_dir)
+    hit = (F.col("label") == F.col("qlabel")) & (F.col("rnk") <= K)
+    agg = run.groupBy("qid").agg(
+        F.round(
+            F.coalesce(
+                F.max(F.when(hit, F.lit(1.0) / F.col("rnk"))), F.lit(0.0)
+            ),
+            6,
+        ).alias("mrr_at_k"),
+        F.sum(F.when(hit, 1).otherwise(0)).alias("hits"),
+        F.sum(F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)).alias(
+            "n_rel"
+        ),
+    )
+    return agg.select(
+        "qid",
+        "mrr_at_k",
+        F.round(
+            F.col("hits").cast("double") / F.least(F.col("n_rel"), F.lit(K)), 6
+        ).alias("recall_at_k"),
+    ).orderBy("qid")

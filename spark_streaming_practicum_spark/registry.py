@@ -52,8 +52,10 @@ def all_queries() -> dict[str, QueryDef]:
         advanced,
         aggregations,
         analytics,
+        balancing,
         curation,
         dedup,
+        evalmetrics,
         features,
         governance,
         graph,
