@@ -781,3 +781,90 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- paragraph-level exact dedup (CCNet) ------------------------------------
+
+_PARA_WORDS = 16
+
+
+@query(
+    "dedup_paragraph_exact",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    ch AS (
+        SELECT doc_id, i AS chunk_idx,
+               md5(array_to_string(ws[i*{_PARA_WORDS}+1 : i*{_PARA_WORDS}+{_PARA_WORDS}], ' ')) AS h
+        FROM w, unnest(generate_series(0,
+                 CAST(CEIL(len(ws) / {_PARA_WORDS}.0) AS INT) - 1)) AS t(i)
+    ),
+    kept AS (
+        SELECT doc_id, chunk_idx,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+        FROM ch
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_paragraphs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_paragraphs,
+           ROUND(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS kept_frac
+    FROM kept
+    GROUP BY doc_id
+    HAVING CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) < COUNT(*)
+    ORDER BY doc_id
+    """,
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup: drop repeated paragraphs
+    corpus-wide, keep the first occurrence, report per-doc survival.
+
+    CCNet (Wenzek et al.) dedups at PARAGRAPH granularity before any
+    doc-level fuzzy pass — boilerplate repeats across pages while the
+    surrounding documents differ, so doc-level hashes miss it. The
+    synthetic corpus has no newlines, so a "paragraph" here is a fixed
+    16-word segment (the operator under test is the corpus-wide
+    first-occurrence machinery, not sentence splitting).
+
+    Scale shape: one shuffle on the paragraph hash (128-bit md5 — no
+    birthday collisions at 100 TB), where a ROW_NUMBER window ordered by
+    (doc_id, chunk_idx) marks the canonical copy; one shuffle back on
+    doc_id for the survival rollup. Segment text itself never shuffles —
+    only (hash, doc_id, chunk_idx) triples. Output lists only docs that
+    actually lost a paragraph (the interesting rows at audit time)."""
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    n_chunks = F.ceil(F.size("ws") / F.lit(float(_PARA_WORDS))).cast("int")
+    ch = w.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda i: F.md5(
+                    F.array_join(
+                        F.slice(F.col("ws"), i * _PARA_WORDS + 1, _PARA_WORDS), " "
+                    )
+                ),
+            )
+        ).alias("chunk_idx", "h"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    )
+    kept = ch.withColumn("rn", rn)
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("kept_paragraphs"),
+            F.round(
+                F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("kept_frac"),
+        )
+        .filter(F.col("kept_paragraphs") < F.col("n_paragraphs"))
+        .orderBy("doc_id")
+    )

@@ -20,7 +20,7 @@ concern is a declarative DataFrame plan:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -361,4 +361,72 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_rows_at_risk"),
         F.min("group_size").alias("min_group_size"),
         (violating == 0).alias("k_anonymous"),
+    )
+
+
+# --- small-file compaction planning ------------------------------------------
+
+_BIN_BYTES = 4096
+
+
+@query(
+    "compaction_bin_packing",
+    oracle=f"""
+    WITH files AS (
+        SELECT source, lang, doc_id, n_chars AS bytes FROM documents),
+    packed AS (
+        SELECT source, lang, doc_id, bytes,
+               CAST(FLOOR((SUM(bytes) OVER (PARTITION BY source, lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes)
+                    / {_BIN_BYTES}.0) AS BIGINT) AS bin_id
+        FROM files)
+    SELECT source, lang, bin_id,
+           COUNT(*) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+           ROUND(CAST(SUM(bytes) AS DOUBLE) / {_BIN_BYTES}, 6) AS fill_frac
+    FROM packed
+    GROUP BY source, lang, bin_id
+    ORDER BY source, lang, bin_id
+    """,
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: next-fit binning of per-partition file
+    inventories into ~target-sized merge groups.
+
+    The OPTIMIZE/compaction planner every streaming lakehouse needs
+    (this repo's micro-batch parquet sink writes a file per trigger per
+    partition — see streaming/maintenance.py): given a file inventory
+    keyed by partition, assign consecutive files to merge bins of
+    ~_BIN_BYTES via a running cumulative sum — bin_id is
+    floor(cumsum_before / target), so each bin fills to at least the
+    target before a new one opens (classic next-fit, one window pass,
+    no iteration). One shuffle on the partition key; planning is
+    O(files), metadata-sized — never touches file contents. Documents
+    stand in for the file inventory (doc_id = file, n_chars = size);
+    against a real lakehouse the same plan runs over the table's
+    file-listing DataFrame."""
+    files = table(spark, sf_dir, "documents").select(
+        "source", "lang", "doc_id", F.col("n_chars").alias("bytes")
+    )
+    w = (
+        Window.partitionBy("source", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = files.withColumn(
+        "bin_id",
+        F.floor((F.sum("bytes").over(w) - F.col("bytes")) / _BIN_BYTES).cast(
+            "bigint"
+        ),
+    )
+    return (
+        packed.groupBy("source", "lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("bytes_total"),
+            F.round(F.sum("bytes").cast("double") / _BIN_BYTES, 6).alias(
+                "fill_frac"
+            ),
+        )
+        .orderBy("source", "lang", "bin_id")
     )

@@ -220,3 +220,263 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cov.orderBy(
         F.abs(F.col("cov")).desc(), F.col("dim_i").asc(), F.col("dim_j").asc()
     ).limit(15)
+
+
+# --- PCA: top principal component via power iteration ------------------------
+
+_PI_D = 64
+_PI_ITERS = 3
+_PI_V0 = 0.125  # 1/sqrt(64): uniform unit start vector
+
+
+def _pi_oracle() -> str:
+    """Unrolled power iteration as chained CTEs (the pagerank/k-means
+    oracle technique): covariance from the per-dimension explode, then
+    ITERS matrix-vector products each followed by L2 normalization."""
+    ctes = [
+        """dims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+        FROM embeddings)""",
+        """cov AS (
+        SELECT a.i AS i, b.i AS j, covar_pop(a.v, b.v) AS c
+        FROM dims a JOIN dims b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i)""",
+        f"v0 AS (SELECT DISTINCT i AS j, {_PI_V0} AS vj FROM dims)",
+    ]
+    for t in range(1, _PI_ITERS + 1):
+        ctes.append(
+            f"""u{t} AS (
+        SELECT cov.i, SUM(cov.c * v{t-1}.vj) AS u
+        FROM cov JOIN v{t-1} ON cov.j = v{t-1}.j
+        GROUP BY cov.i)"""
+        )
+        ctes.append(
+            f"""v{t} AS (
+        SELECT i AS j, u / SQRT(SUM(u * u) OVER ()) AS vj FROM u{t})"""
+        )
+    last = f"v{_PI_ITERS}"
+    return f"""
+    WITH {",".join(ctes)},
+    signed AS (
+        SELECT j, vj,
+               FIRST_VALUE(CASE WHEN vj >= 0 THEN 1 ELSE -1 END)
+                   OVER (ORDER BY ABS(vj) DESC, j) AS s
+        FROM {last})
+    SELECT CAST(j - 1 AS INT) AS dim, ROUND(vj * s, 5) AS weight
+    FROM signed ORDER BY dim
+    """
+
+
+@query("pca_power_iteration_top_pc", oracle=_pi_oracle())
+def pca_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance via 3 power
+    iterations — PCA/whitening's first step, fully relational.
+
+    Scale split: the ONLY corpus-sized work is the covariance build,
+    which reuses the Gram-partial mapInPandas reduction from
+    embedding_covariance_topk (one numpy X^T X per Arrow batch; the
+    shuffle carries O(partitions * d^2) partials, never O(n * d^2)
+    exploded cells). Every subsequent step — the d^2-row matrix-vector
+    products, the d-row normalizations — is constant-size regardless of
+    corpus, so iterations add zero corpus scans. The cov matrix is
+    persisted across the 3 iterations.
+
+    Determinism: fixed uniform start vector, fixed iteration count
+    (convergence is irrelevant to parity — both engines take the same 3
+    steps), sign fixed by making the largest-|weight| component
+    positive, output rounded to 5 dp (double-precision covariance
+    discrepancies between numpy GEMM and DuckDB covar_pop sit ~1e-12)."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partials(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            g = x.T @ x
+            s = x.sum(axis=0)
+            n = float(len(pdf))
+            iu, ju = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "sxy": g[iu, ju],
+                    "sx": s[iu],
+                    "sy": s[ju],
+                    "n": np.full(len(iu), n),
+                }
+            )
+
+    tot = (
+        e.mapInPandas(
+            gram_partials,
+            schema="i int, j int, sxy double, sx double, sy double, n double",
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("sxy").alias("sxy"),
+            F.sum("sx").alias("sx"),
+            F.sum("sy").alias("sy"),
+            F.sum("n").alias("n"),
+        )
+    )
+    c = (
+        F.col("sxy") / F.col("n")
+        - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+    ).alias("c")
+    upper = tot.select("i", "j", c)
+    # mirror the strict upper triangle; diagonal appears exactly once
+    cov = upper.unionByName(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    ).persist()
+
+    v = spark.createDataFrame(
+        [(j, _PI_V0) for j in range(_PI_D)], "j int, vj double"
+    )
+    wall = Window.partitionBy()
+    for _ in range(_PI_ITERS):
+        u = (
+            cov.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("vj")).alias("u"))
+        )
+        v = u.select(
+            F.col("i").alias("j"),
+            (F.col("u") / F.sqrt(F.sum(F.col("u") * F.col("u")).over(wall))).alias(
+                "vj"
+            ),
+        )
+    sign = F.first(
+        F.when(F.col("vj") >= 0, F.lit(1)).otherwise(F.lit(-1))
+    ).over(Window.partitionBy().orderBy(F.abs(F.col("vj")).desc(), F.col("j")))
+    return (
+        v.withColumn("s", sign)
+        .select(
+            F.col("j").cast("int").alias("dim"),
+            F.round(F.col("vj") * F.col("s"), 5).alias("weight"),
+        )
+        .orderBy("dim")
+    )
+
+
+# --- logistic regression: full-batch gradient descent ------------------------
+
+
+@query(
+    "logreg_gd_two_steps",
+    oracle="""
+    WITH f AS (
+        SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2, 1.0 AS x3,
+               CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+        FROM lineitem),
+    g1 AS (SELECT AVG((0.5 - y) * x1) AS g1, AVG((0.5 - y) * x2) AS g2,
+                  AVG((0.5 - y) * x3) AS g3 FROM f),
+    w1 AS (SELECT -g1 AS a, -g2 AS b, -g3 AS c FROM g1),
+    gs2 AS (
+        SELECT AVG((1 / (1 + EXP(-(w1.a * x1 + w1.b * x2 + w1.c * x3))) - y) * x1) AS g1,
+               AVG((1 / (1 + EXP(-(w1.a * x1 + w1.b * x2 + w1.c * x3))) - y) * x2) AS g2,
+               AVG((1 / (1 + EXP(-(w1.a * x1 + w1.b * x2 + w1.c * x3))) - y) * x3) AS g3
+        FROM f, w1),
+    w2 AS (SELECT w1.a - gs2.g1 AS a, w1.b - gs2.g2 AS b, w1.c - gs2.g3 AS c
+           FROM w1, gs2),
+    scored AS (
+        SELECT y, 1 / (1 + EXP(-(w2.a * x1 + w2.b * x2 + w2.c * x3))) AS p,
+               w2.a, w2.b, w2.c
+        FROM f, w2)
+    SELECT ROUND(a, 6) AS w_quantity, ROUND(b, 6) AS w_discount,
+           ROUND(c, 6) AS w_bias,
+           ROUND(-AVG(y * LN(p) + (1 - y) * LN(1 - p)), 6) AS log_loss,
+           ROUND(AVG(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END), 6)
+               AS accuracy
+    FROM scored GROUP BY a, b, c
+    """,
+)
+def logreg_gd_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full-batch gradient-descent steps of logistic regression
+    (predict l_returnflag = 'R' from quantity/discount), pure DataFrame.
+
+    The distributed-training shape without any ML runtime: each GD step
+    is ONE aggregate over the feature scan producing a d-row gradient
+    (map-side partial sums; the shuffle carries d values per partition),
+    and the updated weight vector re-enters the next step as a broadcast
+    one-row build side — never a collect, never a driver round-trip, so
+    the whole 2-step + eval pipeline is a single lazy plan. At 100 TB
+    per step reads the corpus once; d stays constant.
+
+    Determinism: fixed start w=0 (first gradient closed-form in 0.5-y),
+    lr=1.0, fixed two steps; sigmoid/log arithmetic is double in both
+    engines, averages divide like-ordered sums over identical row sets,
+    and outputs round to 6 dp (accumulated libm/sum-order noise sits
+    ~1e-11)."""
+    li = table(spark, sf_dir, "lineitem")
+    f = li.select(
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        F.lit(1.0).alias("x3"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+    ).persist()
+
+    # step 1: w = 0 -> sigmoid(0) = 0.5 exactly; gradient is avg((0.5-y)*x)
+    r = F.lit(0.5) - F.col("y")
+    w1 = f.agg(
+        (-F.avg(r * F.col("x1"))).alias("a"),
+        (-F.avg(r * F.col("x2"))).alias("b"),
+        (-F.avg(r * F.col("x3"))).alias("c"),
+    )
+
+    def margin(a, b, c):
+        return a * F.col("x1") + b * F.col("x2") + c * F.col("x3")
+
+    def sigmoid(z):
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+    # step 2: broadcast the 1-row weight vector, one aggregate for the gradient
+    p1 = sigmoid(margin(F.col("a"), F.col("b"), F.col("c")))
+    g2 = (
+        f.crossJoin(F.broadcast(w1))
+        .agg(
+            F.avg((p1 - F.col("y")) * F.col("x1")).alias("g1"),
+            F.avg((p1 - F.col("y")) * F.col("x2")).alias("g2"),
+            F.avg((p1 - F.col("y")) * F.col("x3")).alias("g3"),
+            F.first("a").alias("a"),
+            F.first("b").alias("b"),
+            F.first("c").alias("c"),
+        )
+    )
+    w2 = g2.select(
+        (F.col("a") - F.col("g1")).alias("a"),
+        (F.col("b") - F.col("g2")).alias("b"),
+        (F.col("c") - F.col("g3")).alias("c"),
+    )
+    # eval pass: log-loss + accuracy under the final weights
+    p2 = sigmoid(margin(F.col("a"), F.col("b"), F.col("c")))
+    correct = (p2 >= 0.5) == (F.col("y") == 1.0)
+    return (
+        f.crossJoin(F.broadcast(w2))
+        .groupBy("a", "b", "c")
+        .agg(
+            F.round(
+                -F.avg(
+                    F.col("y") * F.log(p2) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p2)
+                ),
+                6,
+            ).alias("log_loss"),
+            F.round(
+                F.avg(F.when(correct, 1.0).otherwise(0.0)), 6
+            ).alias("accuracy"),
+        )
+        .select(
+            F.round("a", 6).alias("w_quantity"),
+            F.round("b", 6).alias("w_discount"),
+            F.round("c", 6).alias("w_bias"),
+            "log_loss",
+            "accuracy",
+        )
+    )
