@@ -324,6 +324,10 @@ def pca_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sy").alias("sy"),
             F.sum("n").alias("n"),
         )
+        # cache BEFORE the symmetric mirror: the union below references
+        # this lineage twice, and the 3 iterations re-join it — with the
+        # cache boundary here the corpus parquet is scanned exactly once
+        .persist()
     )
     c = (
         F.col("sxy") / F.col("n")
@@ -335,7 +339,7 @@ def pca_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "c"
         )
-    ).persist()
+    )
 
     v = spark.createDataFrame(
         [(j, _PI_V0) for j in range(_PI_D)], "j int, vj double"
