@@ -429,3 +429,83 @@ def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(norm), 6).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+# --- experimentation: Welch's t-test -----------------------------------------
+
+
+@query(
+    "ab_test_welch_ttest",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id % 2 AS arm, value
+        FROM events WHERE event_type = 'purchase'),
+    stats AS (
+        SELECT arm, COUNT(*) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
+        FROM assigned GROUP BY arm),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+            MAX(CASE WHEN arm = 0 THEN m END) AS m0,
+            MAX(CASE WHEN arm = 0 THEN v END) AS v0,
+            MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+            MAX(CASE WHEN arm = 1 THEN m END) AS m1,
+            MAX(CASE WHEN arm = 1 THEN v END) AS v1
+        FROM stats)
+    SELECT n0, n1,
+           ROUND(m0, 6) AS mean_control,
+           ROUND(m1, 6) AS mean_treatment,
+           ROUND(m1 - m0, 6) AS lift,
+           ROUND((m1 - m0) / SQRT(v1 / n1 + v0 / n0), 6) AS t_stat,
+           ROUND(POWER(v1 / n1 + v0 / n0, 2)
+                 / (POWER(v1 / n1, 2) / (n1 - 1) + POWER(v0 / n0, 2) / (n0 - 1)),
+                 6) AS welch_df
+    FROM wide
+    """,
+)
+def ab_test_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test over a hash-assigned experiment:
+    purchase value, arms split by user_id parity.
+
+    The experimentation readout at any scale is ONE aggregate: each arm
+    reduces to (n, mean, var_samp) with map-side partials, the 2-row
+    result pivots to a single row, and the t statistic plus
+    Welch-Satterthwaite degrees of freedom are closed-form arithmetic
+    on those six numbers. Deterministic assignment (user_id % 2) is the
+    same bucketing a real experimentation system derives from a user-id
+    hash, and makes the oracle exact."""
+    assigned = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select((F.col("user_id") % 2).alias("arm"), "value")
+    )
+    stats = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    wide = stats.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("m"))).alias("m0"),
+        F.max(F.when(F.col("arm") == 0, F.col("v"))).alias("v0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("arm") == 1, F.col("v"))).alias("v1"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0")
+    return wide.select(
+        "n0",
+        "n1",
+        F.round("m0", 6).alias("mean_control"),
+        F.round("m1", 6).alias("mean_treatment"),
+        F.round(F.col("m1") - F.col("m0"), 6).alias("lift"),
+        F.round((F.col("m1") - F.col("m0")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v0") / F.col("n0"), 2) / (F.col("n0") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )

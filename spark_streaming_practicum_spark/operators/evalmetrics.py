@@ -188,3 +188,49 @@ def eval_mrr_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hits").cast("double") / F.least(F.col("n_rel"), F.lit(K)), 6
         ).alias("recall_at_k"),
     ).orderBy("qid")
+
+
+@query(
+    "eval_knn_label_accuracy",
+    oracle=_RUN_CTE
+    + f"""
+    , votes AS (
+        SELECT qid, qlabel, label, COUNT(*) AS n_votes
+        FROM ranked WHERE rnk <= {K}
+        GROUP BY qid, qlabel, label
+    )
+    SELECT qid, qlabel, label AS predicted_label, n_votes,
+           (label = qlabel) AS correct
+    FROM votes
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY n_votes DESC, label) = 1
+    ORDER BY qid
+    """,
+)
+def eval_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification eval: majority label among the top-k cosine
+    neighbors vs the query's own label.
+
+    The closed loop for embedding-quality monitoring — if k-NN accuracy
+    over held-out labels drops after a retrain, the embedding regressed.
+    Adds one Q*k-row vote count + one Q-partition argmax window on top
+    of the shared ranked run; ties break on the smaller label id in
+    both engines."""
+    run = _ranked_run(spark, sf_dir)
+    votes = (
+        run.filter(F.col("rnk") <= K)
+        .groupBy("qid", "qlabel", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("n_votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            "qlabel",
+            F.col("label").alias("predicted_label"),
+            "n_votes",
+            (F.col("label") == F.col("qlabel")).alias("correct"),
+        )
+        .orderBy("qid")
+    )

@@ -372,10 +372,8 @@ def pca_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- logistic regression: full-batch gradient descent ------------------------
 
-
-@query(
-    "logreg_gd_two_steps",
-    oracle="""
+# shared CTE chain: features -> 2 unrolled GD steps -> per-row score
+_LOGREG_CTES = """
     WITH f AS (
         SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2, 1.0 AS x3,
                CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
@@ -394,6 +392,66 @@ def pca_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT y, 1 / (1 + EXP(-(w2.a * x1 + w2.b * x2 + w2.c * x3))) AS p,
                w2.a, w2.b, w2.c
         FROM f, w2)
+"""
+
+
+def _logreg_margin(a, b, c):
+    return a * F.col("x1") + b * F.col("x2") + c * F.col("x3")
+
+
+def _logreg_sigmoid(z):
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def _logreg_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(y, p, a, b, c) per training row after two broadcast-GD steps —
+    the Spark mirror of the ``scored`` CTE above. The feature frame is
+    persisted (the two gradient passes + the caller's eval pass reuse
+    it); weight vectors flow as broadcast one-row joins, never a
+    collect."""
+    li = table(spark, sf_dir, "lineitem")
+    f = li.select(
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        F.lit(1.0).alias("x3"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+    ).persist()
+
+    # step 1: w = 0 -> sigmoid(0) = 0.5 exactly; gradient is avg((0.5-y)*x)
+    r = F.lit(0.5) - F.col("y")
+    w1 = f.agg(
+        (-F.avg(r * F.col("x1"))).alias("a"),
+        (-F.avg(r * F.col("x2"))).alias("b"),
+        (-F.avg(r * F.col("x3"))).alias("c"),
+    )
+    # step 2: broadcast the 1-row weight vector, one aggregate for the gradient
+    p1 = _logreg_sigmoid(_logreg_margin(F.col("a"), F.col("b"), F.col("c")))
+    g2 = (
+        f.crossJoin(F.broadcast(w1))
+        .agg(
+            F.avg((p1 - F.col("y")) * F.col("x1")).alias("g1"),
+            F.avg((p1 - F.col("y")) * F.col("x2")).alias("g2"),
+            F.avg((p1 - F.col("y")) * F.col("x3")).alias("g3"),
+            F.first("a").alias("a"),
+            F.first("b").alias("b"),
+            F.first("c").alias("c"),
+        )
+    )
+    w2 = g2.select(
+        (F.col("a") - F.col("g1")).alias("a"),
+        (F.col("b") - F.col("g2")).alias("b"),
+        (F.col("c") - F.col("g3")).alias("c"),
+    )
+    p2 = _logreg_sigmoid(_logreg_margin(F.col("a"), F.col("b"), F.col("c")))
+    return f.crossJoin(F.broadcast(w2)).select(
+        "y", p2.alias("p"), "a", "b", "c"
+    )
+
+
+@query(
+    "logreg_gd_two_steps",
+    oracle=_LOGREG_CTES
+    + """
     SELECT ROUND(a, 6) AS w_quantity, ROUND(b, 6) AS w_discount,
            ROUND(c, 6) AS w_bias,
            ROUND(-AVG(y * LN(p) + (1 - y) * LN(1 - p)), 6) AS log_loss,
@@ -419,56 +477,15 @@ def logreg_gd_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, averages divide like-ordered sums over identical row sets,
     and outputs round to 6 dp (accumulated libm/sum-order noise sits
     ~1e-11)."""
-    li = table(spark, sf_dir, "lineitem")
-    f = li.select(
-        (F.col("l_quantity") / 50.0).alias("x1"),
-        (F.col("l_discount") * 10.0).alias("x2"),
-        F.lit(1.0).alias("x3"),
-        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
-    ).persist()
-
-    # step 1: w = 0 -> sigmoid(0) = 0.5 exactly; gradient is avg((0.5-y)*x)
-    r = F.lit(0.5) - F.col("y")
-    w1 = f.agg(
-        (-F.avg(r * F.col("x1"))).alias("a"),
-        (-F.avg(r * F.col("x2"))).alias("b"),
-        (-F.avg(r * F.col("x3"))).alias("c"),
-    )
-
-    def margin(a, b, c):
-        return a * F.col("x1") + b * F.col("x2") + c * F.col("x3")
-
-    def sigmoid(z):
-        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-
-    # step 2: broadcast the 1-row weight vector, one aggregate for the gradient
-    p1 = sigmoid(margin(F.col("a"), F.col("b"), F.col("c")))
-    g2 = (
-        f.crossJoin(F.broadcast(w1))
-        .agg(
-            F.avg((p1 - F.col("y")) * F.col("x1")).alias("g1"),
-            F.avg((p1 - F.col("y")) * F.col("x2")).alias("g2"),
-            F.avg((p1 - F.col("y")) * F.col("x3")).alias("g3"),
-            F.first("a").alias("a"),
-            F.first("b").alias("b"),
-            F.first("c").alias("c"),
-        )
-    )
-    w2 = g2.select(
-        (F.col("a") - F.col("g1")).alias("a"),
-        (F.col("b") - F.col("g2")).alias("b"),
-        (F.col("c") - F.col("g3")).alias("c"),
-    )
-    # eval pass: log-loss + accuracy under the final weights
-    p2 = sigmoid(margin(F.col("a"), F.col("b"), F.col("c")))
-    correct = (p2 >= 0.5) == (F.col("y") == 1.0)
+    scored = _logreg_scored(spark, sf_dir)
+    correct = (F.col("p") >= 0.5) == (F.col("y") == 1.0)
     return (
-        f.crossJoin(F.broadcast(w2))
-        .groupBy("a", "b", "c")
+        scored.groupBy("a", "b", "c")
         .agg(
             F.round(
                 -F.avg(
-                    F.col("y") * F.log(p2) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p2)
+                    F.col("y") * F.log("p")
+                    + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - F.col("p"))
                 ),
                 6,
             ).alias("log_loss"),
@@ -483,4 +500,41 @@ def logreg_gd_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_loss",
             "accuracy",
         )
+    )
+
+
+@query(
+    "logreg_calibration_bins",
+    oracle=_LOGREG_CTES
+    + """
+    SELECT CAST(FLOOR(p * 20) AS BIGINT) AS bin_id,
+           COUNT(*) AS n,
+           ROUND(AVG(p), 6) AS mean_predicted,
+           ROUND(AVG(y), 6) AS frac_positive
+    FROM scored
+    GROUP BY bin_id
+    ORDER BY bin_id
+    """,
+)
+def logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the trained model: predicted-probability
+    ventiles vs observed positive rate.
+
+    The standard post-training calibration audit, sharing the whole GD
+    pipeline with logreg_gd_two_steps — one extra hash aggregate over
+    the scored rows (20 output bins), nothing corpus-sized beyond the
+    feature scan. Bin edges are FLOOR(p * 20): predicted probabilities
+    sit well inside bins (p is a smooth function of two bounded
+    features), so 1-ulp engine noise cannot cross an edge."""
+    scored = _logreg_scored(spark, sf_dir)
+    return (
+        scored.groupBy(
+            F.floor(F.col("p") * 20).cast("bigint").alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p"), 6).alias("mean_predicted"),
+            F.round(F.avg("y"), 6).alias("frac_positive"),
+        )
+        .orderBy("bin_id")
     )
