@@ -76,6 +76,12 @@ HEADLINE = [
     "contrastive_pair_mining",
     "sft_pack_conversations",
     "url_canonicalize_dedup",
+    # round-2 continuation: eval metrics, balancing, iterative ML
+    "eval_ndcg_at_k",
+    "dedup_paragraph_exact",
+    "pca_power_iteration_top_pc",
+    "logreg_gd_two_steps",
+    "lang_temperature_resample",
 ]
 
 

@@ -509,3 +509,100 @@ def ab_test_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_df"),
     )
+
+
+# --- survival analysis: Kaplan-Meier -----------------------------------------
+
+_KM_HORIZON = 365
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle=f"""
+    WITH durations AS (
+        SELECT datediff('day', o.o_orderdate, l.l_shipdate) AS t,
+               CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0 END AS ev
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE datediff('day', o.o_orderdate, l.l_shipdate) BETWEEN 0 AND {_KM_HORIZON}),
+    per_t AS (
+        SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM durations GROUP BY t),
+    risk AS (
+        SELECT t, d, c,
+               SUM(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - (d + c) AS removed_before,
+               SUM(d + c) OVER () AS total
+        FROM per_t),
+    km AS (
+        SELECT t, d, c, total - removed_before AS n_at_risk,
+               EXP(SUM(LN(1 - CAST(d AS DOUBLE) / (total - removed_before)))
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)) AS s
+        FROM risk)
+    SELECT t AS duration_days, d AS n_events, c AS n_censored,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           ROUND(s, 6) AS survival
+    FROM km
+    WHERE t % 30 = 0
+    ORDER BY t
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over order→ship latency ('F' lines are the
+    event, 'O' lines right-censored), fully relational.
+
+    The estimator's running product becomes EXP of a windowed SUM of
+    LN(1 - d/n) — one shuffle to the per-duration aggregate (≤366
+    rows), then windows over that constant-size frame; the at-risk
+    count is total minus a cumulative removal sum, no self-join. The
+    horizon filter guarantees n > d at every step, so LN never sees 0
+    (where Spark yields NULL but DuckDB -inf). Output sampled at
+    30-day marks for a stable audit surface."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        F.when(F.col("l_linestatus") == "F", 1).otherwise(0).alias("ev"),
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    dur = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.datediff("l_shipdate", "o_orderdate").alias("t"), "ev")
+        .filter((F.col("t") >= 0) & (F.col("t") <= _KM_HORIZON))
+    )
+    per_t = dur.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c"),
+    )
+    cum = (
+        Window.partitionBy()
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy()
+    risk = per_t.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(tot)
+            - (F.sum(F.col("d") + F.col("c")).over(cum) - (F.col("d") + F.col("c")))
+        ).alias("n_at_risk"),
+    )
+    s = F.exp(
+        F.sum(
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk"))
+        ).over(cum)
+    )
+    return (
+        risk.withColumn("s", s)
+        .filter(F.col("t") % 30 == 0)
+        .select(
+            F.col("t").alias("duration_days"),
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored"),
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            F.round("s", 6).alias("survival"),
+        )
+        .orderBy("duration_days")
+    )

@@ -26,10 +26,11 @@ positive).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.vector import dot, l2_norm
 from ..registry import query
 
 _TERMS = ("table", "spark", "hash")
@@ -86,6 +87,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row then rides a broadcast cross join into the scoring projection,
     and the top-k is a TakeOrderedAndProject. Adding terms widens the
     aggregate by two columns per term — the scan count stays 1."""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document matching ≥1 query term — the
+    one-scan conditional-aggregation plan described in text_bm25_topk."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
     per_doc = tok.groupBy("doc_id").agg(
@@ -114,6 +125,131 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.crossJoin(F.broadcast(consts))
         .filter(sum([F.col(f"tf_{i}") for i in range(1, len(_TERMS))], F.col("tf_0")) > 0)
         .select("doc_id", F.round(score, 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-        .limit(20)
+    )
+
+
+# --- hybrid retrieval: reciprocal rank fusion --------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 100
+_RRF_TOPN = 15
+
+# same lexical pipeline as text_bm25_topk's oracle, kept through the
+# per-doc score so a ranking window can run over it
+_BM25_SCORED_CTES = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    consts AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl
+        FROM dl),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tok
+        WHERE token IN {_TERMS!r}
+        GROUP BY doc_id, token),
+    df AS (
+        SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tf GROUP BY token),
+    lex_scored AS (
+        SELECT t.doc_id,
+               ROUND(SUM(
+                   LN((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * t.tf * ({_K1} + 1.0)
+                   / (t.tf + {_K1} * (1.0 - {_B} + {_B} * l.dl / c.avgdl))
+               ), 6) AS bm25
+        FROM tf t
+        JOIN df d USING (token)
+        JOIN dl l USING (doc_id)
+        CROSS JOIN consts c
+        GROUP BY t.doc_id)
+"""
+
+
+@query(
+    "hybrid_rrf_fusion",
+    oracle=_BM25_SCORED_CTES
+    + f"""
+    , lex AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM lex_scored WHERE doc_id <> 0
+        QUALIFY r <= {_RRF_DEPTH}),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    dense AS (
+        SELECT e.vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                   DESC, e.vec_id) AS r
+        FROM embeddings e, q WHERE e.vec_id <> 0
+        QUALIFY r <= {_RRF_DEPTH})
+    SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + l.r), 0)
+                 + COALESCE(1.0 / ({_RRF_K} + d.r), 0), 6) AS rrf_score
+    FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {_RRF_TOPN}
+    """,
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: reciprocal rank fusion of the BM25 lexical list and
+    the dense cosine list (the standard RAG first-stage combiner).
+
+    RRF fuses TOP-DEPTH TRUNCATED lists — that is what makes it scale:
+    each ranker reduces the corpus to _RRF_DEPTH (doc_id, rank) rows
+    (BM25 via the one-scan conditional aggregate, dense via one
+    broadcast-query scoring pass), and the fusion itself is a full-outer
+    join of two 100-row frames. A document missing from one list
+    contributes 0 from that list, per Cormack et al. Ranks order by the
+    6-dp-rounded score with doc_id tiebreak in both engines, so fusion
+    input is bit-identical. Query = terms {', '.join(_TERMS)} lexically,
+    vector 0 densely (its own row excluded from both lists)."""
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .filter(F.col("doc_id") != 0)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy().orderBy(F.col("bm25").desc(), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("r") <= _RRF_DEPTH)
+        .select("doc_id", "r")
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    cos = F.round(
+        dot("emb", F.col("qv")) / (l2_norm("emb") * l2_norm(F.col("qv"))), 6
+    )
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", cos.alias("cosine"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy().orderBy(F.col("cosine").desc(), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("r") <= _RRF_DEPTH)
+        .select("doc_id", "r")
+    )
+    fused = lex.withColumnRenamed("r", "r_lex").join(
+        dense.withColumnRenamed("r", "r_dense"), "doc_id", "full_outer"
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("r_dense")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select("doc_id", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(_RRF_TOPN)
     )

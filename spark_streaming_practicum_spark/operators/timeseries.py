@@ -342,3 +342,64 @@ def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.select(
         "event_type", "day", F.round(F.col("num") / F.col("den"), 6).alias("ewma")
     ).orderBy("event_type", "day")
+
+
+# --- autocorrelation of the daily volume series ------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "ts_acf_daily_volume",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY day),
+    lagged AS (
+        SELECT d.day, d.cnt, g.lag AS lag_k, p.cnt AS prev
+        FROM daily d, unnest(generate_series(1, {_ACF_MAX_LAG})) AS g(lag)
+        JOIN daily p ON p.day + to_days(CAST(g.lag AS INT)) = d.day)
+    SELECT lag_k, COUNT(prev) AS n_pairs,
+           ROUND(CORR(cnt, prev), 6) AS acf
+    FROM lagged
+    GROUP BY lag_k
+    ORDER BY lag_k
+    """,
+)
+def ts_acf_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily event volume at lags 1..7 — the
+    seasonality probe behind anomaly detectors and forecast features.
+
+    The corpus reduces to one row per day in a single aggregate; the
+    series is then replicated across the 7 lags (a constant-factor
+    explode of an already-tiny frame) and CALENDAR-shifted against
+    itself via a self-join on day + lag — positional LAG would silently
+    misalign across gaps in the series. Each lag's Pearson correlation
+    is one more hash aggregate over day-count rows; nothing
+    corpus-sized is joined or windowed."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    lags = daily.select(
+        "day", "cnt", F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))).alias("lag_k")
+    )
+    # a variable lag count isn't expressible as a window (the shift is
+    # per-row), so the shift is a calendar self-join on the tiny daily frame
+    shifted = daily.select(
+        F.col("day").alias("prev_day"), F.col("cnt").alias("prev")
+    )
+    lagged = lags.join(
+        shifted,
+        F.date_add(F.col("prev_day"), F.col("lag_k")) == F.col("day"),
+        "inner",
+    )
+    return (
+        lagged.groupBy("lag_k")
+        .agg(
+            F.count("prev").alias("n_pairs"),
+            F.round(F.corr("cnt", "prev"), 6).alias("acf"),
+        )
+        .orderBy("lag_k")
+    )
