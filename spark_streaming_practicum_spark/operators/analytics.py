@@ -606,3 +606,65 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("duration_days")
     )
+
+
+@query(
+    "median_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)),
+    mad AS (
+        SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(d.med), 6) AS med,
+           ROUND(MAX(m.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN m.mad > 0
+                          AND 0.6745 * d.adev / m.mad > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation: per event
+    type, flag values whose modified z-score 0.6745*|x-med|/MAD exceeds
+    3.5 (Iglewicz-Hoaglin). Unlike the mean/stddev z-score
+    (`ts_anomaly_zscore`), the breakdown point is 50% — the outliers
+    themselves cannot drag the threshold.
+
+    Plan: two grouped exact-median aggregates over 5 keys with the tiny
+    (5-row) results broadcast back — the raw table is scanned, never
+    shuffled on a per-row key. Exact `median` keeps the DuckDB oracle
+    bit-comparable; at 100 TB the drop-in is `approx_percentile` (same
+    plan shape, sketch-mergeable so the scan stays one pass)."""
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (0.6745 * F.col("adev") / F.col("mad") > 3.5),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -468,3 +468,107 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("quality_score"),
         (score >= 0.5).alias("passes"),
     )
+
+
+@query(
+    "chi2_feature_selection",
+    oracle=r"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, (lang = 'en') AS is_en,
+               unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents),
+    counts AS (
+        SELECT tok,
+               CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+               CAST(SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS DOUBLE) AS b
+        FROM toks WHERE length(tok) >= 3
+        GROUP BY tok
+        HAVING COUNT(*) >= 20
+           AND COUNT(*) < (SELECT COUNT(*) FROM documents)),
+    tot AS (
+        SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS n_en,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS DOUBLE) AS n_rest
+        FROM documents),
+    chi AS (
+        SELECT tok,
+               CAST(a AS BIGINT) AS df_en,
+               CAST(b AS BIGINT) AS df_rest,
+               (n_en + n_rest)
+                 * (a * (n_rest - b) - b * (n_en - a))
+                 * (a * (n_rest - b) - b * (n_en - a))
+                 / ((a + b) * (n_en - a + n_rest - b)
+                    * n_en * n_rest) AS chi2
+        FROM counts, tot)
+    SELECT tok, df_en, df_rest, ROUND(chi2, 6) AS chi2
+    FROM chi
+    ORDER BY ROUND(chi2, 6) DESC, tok
+    LIMIT 20
+    """,
+)
+def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared feature selection: which vocabulary terms are most
+    associated with the English subcorpus — the standard supervised
+    term-selection step before training a text classifier (and the
+    relational core of fastText-style feature pruning).
+
+    Plan: tokenize → per-doc DISTINCT (the inverted-index build: one
+    shuffle keyed on (doc, token)) → token-keyed contingency aggregate
+    with a document-frequency floor bounding the tail, then the chi2
+    closed form against broadcast corpus totals and a
+    TakeOrderedAndProject top-20. Both engines evaluate the identical
+    arithmetic expression tree over exactly-representable integer
+    counts, so the statistic is bit-stable before rounding."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            (F.col("lang") == "en").alias("is_en"),
+            F.explode(tokens("text")).alias("tok"),
+        )
+        .filter(F.length("tok") >= 3)
+        .distinct()
+    )
+    counts = (
+        toks.groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("is_en"), 1).otherwise(0)).cast("double").alias("a"),
+            F.sum(F.when(F.col("is_en"), 0).otherwise(1)).cast("double").alias("b"),
+        )
+        .filter(F.col("a") + F.col("b") >= 20)
+    )
+    tot = d.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("double")
+        .alias("n_en"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+        .cast("double")
+        .alias("n_rest"),
+    )
+    num = F.col("a") * (F.col("n_rest") - F.col("b")) - F.col("b") * (
+        F.col("n_en") - F.col("a")
+    )
+    chi2 = (
+        (F.col("n_en") + F.col("n_rest"))
+        * num
+        * num
+        / (
+            (F.col("a") + F.col("b"))
+            * (F.col("n_en") - F.col("a") + F.col("n_rest") - F.col("b"))
+            * F.col("n_en")
+            * F.col("n_rest")
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        # a term present in EVERY doc zeroes the (c+d) margin and the
+        # statistic is undefined — exclude it (mirrored in the oracle)
+        .filter(F.col("a") + F.col("b") < F.col("n_en") + F.col("n_rest"))
+        .select(
+            "tok",
+            F.col("a").cast("bigint").alias("df_en"),
+            F.col("b").cast("bigint").alias("df_rest"),
+            F.round(chi2, 6).alias("chi2"),
+        )
+        .orderBy(F.col("chi2").desc(), "tok")
+        .limit(20)
+    )

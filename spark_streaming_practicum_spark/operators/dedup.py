@@ -868,3 +868,59 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kept_paragraphs") < F.col("n_paragraphs"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_containment_overlap",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(i * 1.0 / LEAST(ca.c, cb.c), 4) AS containment
+    FROM inter
+    JOIN cnt ca ON doc_a = ca.doc_id
+    JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE ROUND(i * 1.0 / LEAST(ca.c, cb.c), 4) >= 0.8
+    """,
+)
+def dedup_containment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (overlap-coefficient) near-dup pairs: shingle overlap
+    divided by the SMALLER set, threshold 0.8. This catches the
+    quote/excerpt case Jaccard structurally misses — a short document
+    fully contained in a long one has containment 1.0 but Jaccard
+    |A|/|B|, arbitrarily far below any Jaccard threshold. Standard
+    practice for filtering wholesale-quoted boilerplate out of a
+    pretraining corpus.
+
+    Same inverted-index plan as `dedup_ngram_jaccard` (one shuffle on
+    the shingle for intersections, per-doc sizes broadcast back); only
+    the final scoring expression differs, so the scale analysis carries
+    over unchanged — and at 100 TB the MinHash/LSH candidate stage
+    composes with this scorer exactly as it does with Jaccard."""
+    sh = _doc_shingles(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("i") / F.least("ca", "cb"), 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )

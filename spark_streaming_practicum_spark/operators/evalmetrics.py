@@ -234,3 +234,82 @@ def eval_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@query(
+    "eval_cohens_kappa",
+    oracle=r"""
+    WITH rated AS (
+        SELECT doc_id,
+               (n_chars >= 300) AS a_hi,
+               (CAST(len(list_distinct(string_split_regex(text, '\s+')))
+                     AS DOUBLE)
+                / len(string_split_regex(text, '\s+')) >= 0.45) AS b_hi
+        FROM documents),
+    conf AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CASE WHEN a_hi AND b_hi THEN 1 ELSE 0 END) AS DOUBLE) AS yy,
+               CAST(SUM(CASE WHEN a_hi AND NOT b_hi THEN 1 ELSE 0 END) AS DOUBLE) AS yn,
+               CAST(SUM(CASE WHEN NOT a_hi AND b_hi THEN 1 ELSE 0 END) AS DOUBLE) AS ny,
+               CAST(SUM(CASE WHEN NOT a_hi AND NOT b_hi THEN 1 ELSE 0 END) AS DOUBLE) AS nn
+        FROM rated)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(yy AS BIGINT) AS n_both_hi,
+           CAST(nn AS BIGINT) AS n_both_lo,
+           ROUND((yy + nn) / n, 6) AS po,
+           ROUND(((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn)) / (n * n), 6) AS pe,
+           ROUND(((yy + nn) / n
+                  - ((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn)) / (n * n))
+                 / (1 - ((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn)) / (n * n)),
+                 6) AS kappa
+    FROM conf
+    """,
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (Cohen's kappa) between two independent
+    document-quality raters: a length gate (n_chars >= 300) and a
+    lexical-diversity gate (distinct-word ratio >= 0.45). Kappa corrects
+    raw agreement for chance — the number you report before trusting a
+    heuristic labeler enough to distill it into training labels.
+
+    One scan computes both ratings and the 2x2 confusion matrix in a
+    single global aggregate (map-side partials; four counters cross the
+    wire per partition); the closed form runs on the 1-row frame. Counts
+    are exactly representable doubles, so po/pe/kappa are bit-stable
+    across engines before rounding."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    rated = d.select(
+        (F.col("n_chars") >= 300).alias("a_hi"),
+        (
+            F.size(F.array_distinct(words)).cast("double") / F.size(words) >= 0.45
+        ).alias("b_hi"),
+    )
+    conf = rated.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.when(F.col("a_hi") & F.col("b_hi"), 1).otherwise(0))
+        .cast("double")
+        .alias("yy"),
+        F.sum(F.when(F.col("a_hi") & ~F.col("b_hi"), 1).otherwise(0))
+        .cast("double")
+        .alias("yn"),
+        F.sum(F.when(~F.col("a_hi") & F.col("b_hi"), 1).otherwise(0))
+        .cast("double")
+        .alias("ny"),
+        F.sum(F.when(~F.col("a_hi") & ~F.col("b_hi"), 1).otherwise(0))
+        .cast("double")
+        .alias("nn"),
+    )
+    po = (F.col("yy") + F.col("nn")) / F.col("n")
+    pe = (
+        (F.col("yy") + F.col("yn")) * (F.col("yy") + F.col("ny"))
+        + (F.col("ny") + F.col("nn")) * (F.col("yn") + F.col("nn"))
+    ) / (F.col("n") * F.col("n"))
+    return conf.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("yy").cast("bigint").alias("n_both_hi"),
+        F.col("nn").cast("bigint").alias("n_both_lo"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )

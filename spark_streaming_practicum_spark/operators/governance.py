@@ -430,3 +430,98 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang", "bin_id")
     )
+
+
+@query(
+    "benford_first_digit",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice > 0),
+    obs AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+        FROM digits GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM obs)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS obs_share,
+           ROUND(LOG10(1 + 1.0 / digit), 6) AS benford_share,
+           ROUND(ABS(CAST(n AS DOUBLE) / total - LOG10(1 + 1.0 / digit)), 6)
+               AS abs_dev
+    FROM obs, tot
+    ORDER BY digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit audit against Benford's law — the
+    classic anomaly screen for fabricated or truncated monetary data.
+
+    The digit is extracted from the integer cent amount's decimal
+    string, not via log10/floor — a price sitting exactly on a power of
+    ten would make floor(log10(x)) engine-dependent in the last ulp,
+    while BIGINT-to-string is identical everywhere. One scan, a 9-row
+    aggregate, and a 9-row window for the total: nothing here grows
+    with the data."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    total = F.sum(F.col("n").cast("double")).over(Window.partitionBy())
+    benford = F.log10(1 + 1.0 / F.col("digit"))
+    return obs.select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / total, 6).alias("obs_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(F.abs(F.col("n").cast("double") / total - benford), 6).alias(
+            "abs_dev"
+        ),
+    ).orderBy("digit")
+
+
+@query(
+    "skew_key_diagnostics",
+    oracle="""
+    WITH k AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY o_custkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           ROUND(AVG(CAST(cnt AS DOUBLE)), 6) AS avg_cnt,
+           ROUND(quantile_cont(CAST(cnt AS DOUBLE), 0.99), 6) AS p99_cnt,
+           ROUND(CAST(MAX(cnt) AS DOUBLE)
+                 / AVG(CAST(cnt AS DOUBLE)), 6) AS skew_ratio
+    FROM k
+    """,
+)
+def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew profiler: per-key cardinality distribution for
+    orders.o_custkey — the number you check BEFORE deciding whether a
+    join needs salting or AQE skew handling. max/avg ('skew ratio') and
+    the p99 key size tell you whether one reducer will receive a
+    pathological share of the shuffle.
+
+    Plan: one two-phase count per key (map-side partials, so the
+    shuffle carries keys not rows), then a single global aggregate over
+    the per-key frame. Exact percentile keeps oracle parity; at 100 TB
+    swap `approx_percentile` — the diagnostic tolerates sketch error."""
+    k = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    cntd = F.col("cnt").cast("double")
+    return k.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.round(F.avg(cntd), 6).alias("avg_cnt"),
+        F.round(F.percentile(cntd, F.lit(0.99)), 6).alias("p99_cnt"),
+        F.round(F.max("cnt").cast("double") / F.avg(cntd), 6).alias("skew_ratio"),
+    )

@@ -403,3 +403,76 @@ def ts_acf_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_k")
     )
+
+
+@query(
+    "ts_seasonal_decompose_dow",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY CAST(ts AS DATE)),
+    trended AS (
+        SELECT day, n,
+               CASE WHEN COUNT(*) OVER w = 7
+                    THEN AVG(CAST(n AS DOUBLE)) OVER w END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    seasonal AS (
+        SELECT EXTRACT(dow FROM day) AS dow,
+               AVG(n - trend) AS s
+        FROM trended WHERE trend IS NOT NULL
+        GROUP BY EXTRACT(dow FROM day))
+    SELECT t.day, t.n,
+           ROUND(t.trend, 6) AS trend,
+           ROUND(s.s, 6) AS seasonal,
+           ROUND(t.n - t.trend - s.s, 6) AS residual
+    FROM trended t
+    JOIN seasonal s ON s.dow = EXTRACT(dow FROM t.day)
+    WHERE t.trend IS NOT NULL
+    ORDER BY t.day
+    """,
+)
+def ts_seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event
+    volume: trend = centered 7-day moving average (only where the full
+    7-day window exists), weekly seasonal = mean detrended value per
+    day-of-week, residual = the rest. The residual is what an anomaly
+    detector should alarm on — `ts_anomaly_zscore` without this step
+    pages you every Saturday.
+
+    Plan: the raw table collapses to one row per day in a single
+    two-phase aggregate; every window and the 7-row seasonal join
+    operate on that ~366-row frame, so the decomposition costs one
+    scan regardless of scale. Day-of-week is normalized to DuckDB's
+    Sunday=0 convention (Spark's dayofweek is Sunday=1)."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy().orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "n",
+        F.when(
+            F.count("*").over(w) == 7, F.avg(F.col("n").cast("double")).over(w)
+        ).alias("trend"),
+    )
+    dow = (F.dayofweek("day") - 1).alias("dow")
+    seasonal = (
+        trended.filter(F.col("trend").isNotNull())
+        .groupBy(dow)
+        .agg(F.avg(F.col("n") - F.col("trend")).alias("s"))
+    )
+    return (
+        trended.filter(F.col("trend").isNotNull())
+        .join(F.broadcast(seasonal), (F.dayofweek("day") - 1) == seasonal.dow)
+        .select(
+            "day",
+            "n",
+            F.round("trend", 6).alias("trend"),
+            F.round("s", 6).alias("seasonal"),
+            F.round(F.col("n") - F.col("trend") - F.col("s"), 6).alias("residual"),
+        )
+        .orderBy("day")
+    )
