@@ -538,3 +538,297 @@ def logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+# --- decision stump -------------------------------------------------------
+
+_STUMP_QS = [i / 10 for i in range(1, 10)]
+
+
+def _ent_sql(p: str, n: str) -> str:
+    """SQL entropy H(p/n) in bits, 0-guarded; identical text both engines."""
+    return (
+        f"(CASE WHEN {p} > 0 AND {p} < {n} THEN "
+        f"-(({p}/{n}) * LOG2({p}/{n}) + (({n}-{p})/{n}) * LOG2(({n}-{p})/{n})) "
+        f"ELSE 0.0 END)"
+    )
+
+
+def _stump_oracle() -> str:
+    qs = ", ".join(str(q) for q in _STUMP_QS)
+    h_root = _ent_sql("tot.tpos", "tot.tn")
+    h_left = _ent_sql("l.lpos", "l.ln")
+    h_right = _ent_sql("(tot.tpos - l.lpos)", "(tot.tn - l.ln)")
+    return f"""
+    WITH e AS (
+        SELECT event_id, value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events),
+    thr AS (
+        SELECT g.i, q.q[g.i] AS t
+        FROM (SELECT quantile_cont(value, [{qs}]) AS q FROM e) q,
+             unnest(generate_series(1, 9)) AS g(i)),
+    binned AS (
+        SELECT ev.event_id, ev.pos,
+               COUNT(CASE WHEN ev.value > thr.t THEN 1 END) AS bin
+        FROM e ev CROSS JOIN thr GROUP BY ev.event_id, ev.pos),
+    bins AS (
+        SELECT bin, CAST(SUM(pos) AS DOUBLE) AS bpos,
+               CAST(COUNT(*) AS DOUBLE) AS bn
+        FROM binned GROUP BY bin),
+    cum AS (
+        SELECT bin,
+               SUM(bpos) OVER (ORDER BY bin) AS cpos,
+               SUM(bn) OVER (ORDER BY bin) AS cn
+        FROM bins),
+    tot AS (
+        SELECT CAST(SUM(pos) AS DOUBLE) AS tpos, CAST(COUNT(*) AS DOUBLE) AS tn
+        FROM e),
+    lefts AS (
+        SELECT t.i, t.t, MAX(c.cpos) AS lpos, MAX(c.cn) AS ln
+        FROM thr t JOIN cum c ON c.bin <= t.i - 1
+        GROUP BY t.i, t.t)
+    SELECT l.i AS thr_idx,
+           ROUND(l.t, 6) AS thr,
+           CAST(l.ln AS BIGINT) AS n_left,
+           CAST(tot.tn - l.ln AS BIGINT) AS n_right,
+           ROUND({h_root}
+                 - ((l.ln / tot.tn) * {h_left}
+                    + ((tot.tn - l.ln) / tot.tn) * {h_right}), 6) AS gain
+    FROM lefts l, tot
+    ORDER BY thr_idx
+    """
+
+
+def _ent_col(p: Column, n: Column) -> Column:
+    """Spark entropy H(p/n) in bits — same expression tree as _ent_sql."""
+    return F.when(
+        (p > 0) & (p < n),
+        -((p / n) * F.log2(p / n) + ((n - p) / n) * F.log2((n - p) / n)),
+    ).otherwise(F.lit(0.0))
+
+
+@query("decision_stump_info_gain", oracle=_stump_oracle())
+def decision_stump_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump learning by information gain: evaluate the nine
+    decile thresholds of `events.value` as candidate splits for
+    predicting `event_type = 'purchase'` and report each split's gain —
+    the inner loop of tree/GBDT training, done relationally (this IS how
+    distributed GBDT frameworks build histograms: bin, then sweep
+    cumulative bin statistics).
+
+    Plan: ONE pass bins every row against the 9 broadcast thresholds
+    (the thresholds are a bounded 1-row collect, the same pattern as the
+    IVF training sample), a 10-row bin aggregate, then every candidate
+    split's left/right class counts come from cumulative sums over that
+    10-row frame — the data is never rescanned per threshold. At 100 TB
+    the histogram shrinks identically (bins x classes, not rows)."""
+    e = table(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    thrs = e.agg(
+        F.percentile("value", F.lit(_STUMP_QS)).alias("qs")
+    ).collect()[0]["qs"]  # bounded: 9 doubles
+    bin_col = sum(
+        (F.when(F.col("value") > F.lit(t), 1).otherwise(0) for t in thrs),
+        F.lit(0),
+    )
+    bins = e.groupBy(bin_col.alias("bin")).agg(
+        F.sum("pos").cast("double").alias("bpos"),
+        F.count("*").cast("double").alias("bn"),
+    )
+    wcum = Window.partitionBy().orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "bin",
+        F.sum("bpos").over(wcum).alias("cpos"),
+        F.sum("bn").over(wcum).alias("cn"),
+    )
+    thr_df = spark.createDataFrame(
+        [(i + 1, float(t)) for i, t in enumerate(thrs)], "i int, t double"
+    )
+    lefts = (
+        thr_df.join(F.broadcast(cum), cum.bin <= thr_df.i - 1)
+        .groupBy("i", "t")
+        .agg(F.max("cpos").alias("lpos"), F.max("cn").alias("ln"))
+    )
+    tot = e.agg(
+        F.sum("pos").cast("double").alias("tpos"),
+        F.count("*").cast("double").alias("tn"),
+    )
+    lpos, ln = F.col("lpos"), F.col("ln")
+    tpos, tn = F.col("tpos"), F.col("tn")
+    gain = _ent_col(tpos, tn) - (
+        (ln / tn) * _ent_col(lpos, ln)
+        + ((tn - ln) / tn) * _ent_col(tpos - lpos, tn - ln)
+    )
+    return (
+        lefts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("i").alias("thr_idx"),
+            F.round("t", 6).alias("thr"),
+            ln.cast("bigint").alias("n_left"),
+            (tn - ln).cast("bigint").alias("n_right"),
+            F.round(gain, 6).alias("gain"),
+        )
+        .orderBy("thr_idx")
+    )
+
+
+# --- product quantization -------------------------------------------------
+
+_PQ_M = 4        # subspaces
+_PQ_SUBDIM = 16  # dims per subspace (4 x 16 = the 64-d embedding)
+_PQ_K = 4        # codes per subspace -> 4 bytes/vector at full size
+
+_PQ_ASSIGN_SQL = """
+    {out} AS (
+        SELECT vec_id, subspace, sv, code, cv FROM (
+            SELECT v.vec_id, v.subspace, v.sv, c.code, c.cv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id, v.subspace
+                       ORDER BY list_distance(v.sv, c.cv), c.code) AS rn
+            FROM sub v JOIN {cents} c ON c.subspace = v.subspace)
+        WHERE rn = 1
+    )
+"""
+
+
+def _pq_oracle() -> str:
+    return (
+        f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sub AS (
+        SELECT vec_id, s.s AS subspace,
+               e[s.s * {_PQ_SUBDIM} + 1 : s.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
+        FROM vecs, unnest(generate_series(0, {_PQ_M - 1})) AS s(s)),
+    cents0 AS (
+        SELECT subspace, vec_id AS code, sv AS cv FROM sub WHERE vec_id < {_PQ_K}),
+    """
+        + _PQ_ASSIGN_SQL.format(out="assign0", cents="cents0")
+        + """,
+    cents1 AS (
+        SELECT subspace, code, list(m ORDER BY pos) AS cv FROM (
+            SELECT subspace, code, pos,
+                   CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+            FROM (SELECT subspace, code, unnest(sv) AS v,
+                         generate_subscripts(sv, 1) AS pos
+                  FROM assign0)
+            GROUP BY subspace, code, pos)
+        GROUP BY subspace, code),
+    """
+        + _PQ_ASSIGN_SQL.format(out="assign1", cents="cents1")
+        + """,
+    err AS (
+        SELECT subspace, code,
+               CAST(SUM(CAST((x - y) * (x - y) AS DECIMAL(38,12))) AS DOUBLE)
+                   AS sum_err
+        FROM (SELECT subspace, code, unnest(sv) AS x, unnest(cv) AS y
+              FROM assign1)
+        GROUP BY subspace, code),
+    cnts AS (
+        SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+        FROM assign1 GROUP BY subspace, code)
+    SELECT c.subspace, c.code, c.n_vecs, c.min_vec_id,
+           ROUND(e.sum_err / c.n_vecs, 6) AS avg_sq_error
+    FROM cnts c JOIN err e USING (subspace, code)
+    ORDER BY c.subspace, c.code
+    """
+    )
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-subspace nearest-code assignment; centroids (m*k rows) broadcast."""
+    cand = sub.join(F.broadcast(cents), "subspace").withColumn(
+        "d2", _sqdist("sv", "cv")
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy("d2", "code")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "subspace", "sv", "code", "cv")
+    )
+
+
+@query("embedding_pq_codebook", oracle=_pq_oracle())
+def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training (Jégou et al., the
+    standard billion-scale ANN compression): split each 64-d embedding
+    into 4 subspaces of 16 dims, train an independent k=4 codebook per
+    subspace (deterministic init from the first k vectors + one Lloyd
+    step), and report per-(subspace, code) cell occupancy and average
+    squared reconstruction error. A full PQ index stores only the
+    4-byte code word per vector — 64x smaller than the float vector —
+    and `sim_ann_ivf` composes with it as IVF-PQ.
+
+    Plan: the subspace explode is a constant 4x on the scan; every
+    centroid set is m*k = 16 rows riding broadcasts; argmin is a
+    per-(vector, subspace) window; means and error sums go through
+    DECIMAL so accumulation order cannot perturb the oracle. Shuffles
+    carry O(m*k*subdim) rows — nothing scales with the corpus but the
+    initial scan and per-row window."""
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.slice(emb, s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sv"),
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    sub = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.explode(subs).alias("t"))
+        .select("vec_id", "t.subspace", "t.sv")
+    )
+    cents0 = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "subspace", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    )
+    assign0 = _pq_assign(sub, cents0)
+    cells = (
+        assign0.select("subspace", "code", F.posexplode("sv").alias("pos", "v"))
+        .groupBy("subspace", "code", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    cents1 = cells.groupBy("subspace", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("cv")
+    )
+    assign1 = _pq_assign(sub, cents1)
+    err = (
+        assign1.select(
+            "subspace",
+            "code",
+            F.explode(F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y))).alias(
+                "d"
+            ),
+        )
+        .groupBy("subspace", "code")
+        .agg(F.sum(F.col("d").cast("decimal(38,12)")).cast("double").alias("sum_err"))
+    )
+    cnts = assign1.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.min("vec_id").cast("bigint").alias("min_vec_id"),
+    )
+    return (
+        cnts.join(err, ["subspace", "code"])
+        .select(
+            "subspace",
+            "code",
+            "n_vecs",
+            "min_vec_id",
+            F.round(F.col("sum_err") / F.col("n_vecs"), 6).alias("avg_sq_error"),
+        )
+        .orderBy("subspace", "code")
+    )
