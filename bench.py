@@ -82,6 +82,12 @@ HEADLINE = [
     "pca_power_iteration_top_pc",
     "logreg_gd_two_steps",
     "lang_temperature_resample",
+    # late round-2: robust stats, stump/PQ learning, containment dedup
+    "median_mad_outliers",
+    "chi2_feature_selection",
+    "dedup_containment_overlap",
+    "decision_stump_info_gain",
+    "embedding_pq_codebook",
 ]
 
 

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.textfns import shingles, tokens
 from ..functions.vector import dot, l2_norm
 from ..registry import query
 
@@ -312,4 +313,88 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(po, 6).alias("po"),
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+@query(
+    "eval_rouge2_pairs",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    big AS (
+        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        GROUP BY doc_id, bg),
+    tot AS (SELECT doc_id, SUM(c) AS t FROM big GROUP BY doc_id),
+    ov AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               SUM(LEAST(a.c, b.c)) AS o
+        FROM big a JOIN big b ON b.doc_id = a.doc_id + 1 AND b.bg = a.bg
+        WHERE a.doc_id % 2 = 0
+        GROUP BY 1, 2)
+    SELECT ov.doc_a, ov.doc_b,
+           CAST(ov.o AS BIGINT) AS overlap_bigrams,
+           ROUND(ov.o / ta.t, 6) AS rouge2_p,
+           ROUND(ov.o / tb.t, 6) AS rouge2_r,
+           ROUND(2.0 * (ov.o / ta.t) * (ov.o / tb.t)
+                 / ((ov.o / ta.t) + (ov.o / tb.t)), 6) AS rouge2_f1
+    FROM ov
+    JOIN tot ta ON ta.doc_id = ov.doc_a
+    JOIN tot tb ON tb.doc_id = ov.doc_b
+    ORDER BY ROUND(2.0 * (ov.o / ta.t) * (ov.o / tb.t)
+                   / ((ov.o / ta.t) + (ov.o / tb.t)), 6) DESC, ov.doc_a
+    LIMIT 20
+    """,
+)
+def eval_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 precision/recall/F1 between fixed candidate/reference
+    document pairs (even doc_id scored against its successor) — the
+    n-gram-overlap metric used to audit summarization / paraphrase
+    training pairs at corpus scale, with proper CLIPPED multiset
+    counts (each reference bigram credits at most its own frequency).
+
+    Plan: one bigram-multiset aggregate per document, then the overlap
+    is an equi-join keyed on (pair, bigram) — candidate pairing is by
+    key arithmetic, so no similarity search and no quadratic stage;
+    per-doc totals join back on the doc key. All counts are integers in
+    doubles, so P/R/F1 are bit-stable before rounding."""
+    d = table(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("w"))
+    big = (
+        d.select("doc_id", F.explode(shingles(F.col("w"), 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    tot = big.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    a = big.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("doc_a"), "bg", F.col("c").alias("ca")
+    )
+    b = big.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        "bg",
+        F.col("c").alias("cb"),
+    )
+    ov = (
+        a.join(b, ["doc_a", "bg"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).alias("o"))
+    )
+    ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    p = F.col("o") / F.col("ta")
+    r = F.col("o") / F.col("tb")
+    f1 = 2.0 * p * r / (p + r)
+    return (
+        ov.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("o").cast("bigint").alias("overlap_bigrams"),
+            F.round(p, 6).alias("rouge2_p"),
+            F.round(r, 6).alias("rouge2_r"),
+            F.round(f1, 6).alias("rouge2_f1"),
+        )
+        .orderBy(F.col("rouge2_f1").desc(), "doc_a")
+        .limit(20)
     )

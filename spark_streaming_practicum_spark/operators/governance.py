@@ -525,3 +525,63 @@ def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(cntd, F.lit(0.99)), 6).alias("p99_cnt"),
         F.round(F.max("cnt").cast("double") / F.avg(cntd), 6).alias("skew_ratio"),
     )
+
+
+_L_DIV = 3
+
+
+@query(
+    "privacy_l_diversity_audit",
+    oracle=f"""
+    WITH cells AS (
+        SELECT user_id % 50     AS age_band,
+               CAST(ts AS DATE) AS event_day,
+               COUNT(*)                   AS cell_rows,
+               COUNT(DISTINCT event_type) AS diversity
+        FROM events GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CASE WHEN diversity < {_L_DIV} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           CAST(SUM(CASE WHEN diversity < {_L_DIV} THEN cell_rows ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(MIN(diversity) AS BIGINT) AS min_diversity,
+           CAST(SUM(CASE WHEN diversity < {_L_DIV} THEN 1 ELSE 0 END) AS BIGINT)
+               = 0 AS l_diverse
+    FROM cells
+    """,
+)
+def privacy_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l={_L_DIV}) — the companion gate to
+    `privacy_k_anonymity_audit`: a quasi-identifier cell can satisfy k
+    yet still leak if every member shares the SAME sensitive value
+    (here event_type), so each (age-band, day) cell must contain at
+    least l distinct sensitive values before release.
+
+    Plan: one shuffle on the quasi-identifier tuple computing cell size
+    and exact distinct sensitive count together, then a global rollup of
+    the cell frame. COUNT(DISTINCT) inside the first aggregate is
+    per-cell (bounded by the sensitive domain), not global — no Expand
+    blowup at scale."""
+    e = table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            (F.col("user_id") % 50).alias("age_band"),
+            F.col("ts").cast("date").alias("event_day"),
+            "event_type",
+        )
+        .groupBy("age_band", "event_day")
+        .agg(
+            F.count("*").alias("cell_rows"),
+            F.countDistinct("event_type").alias("diversity"),
+        )
+    )
+    viol = F.when(F.col("diversity") < _L_DIV, 1).otherwise(0)
+    return cells.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum(viol).cast("bigint").alias("n_violating"),
+        F.sum(F.when(F.col("diversity") < _L_DIV, F.col("cell_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("diversity").cast("bigint").alias("min_diversity"),
+        (F.sum(viol) == 0).alias("l_diverse"),
+    )

@@ -349,3 +349,78 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", F.col("n").alias("n_chars"))
         .agg(F.round(-F.sum(p * F.log(p) / F.log(F.lit(2.0))), 6).alias("char_entropy_bits"))
     )
+
+
+@query(
+    "text_readability_flesch",
+    oracle="""
+    WITH stats AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+               CAST(CEIL(len(string_split(text, ' ')) / 15.0) AS DOUBLE) AS ns,
+               CAST(list_sum(list_transform(
+                        string_split(text, ' '),
+                        x -> GREATEST(1, len(regexp_extract_all(x, '[aeiouy]+')))))
+                    AS DOUBLE) AS nsyl
+        FROM documents),
+    scored AS (
+        SELECT lang,
+               ROUND(206.835 - 1.015 * (nw / ns) - 84.6 * (nsyl / nw), 6) AS f
+        FROM stats)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(f AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_flesch,
+           ROUND(MIN(f), 6) AS min_flesch,
+           ROUND(MAX(f), 6) AS max_flesch
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per language: 206.835 - 1.015(words/sentence)
+    - 84.6(syllables/word), with syllables from the standard vowel-group
+    heuristic and 15-word pseudo-sentences (the corpus has no sentence
+    punctuation; the divisor is a documented normalization, the same
+    role sentence splitting plays on real text). Readability is a cheap
+    quality gate alongside `text_quality_score` — training corpora
+    routinely drop the extreme tails.
+
+    One scan; per-document arithmetic is codegen'd array math (no UDF);
+    the per-language rollup sums through DECIMAL so the oracle cannot
+    drift on summation order. Per-doc scores round to 6 dp BEFORE the
+    rollup, making the decimal accumulation exact on both engines."""
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words).cast("double")
+    ns = F.ceil(F.size(words) / F.lit(15.0)).cast("double")
+    nsyl = F.aggregate(
+        F.transform(
+            words,
+            lambda x: F.greatest(
+                F.lit(1), F.size(F.regexp_extract_all(x, F.lit("[aeiouy]+"), F.lit(0)))
+            ),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    scored = table(spark, sf_dir, "documents").select(
+        "lang",
+        F.round(
+            F.lit(206.835) - 1.015 * (nw / ns) - 84.6 * (nsyl / nw), 6
+        ).alias("f"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("f").cast("decimal(38,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_flesch"),
+            F.round(F.min("f"), 6).alias("min_flesch"),
+            F.round(F.max("f"), 6).alias("max_flesch"),
+        )
+        .orderBy("lang")
+    )

@@ -476,3 +476,66 @@ def ts_seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM events GROUP BY CAST(ts AS DATE)),
+    stats AS (SELECT AVG(n) AS mu, COUNT(*) AS n_days FROM daily),
+    cusum AS (
+        SELECT d.day,
+               SUM(d.n - s.mu) OVER (ORDER BY d.day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS s_i
+        FROM daily d, stats s)
+    SELECT c.day AS changepoint_day,
+           ROUND(c.s_i, 6) AS cusum_value,
+           CAST(s.n_days AS BIGINT) AS n_days,
+           ROUND(s.mu, 6) AS mean_daily
+    FROM cusum c, stats s
+    ORDER BY ABS(ROUND(c.s_i, 6)) DESC, c.day
+    LIMIT 1
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily event volume: the day
+    where the cumulative sum of deviations from the global mean peaks
+    in magnitude is the single most likely level-shift point (the CUSUM
+    statistic behind Page's test / binary-segmentation changepoint
+    pipelines).
+
+    The raw table reduces to one row per day in a single aggregate;
+    the cumulative deviation walk, the global mean, and the argmax all
+    operate on that ~366-row frame. The running sum accumulates in
+    strict day order in both engines, so the walk is bit-identical
+    (daily counts are integers; the mean is one exact division)."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    stats = daily.agg(
+        F.avg("n").alias("mu"), F.count("*").cast("bigint").alias("n_days")
+    )
+    wcum = Window.partitionBy().orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "mu",
+        "n_days",
+        F.sum(F.col("n") - F.col("mu")).over(wcum).alias("s_i"),
+    )
+    return (
+        cusum.select(
+            F.col("day").alias("changepoint_day"),
+            F.round("s_i", 6).alias("cusum_value"),
+            "n_days",
+            F.round("mu", 6).alias("mean_daily"),
+        )
+        .orderBy(F.abs(F.col("cusum_value")).desc(), "changepoint_day")
+        .limit(1)
+    )
