@@ -668,3 +668,85 @@ def median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "attribution_last_touch_linear",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+        SELECT event_id AS c_id, user_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'),
+    touched AS (
+        SELECT p.p_id, c.c_id, CAST(c.c_ts AS DATE) AS click_day,
+               COUNT(*) OVER (PARTITION BY p.p_id) AS n_touches,
+               ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                  ORDER BY c.c_ts DESC, c.c_id DESC) AS rn
+        FROM purchases p
+        JOIN clicks c
+          ON c.user_id = p.user_id
+         AND c.c_ts <= p.p_ts
+         AND c.c_ts > p.p_ts - INTERVAL 7 DAY)
+    SELECT click_day,
+           CAST(COUNT(*) AS BIGINT) AS n_credited_touches,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS last_touch_conversions,
+           ROUND(SUM(1.0 / n_touches), 6) AS linear_credit
+    FROM touched
+    GROUP BY click_day
+    ORDER BY click_day
+    """,
+)
+def attribution_last_touch_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution over the event stream: every purchase
+    credits the user's clicks from the preceding 7 days — last-touch
+    (the final click takes the conversion) and linear (1/n to each
+    touch) models side by side, rolled up by click day.
+
+    Plan: purchases⋈clicks is an equi-join on user_id with the time
+    window as a join-side filter — per-user candidate lists, never a
+    time-range cross product; the per-purchase window (touch count +
+    last-touch rank) rides one shuffle on the purchase id. Linear
+    credits are exact rationals summed per day; 6-dp rounding absorbs
+    order noise."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touched = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    wp = Window.partitionBy("p_id")
+    wr = Window.partitionBy("p_id").orderBy(
+        F.col("c_ts").desc(), F.col("c_id").desc()
+    )
+    scored = touched.select(
+        F.col("c_ts").cast("date").alias("click_day"),
+        F.count(F.lit(1)).over(wp).alias("n_touches"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return (
+        scored.groupBy("click_day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credited_touches"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("last_touch_conversions"),
+            F.round(F.sum(F.lit(1.0) / F.col("n_touches")), 6).alias(
+                "linear_credit"
+            ),
+        )
+        .orderBy("click_day")
+    )

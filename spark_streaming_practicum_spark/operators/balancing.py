@@ -147,3 +147,54 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_cap")
     )
+
+
+def _diversity_select(dim: str) -> str:
+    return f"""
+        SELECT '{dim}' AS dimension,
+               CAST(COUNT(*) AS BIGINT) AS n_categories,
+               ROUND(1 - SUM(p * p), 6) AS simpson,
+               ROUND(-SUM(p * LN(p)), 6) AS shannon,
+               ROUND(EXP(-SUM(p * LN(p))), 6) AS effective_categories
+        FROM (SELECT CAST(COUNT(*) AS DOUBLE)
+                     / SUM(COUNT(*)) OVER () AS p
+              FROM documents GROUP BY {dim})"""
+
+
+@query(
+    "corpus_diversity_indices",
+    oracle=(
+        _diversity_select("lang")
+        + "\n    UNION ALL\n"
+        + _diversity_select("source")
+        + "\n    ORDER BY dimension"
+    ),
+)
+def corpus_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition diversity along the lang and source axes:
+    Simpson (1 - Σp²), Shannon entropy (nats), and the effective number
+    of categories exp(H) — the single numbers a data-mixture report
+    leads with ('this corpus behaves like N equally-sized sources').
+    Collapsing diversity across snapshots flags a crawler or sampler
+    gone monocultural before training feels it.
+
+    One grouped count per axis (two-phase agg), shares via a window
+    over the tiny category frame, then a constant-size reduction. The
+    category shares are exact rationals, so the indices differ between
+    engines only past the 6-dp rounding."""
+    d = table(spark, sf_dir, "documents")
+
+    def one(dim: str) -> DataFrame:
+        cat = d.groupBy(dim).agg(F.count("*").alias("c"))
+        p = (F.col("c").cast("double") / F.sum("c").over(Window.partitionBy())).alias("p")
+        return cat.select(p).agg(
+            F.lit(dim).alias("dimension"),
+            F.count("*").cast("bigint").alias("n_categories"),
+            F.round(1 - F.sum(F.col("p") * F.col("p")), 6).alias("simpson"),
+            F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("shannon"),
+            F.round(F.exp(-F.sum(F.col("p") * F.log(F.col("p")))), 6).alias(
+                "effective_categories"
+            ),
+        )
+
+    return one("lang").unionByName(one("source")).orderBy("dimension")

@@ -296,3 +296,68 @@ def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_raw"),
         F.min("doc_id").alias("keep_doc_id"),
     )
+
+
+_HEAPS_BUCKET = 50  # docs per growth-curve point
+
+
+@query(
+    "vocab_growth_heaps",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    first_seen AS (
+        SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+    per_bucket AS (
+        SELECT CAST(first_doc // {_HEAPS_BUCKET} AS BIGINT) AS bucket_id,
+               CAST(COUNT(*) AS BIGINT) AS new_tokens
+        FROM first_seen GROUP BY 1)
+    SELECT bucket_id,
+           CAST((bucket_id + 1) * {_HEAPS_BUCKET} AS BIGINT) AS docs_through,
+           new_tokens,
+           CAST(SUM(new_tokens) OVER (ORDER BY bucket_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS cum_vocab
+    FROM per_bucket
+    ORDER BY bucket_id
+    """,
+)
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: distinct vocabulary size
+    after each block of {_HEAPS_BUCKET} documents, from each token's
+    FIRST occurrence. The curve's flattening rate is the standard
+    corpus-health signal — a pile of near-duplicate crawl shards grows
+    vocabulary far slower than fresh data, so this doubles as a cheap
+    corpus-level dedup audit before any pairwise dedup runs.
+
+    Plan: tokenize → per-doc distinct → one min-aggregate per token
+    (the only data-sized shuffle), then the curve is a cumulative sum
+    over the bucket-count frame. 'First occurrence' is a MIN over doc
+    ids — order-free, no sequential scan of the corpus."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    per_bucket = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(
+            (F.col("first_doc") / _HEAPS_BUCKET)
+            .cast("bigint")
+            .alias("bucket_id")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_tokens"))
+    )
+    wcum = Window.partitionBy().orderBy("bucket_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "bucket_id",
+        ((F.col("bucket_id") + 1) * _HEAPS_BUCKET).cast("bigint").alias(
+            "docs_through"
+        ),
+        "new_tokens",
+        F.sum("new_tokens").over(wcum).cast("bigint").alias("cum_vocab"),
+    ).orderBy("bucket_id")
