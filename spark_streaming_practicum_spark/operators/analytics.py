@@ -750,3 +750,168 @@ def attribution_last_touch_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("click_day")
     )
+
+
+# --- Poisson bootstrap ----------------------------------------------------
+
+_BOOT_R = 50
+_BOOT_M = 2147483647
+# Poisson(1) inverse-CDF ladder; literal thresholds shared by both engines.
+_POIS_CDF = [
+    (0.36787944117144233, 0),
+    (0.7357588823428847, 1),
+    (0.9196986029286058, 2),
+    (0.9810118431238462, 3),
+    (0.9963401531726563, 4),
+    (0.9994058151824183, 5),
+]
+
+
+def _boot_oracle() -> str:
+    u = f"(((e.event_id * 1103515245 + r.r * 12345 + 6789) % {_BOOT_M}) * 1.0 / {_BOOT_M})"
+    ladder = " ".join(f"WHEN {u} < {t} THEN {k}" for t, k in _POIS_CDF)
+    return f"""
+    WITH rep AS (
+        SELECT r.r,
+               CAST(SUM(CAST((CASE {ladder} ELSE 6 END) * e.value
+                             AS DECIMAL(38,6))) AS DOUBLE) AS wsum,
+               SUM(CASE {ladder} ELSE 6 END) AS w
+        FROM events e, unnest(generate_series(1, {_BOOT_R})) AS r(r)
+        GROUP BY r.r),
+    means AS (SELECT r, wsum / w AS m FROM rep),
+    base AS (
+        SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               AS mean_value
+        FROM events)
+    SELECT CAST({_BOOT_R} AS BIGINT) AS n_replicates,
+           ROUND(base.mean_value, 6) AS mean_value,
+           ROUND(quantile_cont(means.m, 0.025), 6) AS ci_lo,
+           ROUND(quantile_cont(means.m, 0.975), 6) AS ci_hi
+    FROM means, base
+    GROUP BY base.mean_value
+    """
+
+
+@query("poisson_bootstrap_ci", oracle=_boot_oracle())
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean event value via
+    the POISSON bootstrap — the resampling scheme that works on a
+    cluster: instead of drawing n rows with replacement (which needs
+    global coordination), every row independently receives a
+    Poisson(1)-distributed multiplicity per replicate. Replicate means
+    then differ from true resample means by O(1/sqrt(n)) — the standard
+    streaming/distributed bootstrap.
+
+    Multiplicities come from a deterministic multiplicative-hash
+    uniform through a shared inverse-CDF ladder, so both engines draw
+    the SAME 50 resamples. The replicate explode is map-side aggregated
+    (the shuffle carries 50 partials per partition, not 50x the data);
+    weighted sums accumulate in DECIMAL so replicate means are exact."""
+    e = table(spark, sf_dir, "events").select("event_id", "value")
+    r = F.explode(F.sequence(F.lit(1), F.lit(_BOOT_R))).alias("r")
+    u = (
+        ((F.col("event_id") * 1103515245 + F.col("r") * 12345 + 6789) % _BOOT_M)
+        * F.lit(1.0)
+        / _BOOT_M
+    )
+    w = F.lit(6)
+    for t, k in reversed(_POIS_CDF):
+        w = F.when(u < t, k).otherwise(w)
+    rep = (
+        e.select("event_id", "value", r)
+        .select("r", w.alias("w"), "value")
+        .groupBy("r")
+        .agg(
+            (
+                F.sum((F.col("w") * F.col("value")).cast("decimal(38,6)"))
+                .cast("double")
+                / F.sum("w")
+            ).alias("m")
+        )
+    )
+    base = e.agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_value")
+    )
+    return rep.crossJoin(F.broadcast(base)).agg(
+        F.lit(_BOOT_R).cast("bigint").alias("n_replicates"),
+        F.round(F.max("mean_value"), 6).alias("mean_value"),
+        F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"),
+    )
+
+
+@query(
+    "seq_pattern_followed_by",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, event_type, MIN(ts) AS first_ts
+        FROM events GROUP BY user_id, event_type),
+    pairs AS (
+        SELECT a.event_type AS antecedent, b.event_type AS consequent,
+               COUNT(*) AS n_users
+        FROM firsts a
+        JOIN firsts b ON b.user_id = a.user_id
+                     AND b.event_type <> a.event_type
+                     AND a.first_ts < b.first_ts
+        GROUP BY 1, 2),
+    tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n FROM events)
+    SELECT antecedent, consequent,
+           CAST(n_users AS BIGINT) AS n_users,
+           ROUND(n_users / tot.n, 6) AS support
+    FROM pairs, tot
+    ORDER BY antecedent, consequent
+    """,
+)
+def seq_pattern_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent sequential patterns of length 2 ('users who do A later
+    do B'): for every ordered event-type pair, the number and fraction
+    of users whose FIRST A strictly precedes their FIRST B — the
+    support table a PrefixSpan-style miner starts from, and on a small
+    type alphabet the complete answer.
+
+    The scalable core: the raw stream collapses to one row per
+    (user, type) in a single aggregate, so the pair self-join runs on a
+    frame bounded by users x |alphabet| — per-user candidate lists of
+    at most 5x5 — never on raw events. Equal first-timestamps support
+    neither direction (strict <), identically in both engines."""
+    firsts = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    a = firsts.select(
+        "user_id",
+        F.col("event_type").alias("antecedent"),
+        F.col("first_ts").alias("a_ts"),
+    )
+    b = firsts.select(
+        "user_id",
+        F.col("event_type").alias("consequent"),
+        F.col("first_ts").alias("b_ts"),
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("antecedent") != F.col("consequent"))
+            & (F.col("a_ts") < F.col("b_ts"))
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    tot = (
+        table(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id").cast("double").alias("n"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_users",
+            F.round(F.col("n_users") / F.col("n"), 6).alias("support"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
