@@ -472,3 +472,138 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_cos",
         F.round(F.col("pos_cos") - F.col("neg_cos"), 4).alias("margin"),
     )
+
+
+# --- MMR diversified retrieval --------------------------------------------
+
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    cos = "ROUND(list_cosine_similarity({a}, {b}), 6)"
+    head = f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0),
+    cands AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS e,
+               {cos.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qe")} AS rel
+        FROM embeddings e, q WHERE e.vec_id > 0),
+    sel1 AS (
+        SELECT vec_id, e, rel, rel AS mmr, 1 AS rank
+        FROM cands ORDER BY rel DESC, vec_id LIMIT 1)"""
+    ctes = [head]
+    for k in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id, e FROM sel{j}" for j in range(1, k)
+        )
+        sim = cos.format(a="c.e", b="s.e")
+        ctes.append(f"""
+    sel{k} AS (
+        SELECT c.vec_id, c.e, c.rel,
+               ROUND({_MMR_LAMBDA} * c.rel
+                     - {round(1 - _MMR_LAMBDA, 10)} * MAX({sim}), 6) AS mmr,
+               {k} AS rank
+        FROM cands c, ({prev}) s
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM ({prev}))
+        GROUP BY c.vec_id, c.e, c.rel
+        ORDER BY mmr DESC, c.vec_id LIMIT 1)""")
+    union = " UNION ALL ".join(
+        f"SELECT rank, vec_id, rel, mmr FROM sel{j}"
+        for j in range(1, _MMR_K + 1)
+    )
+    return (
+        ",".join(ctes)
+        + f"""
+    SELECT rank, CAST(vec_id AS BIGINT) AS vec_id,
+           ROUND(rel, 6) AS relevance, ROUND(mmr, 6) AS mmr_score
+    FROM ({union})
+    ORDER BY rank
+    """
+    )
+
+
+@query("sim_mmr_diversified_topk", oracle=_mmr_oracle())
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein):
+    greedily pick 5 results for query vec 0 maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked (λ=0.7) — the
+    standard diversification pass between ANN retrieval and what a user
+    (or a RAG context window) actually sees; without it the top-k is
+    five near-copies of the same document.
+
+    Each greedy round is ONE distributed argmax: candidates (relevance
+    precomputed and persisted — scored once, not per round) join the
+    ≤k-row broadcast selected set, take a TakeOrdered(1). Driver state
+    is the k picked vectors — exactly the O(k) state any MMR reranker
+    carries. Similarities round to 6 dp before max/argmax, so both
+    engines pick identical vectors (ties fall to the smaller vec_id)."""
+    from pyspark.sql import types as T
+
+    emb = table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qe")
+    )
+    cands = (
+        emb.filter(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+            F.round(
+                dot("embedding", F.col("qe"))
+                / (l2_norm("embedding") * l2_norm(F.col("qe"))),
+                6,
+            ).alias("rel"),
+        )
+        .persist()
+    )
+    sel_schema = T.StructType(
+        [
+            T.StructField("sel_id", T.LongType()),
+            T.StructField("sel_e", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    picked: list = []  # (rank, vec_id, rel, mmr) result rows
+    selected: list = []  # (sel_id, sel_e) driver state, <= k rows
+    for rank in range(1, _MMR_K + 1):
+        pool = cands.filter(
+            ~F.col("vec_id").isin([s[0] for s in selected])
+            if selected
+            else F.lit(True)
+        )
+        if not selected:
+            scored = pool.select("vec_id", "e", "rel", F.col("rel").alias("mmr"))
+        else:
+            sel_df = spark.createDataFrame(selected, sel_schema)
+            scored = (
+                pool.crossJoin(F.broadcast(sel_df))
+                .groupBy("vec_id", "e", "rel")
+                .agg(
+                    F.round(
+                        F.lit(_MMR_LAMBDA) * F.col("rel")
+                        - F.lit(round(1 - _MMR_LAMBDA, 10))
+                        * F.max(
+                            F.round(
+                                dot("e", F.col("sel_e"))
+                                / (l2_norm("e") * l2_norm(F.col("sel_e"))),
+                                6,
+                            )
+                        ),
+                        6,
+                    ).alias("mmr")
+                )
+            )
+        top = scored.orderBy(F.col("mmr").desc(), "vec_id").limit(1).collect()[0]
+        picked.append((rank, top["vec_id"], float(top["rel"]), float(top["mmr"])))
+        selected.append((top["vec_id"], list(top["e"])))
+    cands.unpersist()
+    out_schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("relevance", T.DoubleType(), False),
+            T.StructField("mmr_score", T.DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(picked, out_schema).orderBy("rank")
