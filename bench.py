@@ -88,6 +88,10 @@ HEADLINE = [
     "dedup_containment_overlap",
     "decision_stump_info_gain",
     "embedding_pq_codebook",
+    "eval_rouge2_pairs",
+    "attribution_last_touch_linear",
+    "poisson_bootstrap_ci",
+    "sim_mmr_diversified_topk",
 ]
 
 

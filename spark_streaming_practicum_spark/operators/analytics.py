@@ -915,3 +915,155 @@ def seq_pattern_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antecedent", "consequent")
     )
+
+
+@query(
+    "window_funnel_within_time",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    vc AS (
+        SELECT v.user_id, v.ts AS v_ts, MIN(c.ts) AS c_ts
+        FROM v JOIN c ON c.user_id = v.user_id
+                     AND c.ts > v.ts
+                     AND c.ts <= v.ts + INTERVAL 1 HOUR
+        GROUP BY v.user_id, v.ts),
+    vcp AS (
+        SELECT vc.user_id
+        FROM vc JOIN p ON p.user_id = vc.user_id
+                      AND p.ts > vc.c_ts
+                      AND p.ts <= vc.v_ts + INTERVAL 1 HOUR
+        GROUP BY vc.user_id),
+    lvl AS (
+        SELECT u.user_id,
+               CASE WHEN u3.user_id IS NOT NULL THEN 3
+                    WHEN u2.user_id IS NOT NULL THEN 2
+                    WHEN u1.user_id IS NOT NULL THEN 1
+                    ELSE 0 END AS level
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN (SELECT DISTINCT user_id FROM v) u1 ON u1.user_id = u.user_id
+        LEFT JOIN (SELECT DISTINCT user_id FROM vc) u2 ON u2.user_id = u.user_id
+        LEFT JOIN vcp u3 ON u3.user_id = u.user_id)
+    SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM lvl GROUP BY level ORDER BY level
+    """,
+)
+def window_funnel_within_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel (the windowFunnel analytic): how far does
+    each user get through view → click → purchase where the WHOLE chain
+    must fit inside one hour of the opening view — unlike
+    `funnel_conversion`, which only asks whether the steps ever
+    happened. Per-user funnel level (0–3), rolled up to users per level.
+
+    All joins are user-keyed with the time window as a join filter —
+    per-user candidate lists, no time-range cross product; each chain
+    stage reduces with MIN (earliest completion) before the next stage
+    joins, so intermediate frames never exceed the step-event counts."""
+    e = table(spark, sf_dir, "events")
+
+    def step(t: str) -> DataFrame:
+        return e.filter(F.col("event_type") == t).select("user_id", "ts")
+
+    v = step("view").select("user_id", F.col("ts").alias("v_ts"))
+    c = step("click").select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    p = step("purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    vc = (
+        v.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + hour),
+        )
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("c_ts").alias("c_ts"))
+    )
+    vcp = (
+        vc.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + hour),
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("l3", F.lit(1))
+    )
+    u = e.select("user_id").distinct()
+    u1 = v.select("user_id").distinct().withColumn("l1", F.lit(1))
+    u2 = vc.select("user_id").distinct().withColumn("l2", F.lit(1))
+    lvl = (
+        u.join(u1, "user_id", "left")
+        .join(u2, "user_id", "left")
+        .join(vcp, "user_id", "left")
+        .select(
+            F.when(F.col("l3").isNotNull(), 3)
+            .when(F.col("l2").isNotNull(), 2)
+            .when(F.col("l1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("level")
+        )
+    )
+    return (
+        lvl.groupBy("level")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("level")
+    )
+
+
+@query(
+    "path_top_sequences",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    paths AS (
+        SELECT user_id,
+               STRING_AGG(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 3
+        GROUP BY user_id)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 10
+    """,
+)
+def path_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top opening paths (the Sankey/user-journey primitive): each
+    user's first three events in strict (ts, event_id) order joined
+    into a 'view>click>…' path string, ranked by how many users share
+    it. The onboarding-flow question every product-analytics engine
+    answers.
+
+    One shuffle ranks each user's timeline; the path assembles from an
+    order-tagged collect_list sorted per user (deterministic — the sort
+    key rides inside the struct, so executor arrival order is
+    irrelevant), then path popularity is a tiny second aggregate with a
+    TakeOrdered top-10."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(10)
+    )

@@ -585,3 +585,49 @@ def privacy_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("diversity").cast("bigint").alias("min_diversity"),
         (F.sum(viol) == 0).alias("l_diverse"),
     )
+
+
+@query(
+    "dataset_card_summary",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           ROUND(SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*), 6)
+               AS mean_doc_tokens,
+           ROUND(1 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 6)
+               AS exact_dup_rate,
+           ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS en_share
+    FROM documents
+    """,
+)
+def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one query: corpus size, language/source
+    cardinality, token volume, mean document length, exact-duplicate
+    rate (via content md5), and English share — the header numbers
+    every released training corpus publishes.
+
+    ONE scan: the multi-distinct aggregate rides Spark's Expand rewrite
+    (same plan family as `profile_table_stats`, asserted there), the
+    content hash is computed in the scan projection, and every output
+    is an integer or an exact rational — nothing in the card can drift
+    between engines."""
+    words = F.size(F.split("text", " "))
+    d = table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum(words).cast("bigint").alias("total_tokens"),
+        F.round(F.sum(words) * 1.0 / F.count("*"), 6).alias("mean_doc_tokens"),
+        F.round(
+            1 - F.countDistinct(F.md5("text")) * 1.0 / F.count("*"), 6
+        ).alias("exact_dup_rate"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) * 1.0
+            / F.count("*"),
+            6,
+        ).alias("en_share"),
+    )
