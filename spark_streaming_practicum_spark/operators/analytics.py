@@ -768,7 +768,10 @@ _POIS_CDF = [
 
 
 def _boot_oracle() -> str:
-    u = f"(((e.event_id * 1103515245 + r.r * 12345 + 6789) % {_BOOT_M}) * 1.0 / {_BOOT_M})"
+    u = (
+        f"((((e.event_id * 1103515245 + 12345) % {_BOOT_M} + r.r)"
+        f" * 1103515245 + 12345) % {_BOOT_M}) * 1.0 / {_BOOT_M}"
+    )
     ladder = " ".join(f"WHEN {u} < {t} THEN {k}" for t, k in _POIS_CDF)
     return f"""
     WITH rep AS (
@@ -802,15 +805,25 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     then differ from true resample means by O(1/sqrt(n)) — the standard
     streaming/distributed bootstrap.
 
-    Multiplicities come from a deterministic multiplicative-hash
-    uniform through a shared inverse-CDF ladder, so both engines draw
-    the SAME 50 resamples. The replicate explode is map-side aggregated
+    Multiplicities come from a deterministic two-round LCG mix of
+    (row id, replicate id) through a shared inverse-CDF ladder, so both
+    engines draw the SAME 50 resamples; the second multiplicative round
+    is what decorrelates replicates (a single additive replicate term
+    shifts the uniform by ~1e-5 and every resample collapses onto the
+    first — caught by the CI-brackets-mean property test). The replicate explode is map-side aggregated
     (the shuffle carries 50 partials per partition, not 50x the data);
     weighted sums accumulate in DECIMAL so replicate means are exact."""
     e = table(spark, sf_dir, "events").select("event_id", "value")
     r = F.explode(F.sequence(F.lit(1), F.lit(_BOOT_R))).alias("r")
     u = (
-        ((F.col("event_id") * 1103515245 + F.col("r") * 12345 + 6789) % _BOOT_M)
+        (
+            (
+                ((F.col("event_id") * 1103515245 + 12345) % _BOOT_M + F.col("r"))
+                * 1103515245
+                + 12345
+            )
+            % _BOOT_M
+        )
         * F.lit(1.0)
         / _BOOT_M
     )

@@ -95,3 +95,111 @@ def test_seasonal_components_reassemble(spark):
     assert rows, "decomposition produced no interior days"
     for r in rows:
         assert abs((r["trend"] + r["seasonal"] + r["residual"]) - r["n"]) < 1e-4
+
+
+def test_funnel_levels_partition_users(spark):
+    rows = DEFS["window_funnel_within_time"].fn(spark, SF_DIR).collect()
+    assert {r["level"] for r in rows} <= {0, 1, 2, 3}
+    n_users = (
+        DEFS["dedup_exact"].fn(spark, SF_DIR).sparkSession.read.parquet(
+            f"{SF_DIR}/events.parquet"
+        )
+        is not None
+    )
+    total = sum(r["n_users"] for r in rows)
+    from spark_streaming_practicum_spark.catalog import table
+
+    expected = table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert total == expected
+
+
+def test_paths_top10_and_positive(spark):
+    rows = DEFS["path_top_sequences"].fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 10
+    assert all(r["n_users"] > 0 for r in rows)
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    r = DEFS["poisson_bootstrap_ci"].fn(spark, SF_DIR).collect()[0]
+    assert r["ci_lo"] <= r["ci_hi"]
+    assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"]
+    assert r["n_replicates"] == 50
+
+
+def test_seq_pattern_support_bounds(spark):
+    rows = DEFS["seq_pattern_followed_by"].fn(spark, SF_DIR).collect()
+    assert all(0 < r["support"] <= 1 for r in rows)
+    assert all(r["antecedent"] != r["consequent"] for r in rows)
+    assert len(rows) <= 20  # 5x4 ordered type pairs
+
+
+def test_lpa_labels_are_nation_keys(spark):
+    rows = DEFS["graph_label_propagation"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 25
+    assert all(0 <= r["community"] <= 24 for r in rows)
+
+
+def test_attribution_linear_equals_last_touch_total(spark):
+    """Linear credits are shares of one conversion each, so summed over
+    all days they must equal the number of attributed conversions."""
+    rows = DEFS["attribution_last_touch_linear"].fn(spark, SF_DIR).collect()
+    assert rows
+    linear = sum(r["linear_credit"] for r in rows)
+    conversions = sum(r["last_touch_conversions"] for r in rows)
+    assert abs(linear - conversions) < 1e-3
+
+
+def test_diversity_effective_bounded_by_categories(spark):
+    rows = DEFS["corpus_diversity_indices"].fn(spark, SF_DIR).collect()
+    assert {r["dimension"] for r in rows} == {"lang", "source"}
+    for r in rows:
+        assert 0 <= r["simpson"] < 1
+        assert r["effective_categories"] <= r["n_categories"] + 1e-6
+
+
+def test_vocab_growth_monotone_and_totals(spark):
+    rows = DEFS["vocab_growth_heaps"].fn(spark, SF_DIR).collect()
+    cums = [r["cum_vocab"] for r in rows]
+    assert cums == sorted(cums)
+    from spark_streaming_practicum_spark.catalog import table
+    from pyspark.sql import functions as FF
+
+    vocab = (
+        table(spark, SF_DIR, "documents")
+        .select(FF.explode(FF.split("text", " ")).alias("t"))
+        .distinct()
+        .count()
+    )
+    assert cums[-1] == vocab
+
+
+def test_rouge2_metric_ranges(spark):
+    rows = DEFS["eval_rouge2_pairs"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        assert 0 <= r["rouge2_p"] <= 1
+        assert 0 <= r["rouge2_r"] <= 1
+        assert 0 <= r["rouge2_f1"] <= 1
+
+
+def test_mmr_picks_are_distinct(spark):
+    rows = DEFS["sim_mmr_diversified_topk"].fn(spark, SF_DIR).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r["vec_id"] for r in rows}) == 5
+    # round 1 has no diversity penalty: mmr == relevance
+    assert rows[0]["mmr_score"] == rows[0]["relevance"]
+
+
+def test_dataset_card_sanity(spark):
+    r = DEFS["dataset_card_summary"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_docs"] > 0 and r["n_langs"] == 5
+    assert 0 <= r["exact_dup_rate"] < 1
+    assert 0 <= r["en_share"] <= 1
+    plan = formatted_plan(DEFS["dataset_card_summary"].fn(spark, SF_DIR))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1
+
+
+def test_funnel_plan_no_cartesian(spark):
+    plan = formatted_plan(DEFS["window_funnel_within_time"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
