@@ -539,3 +539,78 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cusum_value")).desc(), "changepoint_day")
         .limit(1)
     )
+
+
+@query(
+    "ts_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM events GROUP BY CAST(ts AS DATE)),
+    idx AS (
+        SELECT day, n,
+               CAST(datediff('day', MIN(day) OVER (), day) AS DOUBLE) AS x
+        FROM daily),
+    slopes AS (
+        SELECT (b.n - a.n) / (b.x - a.x) AS s
+        FROM idx a JOIN idx b ON b.x > a.x),
+    est AS (
+        SELECT median(s) AS slope,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM slopes) AS n_pairs
+        FROM slopes),
+    icept AS (
+        SELECT median(i.n - e.slope * i.x) AS intercept
+        FROM idx i, est e)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM idx) AS n_days,
+           e.n_pairs,
+           ROUND(e.slope, 6) AS slope_per_day,
+           ROUND(c.intercept, 6) AS intercept
+    FROM est e, icept c
+    """,
+)
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily event volume: the median of
+    all pairwise slopes (29.3% breakdown point — a month of outage days
+    cannot bend the estimate, unlike the OLS `scalar_regr_aggregates`),
+    with the standard median-residual intercept.
+
+    The raw table reduces to the per-day frame first, so the O(d²)
+    pairwise stage runs on at most 366 rows — constant work regardless
+    of corpus size, which is why Theil–Sen is tractable here at all.
+    Slopes are ratios of integer-valued doubles (bit-deterministic);
+    both engines interpolate the same median."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    idx = daily.select(
+        "n",
+        F.datediff(
+            "day", F.min("day").over(Window.partitionBy())
+        ).cast("double").alias("x"),
+    ).persist()
+    a = idx.select(F.col("n").alias("an"), F.col("x").alias("ax"))
+    b = idx.select(F.col("n").alias("bn"), F.col("x").alias("bx"))
+    slopes = a.join(b, F.col("bx") > F.col("ax")).select(
+        ((F.col("bn") - F.col("an")) / (F.col("bx") - F.col("ax"))).alias("s")
+    )
+    est = slopes.agg(
+        F.median("s").alias("slope"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    icept = (
+        idx.crossJoin(F.broadcast(est))
+        .agg(F.median(F.col("n") - F.col("slope") * F.col("x")).alias("intercept"))
+    )
+    n_days = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return (
+        n_days.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(icept))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round("slope", 6).alias("slope_per_day"),
+            F.round("intercept", 6).alias("intercept"),
+        )
+    )
