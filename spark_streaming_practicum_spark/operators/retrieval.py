@@ -253,3 +253,96 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
         .limit(_RRF_TOPN)
     )
+
+
+# --- Kneser-Ney bigram LM -------------------------------------------------
+
+_KN_D = 0.75
+_KN_TOPN = 20
+
+
+@query(
+    "lm_kneser_ney_bigrams",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+        SELECT w[i:i] [1] AS w1, w[i+1:i+1] [1] AS w2,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        GROUP BY 1, 2),
+    uni AS (SELECT w1, SUM(c) AS cw1 FROM bg GROUP BY w1),
+    fanout AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS n_types FROM bg GROUP BY w1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS DOUBLE) AS n_left FROM bg GROUP BY w2),
+    totals AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_bigram_types FROM bg),
+    pkn AS (
+        SELECT b.w1, b.w2, b.c,
+               GREATEST(b.c - {_KN_D}, 0) / u.cw1
+                 + ({_KN_D} * f.n_types / u.cw1)
+                   * (ct.n_left / t.n_bigram_types) AS p
+        FROM bg b
+        JOIN uni u ON u.w1 = b.w1
+        JOIN fanout f ON f.w1 = b.w1
+        JOIN cont ct ON ct.w2 = b.w2
+        CROSS JOIN totals t)
+    SELECT w1, w2, CAST(c AS BIGINT) AS c, ROUND(p, 6) AS p_kn
+    FROM pkn
+    ORDER BY ROUND(p, 6) DESC, w1, w2
+    LIMIT {_KN_TOPN}
+    """,
+)
+def lm_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (absolute discount
+    D=0.75) — the smoothing that makes count-based LMs usable as
+    perplexity filters: probability mass freed by discounting observed
+    bigrams is redistributed by CONTINUATION frequency ('how many
+    distinct left-contexts does w2 follow'), not raw frequency, which
+    is what distinguishes KN from the Laplace smoothing in
+    `doc_bigram_logprob`. Top-20 highest-probability bigrams reported.
+
+    Plan: one bigram-count aggregate over the corpus, then three
+    vocabulary-sized marginals (left counts, left fan-out, continuation
+    counts) that join back keyed on w1/w2 — every frame after the first
+    aggregate is vocabulary-bounded. Counts are integers in doubles;
+    the KN formula evaluates with identical structure on both engines."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    count = F.size("w") - 1
+    pairs = d.select(
+        F.explode(
+            F.when(
+                count >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), count),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("w1"),
+                        F.element_at("w", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    uni = bg.groupBy("w1").agg(F.sum("c").alias("cw1"))
+    fanout = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    cont = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("n_left"))
+    totals = bg.agg(F.count(F.lit(1)).cast("double").alias("n_bigram_types"))
+    p = (
+        F.greatest(F.col("c") - _KN_D, F.lit(0.0)) / F.col("cw1")
+        + (_KN_D * F.col("n_types") / F.col("cw1"))
+        * (F.col("n_left") / F.col("n_bigram_types"))
+    )
+    return (
+        bg.join(uni, "w1")
+        .join(fanout, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("c"),
+            F.round(p, 6).alias("p_kn"),
+        )
+        .orderBy(F.col("p_kn").desc(), "w1", "w2")
+        .limit(_KN_TOPN)
+    )

@@ -607,3 +607,83 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(picked, out_schema).orderBy("rank")
+
+
+# --- kNN-distance outliers ------------------------------------------------
+
+_OUT_REFS = 64  # reference-set size (vec_id < _OUT_REFS)
+_OUT_K = 5
+_OUT_TOPN = 20
+
+
+@query(
+    "embedding_knn_outlier_score",
+    oracle=f"""
+    WITH refs AS (
+        SELECT vec_id AS ref_id, CAST(embedding AS DOUBLE[]) AS re
+        FROM embeddings WHERE vec_id < {_OUT_REFS}),
+    cand AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id >= {_OUT_REFS}),
+    d AS (
+        SELECT c.vec_id, r.ref_id,
+               ROUND(list_distance(c.e, r.re) * list_distance(c.e, r.re), 6)
+                   AS d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY ROUND(list_distance(c.e, r.re)
+                                  * list_distance(c.e, r.re), 6), r.ref_id)
+                   AS rn
+        FROM cand c CROSS JOIN refs r),
+    score AS (
+        SELECT vec_id,
+               ROUND(CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE)
+                     / {_OUT_K}, 6) AS knn_dist_avg
+        FROM d WHERE rn <= {_OUT_K}
+        GROUP BY vec_id)
+    SELECT vec_id, knn_dist_avg
+    FROM score
+    ORDER BY knn_dist_avg DESC, vec_id
+    LIMIT {_OUT_TOPN}
+    """,
+)
+def embedding_knn_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-distance outlier scoring for embedding hygiene: each vector's
+    mean squared distance to its 5 nearest of 64 fixed reference
+    vectors; the 20 highest scores are the embeddings most likely to be
+    garbage (truncated inputs, wrong modality, encoder NaN-squash) —
+    the cheap screen run before any embedding enters an ANN index or a
+    SemDeDup pass.
+
+    The reference set rides a broadcast, so the corpus never shuffles:
+    score = per-vector window over a bounded 64-row fanout, exactly the
+    IVF-probe topology. Distances round to 6 dp BEFORE ranking and the
+    top-5 mean accumulates in DECIMAL, so both engines rank and score
+    identically."""
+    emb = table(spark, sf_dir, "embeddings")
+    refs = emb.filter(F.col("vec_id") < _OUT_REFS).select(
+        F.col("vec_id").alias("ref_id"),
+        F.col("embedding").cast("array<double>").alias("re"),
+    )
+    cand = emb.filter(F.col("vec_id") >= _OUT_REFS).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    diff2 = F.zip_with("e", "re", lambda x, y: (x - y) * (x - y))
+    d2 = F.round(F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v), 6)
+    w = Window.partitionBy("vec_id").orderBy("d2", "ref_id")
+    d = (
+        cand.crossJoin(F.broadcast(refs))
+        .select("vec_id", "ref_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _OUT_K)
+    )
+    return (
+        d.groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum(F.col("d2").cast("decimal(38,6)")).cast("double") / _OUT_K, 6
+            ).alias("knn_dist_avg")
+        )
+        .orderBy(F.col("knn_dist_avg").desc(), "vec_id")
+        .limit(_OUT_TOPN)
+    )
