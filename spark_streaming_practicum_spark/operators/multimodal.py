@@ -13,7 +13,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -513,4 +513,86 @@ def mm_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.floor((F.col("start") - 1) / _AUDIO_HOP).cast("bigint").alias("frame_id"),
         F.round(F.sqrt(energy), 6).alias("rms_energy"),
+    )
+
+
+@query(
+    "mm_video_shot_boundaries",
+    oracle="""
+    WITH frames AS (
+        SELECT doc_id,
+               CAST(t.f AS BIGINT) AS frame_idx,
+               (octet_length(encode(text)) * 31 + t.f * t.f * 97 + t.f * 13)
+                   % 256 AS luma
+        FROM documents,
+             unnest(generate_series(0, CAST(doc_id % 7 AS BIGINT), 1)) AS t(f)),
+    diffs AS (
+        SELECT doc_id, frame_idx, luma,
+               luma - LAG(luma) OVER (PARTITION BY doc_id
+                                      ORDER BY frame_idx) AS d
+        FROM frames)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN ABS(d) > 96 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boundaries,
+           CAST(MIN(CASE WHEN ABS(d) > 96 THEN frame_idx END) AS BIGINT)
+               AS first_boundary
+    FROM diffs
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def mm_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the fake-decoded video frames: a cut
+    is declared where adjacent frames' mean luminance jumps by more than
+    96/255 — the standard histogram-difference detector, here on the
+    deterministic fake decode (real decoders drop into the same shape;
+    see module docstring). Output: frames, cut count, and first cut per
+    video — what a frame-sampling pipeline needs to sample per-shot
+    instead of per-video.
+
+    Plan: JVM-side sequence+explode generates frames (no Python), the
+    adjacent-frame differencing is a LAG window partitioned per video —
+    frame counts are bounded, so windows never span partitions' worth
+    of data — and the rollup returns to one row per video."""
+    d = table(spark, sf_dir, "documents")
+    frames = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                (F.col("doc_id") % 7).cast("long"),
+                F.lit(1).cast("long"),
+            )
+        ).alias("frame_idx"),
+        F.length(F.encode("text", "utf-8")).alias("nb"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        (
+            (
+                F.col("nb") * 31
+                + F.col("frame_idx") * F.col("frame_idx") * 97
+                + F.col("frame_idx") * 13
+            )
+            % 256
+        ).alias("luma"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    diffs = frames.select(
+        "doc_id",
+        "frame_idx",
+        (F.col("luma") - F.lag("luma").over(w)).alias("d"),
+    )
+    cut = F.abs(F.col("d")) > 96
+    return (
+        diffs.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.sum(F.when(cut, 1).otherwise(0)).cast("bigint").alias("n_boundaries"),
+            F.min(F.when(cut, F.col("frame_idx"))).cast("bigint").alias(
+                "first_boundary"
+            ),
+        )
+        .orderBy("doc_id")
     )
