@@ -924,3 +924,134 @@ def dedup_containment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= 0.8)
     )
+
+
+# --- Fellegi-Sunter record linkage ----------------------------------------
+
+# Initial model: (m, u) per comparison field + match prevalence.
+_FS_INIT = [
+    ("acctbal_digit", 0.9, 0.1),
+    ("name_last_digit", 0.8, 0.2),
+    ("key_fingerprint", 0.95, 0.05),
+]
+_FS_P0 = 0.01
+
+
+def _fs_oracle() -> str:
+    a = {
+        "acctbal_digit": "(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) % 10 "
+        "= CAST(ROUND(s.s_acctbal * 100, 0) AS BIGINT) % 10)",
+        "name_last_digit": "(SUBSTR(c.c_name, LENGTH(c.c_name), 1) = SUBSTR(s.s_name, LENGTH(s.s_name), 1))",
+        "key_fingerprint": "(c.c_custkey % 97 = s.s_suppkey % 97)",
+    }
+    fields = [(f, a[f], m, u) for f, m, u in _FS_INIT]
+    mprod = " * ".join(
+        f"(CASE WHEN {expr} THEN CAST({m} AS DOUBLE)"
+        f" ELSE CAST({1 - m} AS DOUBLE) END)"
+        for _, expr, m, _ in fields
+    )
+    uprod = " * ".join(
+        f"(CASE WHEN {expr} THEN CAST({u} AS DOUBLE)"
+        f" ELSE CAST({1 - u} AS DOUBLE) END)"
+        for _, expr, _, u in fields
+    )
+    agrees = ",\n               ".join(
+        f"CASE WHEN {expr} THEN 1 ELSE 0 END AS a_{f}" for f, expr, _, _ in fields
+    )
+    per_field = "\n    UNION ALL\n".join(
+        f"""    SELECT '{f}' AS field,
+           ROUND(CAST(SUM(CAST(post * a_{f} AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(SUM(CAST(post AS DECIMAL(38,12))) AS DOUBLE), 6) AS m_new,
+           ROUND(CAST(SUM(CAST((1 - post) * a_{f} AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(SUM(CAST(1 - post AS DECIMAL(38,12))) AS DOUBLE), 6) AS u_new,
+           ROUND(CAST(SUM(CAST(post AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+               AS prevalence
+    FROM posts"""
+        for f, _, _, _ in fields
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT {agrees},
+               CAST({_FS_P0} AS DOUBLE) * {mprod} AS pm,
+               CAST({1 - _FS_P0} AS DOUBLE) * {uprod} AS pu
+        FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey),
+    posts AS (
+        SELECT *, pm / (pm + pu) AS post FROM pairs)
+{per_field}
+    ORDER BY field
+    """
+
+
+@query("linkage_fellegi_sunter_em", oracle=_fs_oracle())
+def linkage_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM iteration of the Fellegi-Sunter record-linkage model over
+    nation-blocked customer x supplier candidate pairs: the E-step
+    scores each pair's match posterior from per-field agreement
+    (account-balance digit, name last digit, key fingerprint) under
+    the initial (m, u) probabilities; the M-step re-estimates every
+    field's m/u and the match prevalence from posterior-weighted
+    agreement counts — the estimation loop inside Splink-style
+    probabilistic entity resolution, done relationally.
+
+    Blocking bounds the candidate join (per-nation lists, never a full
+    cross product); with binary fields the posterior takes one of 2^3
+    exact values, and every M-step sum accumulates in DECIMAL, so both
+    engines produce identical updates. One scan of the pair frame feeds
+    all three field updates."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_name"
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal", "s_name"
+    )
+    agree = {
+        "acctbal_digit": (
+            F.round(F.col("c_acctbal") * 100, 0).cast("bigint") % 10
+            == F.round(F.col("s_acctbal") * 100, 0).cast("bigint") % 10
+        ),
+        "name_last_digit": (
+            F.substring("c_name", -1, 1) == F.substring("s_name", -1, 1)
+        ),
+        "key_fingerprint": (F.col("c_custkey") % 97 == F.col("s_suppkey") % 97),
+    }
+    pairs = c.join(s, F.col("c_nationkey") == F.col("s_nationkey"))
+    mprod, uprod = F.lit(1.0), F.lit(1.0)
+    cols = []
+    for f, m, u in _FS_INIT:
+        a = agree[f]
+        cols.append(F.when(a, 1).otherwise(0).alias(f"a_{f}"))
+        mprod = mprod * F.when(a, F.lit(m)).otherwise(F.lit(1 - m))
+        uprod = uprod * F.when(a, F.lit(u)).otherwise(F.lit(1 - u))
+    posts = pairs.select(
+        *cols,
+        (F.lit(_FS_P0) * mprod).alias("pm"),
+        (F.lit(1 - _FS_P0) * uprod).alias("pu"),
+    ).select(
+        *[f"a_{f}" for f, _, _ in _FS_INIT],
+        (F.col("pm") / (F.col("pm") + F.col("pu"))).alias("post"),
+    ).persist()
+
+    def dsum12(col):
+        return F.sum(col.cast("decimal(38,12)")).cast("double")
+
+    outs = []
+    for f, _, _ in _FS_INIT:
+        a = F.col(f"a_{f}")
+        outs.append(
+            posts.agg(
+                F.lit(f).alias("field"),
+                F.round(
+                    dsum12(F.col("post") * a) / dsum12(F.col("post")), 6
+                ).alias("m_new"),
+                F.round(
+                    dsum12((1 - F.col("post")) * a) / dsum12(1 - F.col("post")), 6
+                ).alias("u_new"),
+                F.round(dsum12(F.col("post")) / F.count("*"), 6).alias(
+                    "prevalence"
+                ),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("field")
