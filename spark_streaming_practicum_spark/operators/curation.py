@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions.textfns import poly_hash, shingles, tokens
 from ..registry import query
-from .training import _bucket_sql
+from .training import _bucket, _bucket_sql
 
 _WORDS_SQL = "SELECT doc_id, string_split(text, ' ') AS w FROM documents"
 
@@ -571,4 +571,61 @@ def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("chi2").desc(), "tok")
         .limit(20)
+    )
+
+
+_FH_BUCKETS = 4096
+
+
+@query(
+    "feature_hashing_collision_audit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT unnest(string_split_regex(text, '\\s+')) AS tok
+        FROM documents),
+    hashed AS (
+        SELECT tok, {_bucket_sql("tok", _FH_BUCKETS)} AS bucket FROM toks),
+    loads AS (
+        SELECT bucket, COUNT(*) AS load FROM hashed GROUP BY bucket)
+    SELECT CAST((SELECT COUNT(*) FROM toks) AS BIGINT) AS n_distinct_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           CAST((SELECT COUNT(*) FROM toks) - COUNT(*) AS BIGINT)
+               AS n_collisions,
+           ROUND(((SELECT COUNT(*) FROM toks) - COUNT(*)) * 1.0
+                 / (SELECT COUNT(*) FROM toks), 6) AS collision_rate,
+           CAST(MAX(load) AS BIGINT) AS max_bucket_load
+    FROM loads
+    """,
+)
+def feature_hashing_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick audit for the {_FH_BUCKETS}-bucket feature space the
+    `quality_model_score` classifier hashes into: distinct vocabulary,
+    buckets actually hit, collision count/rate, and the worst bucket's
+    load — the numbers that tell you whether hash collisions are
+    silently merging informative features (grow the table) or the table
+    is oversized (shrink it).
+
+    One distinct-token aggregate, one bucket count — both
+    vocabulary-sized frames; the bucket hash is the repo's shared
+    polynomial hash, so the audit reproduces bit-for-bit in DuckDB."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("tok"))
+        .distinct()
+    )
+    hashed = toks.select(_bucket(F.col("tok"), _FH_BUCKETS).alias("bucket"))
+    loads = hashed.groupBy("bucket").agg(F.count(F.lit(1)).alias("load"))
+    n_tok = F.max("n_tok")
+    return (
+        loads.crossJoin(
+            F.broadcast(toks.agg(F.count(F.lit(1)).alias("n_tok")))
+        ).agg(
+            n_tok.cast("bigint").alias("n_distinct_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+            (n_tok - F.count(F.lit(1))).cast("bigint").alias("n_collisions"),
+            F.round(
+                (n_tok - F.count(F.lit(1))) * 1.0 / n_tok, 6
+            ).alias("collision_rate"),
+            F.max("load").cast("bigint").alias("max_bucket_load"),
+        )
     )
