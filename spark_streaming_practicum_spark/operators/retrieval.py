@@ -346,3 +346,124 @@ def lm_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("p_kn").desc(), "w1", "w2")
         .limit(_KN_TOPN)
     )
+
+
+# --- RM3 pseudo-relevance feedback ----------------------------------------
+
+_RM3_FB_DOCS = 10
+_RM3_EXP_TERMS = 5
+
+
+def _rm3_oracle() -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in _TERMS)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    consts AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl
+        FROM dl),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tok
+        WHERE token IN ({terms_sql})
+        GROUP BY doc_id, token),
+    df AS (
+        SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tf GROUP BY token),
+    scored AS (
+        SELECT t.doc_id,
+               ROUND(SUM(
+                   LN((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * t.tf * ({_K1} + 1.0)
+                   / (t.tf + {_K1} * (1.0 - {_B} + {_B} * l.dl / c.avgdl))
+               ), 6) AS bm25
+        FROM tf t
+        JOIN df d USING (token)
+        JOIN dl l USING (doc_id)
+        CROSS JOIN consts c
+        GROUP BY t.doc_id),
+    feedback AS (
+        SELECT doc_id, bm25 FROM scored
+        ORDER BY bm25 DESC, doc_id ASC LIMIT {_RM3_FB_DOCS}),
+    wsum AS (SELECT SUM(CAST(bm25 AS DECIMAL(38,6))) AS s FROM feedback),
+    fbtok AS (
+        SELECT f.doc_id,
+               CAST(f.bm25 AS DOUBLE) / CAST(w.s AS DOUBLE) AS wt,
+               t.token, CAST(COUNT(*) AS DOUBLE) AS tf, MAX(l.dl) AS dl
+        FROM feedback f
+        JOIN tok t ON t.doc_id = f.doc_id
+        JOIN dl l ON l.doc_id = f.doc_id
+        CROSS JOIN wsum w
+        GROUP BY f.doc_id, f.bm25, w.s, t.token),
+    rm AS (
+        SELECT token,
+               CAST(SUM(CAST(wt * tf / dl AS DECIMAL(38,12))) AS DOUBLE) AS rm_w
+        FROM fbtok
+        WHERE LENGTH(token) >= 3 AND token NOT IN ({terms_sql})
+        GROUP BY token)
+    SELECT token AS expansion_term, ROUND(rm_w, 6) AS rm_weight
+    FROM rm
+    ORDER BY ROUND(rm_w, 6) DESC, token
+    LIMIT {_RM3_EXP_TERMS}
+    """
+
+
+@query("rm3_query_expansion", oracle=_rm3_oracle())
+def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko-Croft relevance models):
+    take the BM25 top-{_RM3_FB_DOCS} for the fixed query, build the
+    relevance model P(w|R) = Σ_D P(w|D)·weight(D) with BM25-normalized
+    document weights, and emit the top-{_RM3_EXP_TERMS} expansion terms
+    (original query terms excluded) — the classical two-pass query
+    expansion that still anchors sparse-retrieval baselines.
+
+    Pass 1 is the existing one-scan BM25 plan; the feedback set is
+    {_RM3_FB_DOCS} rows riding a broadcast, so pass 2 touches only the
+    feedback documents' tokens. P(w|D) values are exact rationals, the
+    document weights derive from 6-dp-rounded BM25 scores through a
+    DECIMAL total, and the relevance-model sum accumulates in DECIMAL —
+    end-to-end engine-identical."""
+    feedback = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_RM3_FB_DOCS)
+    )
+    wsum = feedback.agg(
+        F.sum(F.col("bm25").cast("decimal(38,6)")).alias("s")
+    )
+    fb = feedback.crossJoin(F.broadcast(wsum)).select(
+        "doc_id",
+        (F.col("bm25").cast("double") / F.col("s").cast("double")).alias("wt"),
+    )
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    fbtok = (
+        tok.join(F.broadcast(fb), "doc_id")
+        .join(F.broadcast(dl.join(F.broadcast(fb.select("doc_id")), "doc_id")), "doc_id")
+        .groupBy("doc_id", "wt", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.max("dl").alias("dl"))
+    )
+    rm = (
+        fbtok.filter(
+            (F.length("token") >= 3) & (~F.col("token").isin(list(_TERMS)))
+        )
+        .groupBy("token")
+        .agg(
+            F.sum(
+                (F.col("wt") * F.col("tf") / F.col("dl")).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("rm_w")
+        )
+    )
+    return (
+        rm.select(
+            F.col("token").alias("expansion_term"),
+            F.round("rm_w", 6).alias("rm_weight"),
+        )
+        .orderBy(F.col("rm_weight").desc(), "expansion_term")
+        .limit(_RM3_EXP_TERMS)
+    )
