@@ -64,6 +64,7 @@ def all_queries() -> dict[str, QueryDef]:
         ml,
         modern_sql,
         multimodal,
+        recsys,
         retrieval,
         scalar_extra,
         scalar_fns,
