@@ -631,3 +631,86 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("en_share"),
     )
+
+
+_PSI_QS = [i / 10 for i in range(1, 10)]
+
+
+def _psi_oracle() -> str:
+    qs = ", ".join(str(q) for q in _PSI_QS)
+    return f"""
+    WITH ref AS (
+        SELECT value FROM events WHERE EXTRACT(day FROM ts) <= 15),
+    cur AS (
+        SELECT value FROM events WHERE EXTRACT(day FROM ts) > 15),
+    thr AS (
+        SELECT g.i, q.q[g.i] AS t
+        FROM (SELECT quantile_cont(value, [{qs}]) AS q FROM ref) q,
+             unnest(generate_series(1, 9)) AS g(i)),
+    rbin AS (
+        SELECT rv.rowid_b AS rid, COUNT(CASE WHEN t.t < rv.value THEN 1 END) AS bin
+        FROM (SELECT value, ROW_NUMBER() OVER () AS rowid_b FROM ref) rv
+        CROSS JOIN thr t GROUP BY rv.rowid_b),
+    cbin AS (
+        SELECT cv.rowid_b AS rid, COUNT(CASE WHEN t.t < cv.value THEN 1 END) AS bin
+        FROM (SELECT value, ROW_NUMBER() OVER () AS rowid_b FROM cur) cv
+        CROSS JOIN thr t GROUP BY cv.rowid_b),
+    p AS (SELECT bin, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM rbin) AS p
+          FROM rbin GROUP BY bin),
+    q AS (SELECT bin, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM cbin) AS q
+          FROM cbin GROUP BY bin)
+    SELECT p.bin AS bin_id,
+           ROUND(p.p, 6) AS p_ref,
+           ROUND(q.q, 6) AS q_cur,
+           ROUND((q.q - p.p) * LN(q.q / p.p), 6) AS psi_term
+    FROM p JOIN q ON q.bin = p.bin
+    ORDER BY p.bin
+    """
+
+
+@query("drift_psi_value_distribution", oracle=_psi_oracle())
+def drift_psi_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the month: the event-value distribution is decile-binned on the
+    REFERENCE window and each bin contributes (q-p)·ln(q/p) — the
+    drift monitor every deployed model/feature pipeline runs; PSI > 0.2
+    conventionally pages someone.
+
+    Reference deciles are a bounded 1-row collect (the stump/IVF
+    pattern); binning is a literal CASE ladder inside the scan, so each
+    half is ONE pass reduced to a 10-row frame. Shares are exact
+    rationals; only the log term needs the 6-dp round."""
+    e = table(spark, sf_dir, "events").select(
+        "value", F.dayofmonth("ts").alias("dom")
+    )
+    ref = e.filter(F.col("dom") <= 15)
+    cur = e.filter(F.col("dom") > 15)
+    thrs = ref.agg(F.percentile("value", F.lit(_PSI_QS)).alias("qs")).collect()[
+        0
+    ]["qs"]
+    bin_col = sum(
+        (F.when(F.col("value") > F.lit(t), 1).otherwise(0) for t in thrs),
+        F.lit(0),
+    ).alias("bin")
+
+    def shares(df: DataFrame, name: str) -> DataFrame:
+        b = df.select(bin_col).groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+        tot = Window.partitionBy()
+        return b.select(
+            "bin", (F.col("c") * 1.0 / F.sum("c").over(tot)).alias(name)
+        )
+
+    p = shares(ref, "p")
+    q = shares(cur, "q")
+    return (
+        p.join(q, "bin")
+        .select(
+            F.col("bin").alias("bin_id"),
+            F.round("p", 6).alias("p_ref"),
+            F.round("q", 6).alias("q_cur"),
+            F.round(
+                (F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p")), 6
+            ).alias("psi_term"),
+        )
+        .orderBy("bin_id")
+    )

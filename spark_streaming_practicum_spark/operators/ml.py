@@ -832,3 +832,96 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace", "code")
     )
+
+
+# --- precision-recall curve -----------------------------------------------
+
+_PR_BINS = 20  # ventile-width score bins -> thresholds i/20, i=1..19
+
+
+@query(
+    "eval_pr_curve_points",
+    oracle=_LOGREG_CTES
+    + f"""
+    , bins AS (
+        SELECT LEAST(CAST(FLOOR(p * {_PR_BINS}) AS BIGINT), {_PR_BINS - 1}) AS bin,
+               CAST(SUM(y) AS DOUBLE) AS pos,
+               CAST(COUNT(*) AS DOUBLE) AS tot
+        FROM scored GROUP BY 1),
+    cum AS (
+        SELECT bin,
+               SUM(pos) OVER (ORDER BY bin DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cpos,
+               SUM(tot) OVER (ORDER BY bin DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS ctot
+        FROM bins),
+    total AS (SELECT CAST(SUM(y) AS DOUBLE) AS allpos FROM scored),
+    thr AS (SELECT g.i FROM unnest(generate_series(1, {_PR_BINS - 1})) AS g(i)),
+    pts AS (
+        SELECT t.i, MAX(c.cpos) AS cpos, MAX(c.ctot) AS ctot
+        FROM thr t JOIN cum c ON c.bin >= t.i
+        GROUP BY t.i)
+    SELECT ROUND(p.i * 1.0 / {_PR_BINS}, 6) AS threshold,
+           CAST(p.ctot AS BIGINT) AS n_predicted_pos,
+           ROUND(p.cpos / p.ctot, 6) AS precision,
+           ROUND(p.cpos / tt.allpos, 6) AS recall
+    FROM pts p, total tt
+    WHERE p.ctot > 0
+    ORDER BY threshold
+    """,
+)
+def eval_pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve for the trained logistic model at the 19
+    ventile thresholds — the operating-characteristic sweep you read
+    before picking a deployment threshold, computed WITHOUT re-scanning
+    per threshold: scores bin once into 20 ventile-width buckets and
+    every threshold's (TP, predicted-positive) pair is a cumulative sum
+    over that 20-row frame read from the top bin down — the same
+    histogram-sweep trick as `decision_stump_info_gain`.
+
+    Counts are integers in doubles; precision/recall are exact
+    rationals of those counts; thresholds are literals — nothing
+    engine-dependent survives to the 6-dp round."""
+    scored = _logreg_scored(spark, sf_dir)
+    bins = (
+        scored.select(
+            F.least(
+                F.floor(F.col("p") * _PR_BINS).cast("bigint"),
+                F.lit(_PR_BINS - 1),
+            ).alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("y").cast("double").alias("pos"),
+            F.count(F.lit(1)).cast("double").alias("tot"),
+        )
+    )
+    wdesc = Window.partitionBy().orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "bin",
+        F.sum("pos").over(wdesc).alias("cpos"),
+        F.sum("tot").over(wdesc).alias("ctot"),
+    )
+    total = scored.agg(F.sum("y").cast("double").alias("allpos"))
+    thr = spark.range(1, _PR_BINS).select(F.col("id").alias("i"))
+    pts = (
+        thr.join(F.broadcast(cum), cum.bin >= thr.i)
+        .groupBy("i")
+        .agg(F.max("cpos").alias("cpos"), F.max("ctot").alias("ctot"))
+    )
+    return (
+        pts.crossJoin(F.broadcast(total))
+        .filter(F.col("ctot") > 0)
+        .select(
+            F.round(F.col("i") * 1.0 / _PR_BINS, 6).alias("threshold"),
+            F.col("ctot").cast("bigint").alias("n_predicted_pos"),
+            F.round(F.col("cpos") / F.col("ctot"), 6).alias("precision"),
+            F.round(F.col("cpos") / F.col("allpos"), 6).alias("recall"),
+        )
+        .orderBy("threshold")
+    )
