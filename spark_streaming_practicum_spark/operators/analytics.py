@@ -1080,3 +1080,79 @@ def path_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(10)
     )
+
+
+@query(
+    "revenue_gini_lorenz",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS x
+        FROM orders GROUP BY o_custkey),
+    ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, o_custkey ASC) AS i,
+               COUNT(*) OVER () AS nn
+        FROM rev),
+    sums AS (
+        SELECT CAST(MAX(nn) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(i * x AS DECIMAL(38,6))) AS DOUBLE) AS six,
+               CAST(SUM(CASE WHEN i > nn - FLOOR(nn / 10)
+                             THEN CAST(x AS DECIMAL(38,6)) END) AS DOUBLE)
+                   AS top_sx
+        FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           ROUND(2.0 * six / (n * sx) - (n + 1.0) / n, 6) AS gini,
+           ROUND(top_sx / sx, 6) AS top_decile_share
+    FROM sums
+    """,
+)
+def revenue_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the Gini coefficient of per-customer
+    revenue (from the sorted-rank identity G = 2·Σi·x₍ᵢ₎/(n·Σx) −
+    (n+1)/n) plus the top-decile revenue share — the Lorenz-curve
+    numbers behind every 'whales' analysis, and operationally the same
+    skew signal `skew_key_diagnostics` reads for shuffle planning.
+
+    The fact table reduces to one row per customer first (DECIMAL
+    sums), so the rank window runs on the dimension-sized frame; every
+    rank-weighted sum also accumulates in DECIMAL. At 100 TB the
+    per-customer frame still fits the window comfortably; if it ever
+    didn't, the same identity works on quantile-bucketed aggregates."""
+    rev = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    wr = Window.partitionBy().orderBy(F.col("x").asc(), F.col("o_custkey").asc())
+    ranked = rev.select("x", F.row_number().over(wr).alias("i"))
+    n_all = Window.partitionBy()
+    ranked = ranked.withColumn("n", F.count(F.lit(1)).over(n_all))
+    sums = ranked.agg(
+        F.max("n").cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("sx"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("six"),
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") - F.floor(F.col("n") / 10),
+                F.col("x").cast("decimal(38,6)"),
+            )
+        )
+        .cast("double")
+        .alias("top_sx"),
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(
+            2.0 * F.col("six") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.round(F.col("top_sx") / F.col("sx"), 6).alias("top_decile_share"),
+    )

@@ -361,3 +361,96 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_tokens",
         F.sum("new_tokens").over(wcum).cast("bigint").alias("cum_vocab"),
     ).orderBy("bucket_id")
+
+
+_ZIPF_TOPK = 100
+
+
+@query(
+    "token_zipf_fit",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok),
+    top AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS r
+        FROM cnt
+        ORDER BY c DESC, tok ASC LIMIT {_ZIPF_TOPK}),
+    pts AS (SELECT LN(CAST(r AS DOUBLE)) AS x, LN(c) AS y FROM top),
+    sums AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM sums
+    """,
+)
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency spectrum: log-log OLS of
+    frequency against rank for the top-{_ZIPF_TOPK} tokens. Natural text
+    sits near slope -1 with high R²; a corpus whose spectrum bends away
+    (template spam flattens it, aggressive dedup steepens it) fails the
+    power-law sanity check — the companion diagnostic to
+    `vocab_growth_heaps`' Heaps curve.
+
+    One token-count aggregate (the only data-sized work), a
+    TakeOrdered top-{_ZIPF_TOPK}, then the OLS closed form over 100
+    points with every sum in DECIMAL — the fit itself costs nothing and
+    cannot drift between engines."""
+    cnt = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    top = (
+        cnt.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(_ZIPF_TOPK)
+        .select("c", F.col("tok").alias("tok"))
+    )
+    wr = Window.partitionBy().orderBy(F.col("c").desc(), F.col("tok").asc())
+    pts = top.select(
+        F.log(F.row_number().over(wr).cast("double")).alias("x"),
+        F.log("c").alias("y"),
+    )
+
+    def dsum12(col):
+        return F.sum(col.cast("decimal(38,12)")).cast("double")
+
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum12(F.col("x")).alias("sx"),
+        dsum12(F.col("y")).alias("sy"),
+        dsum12(F.col("x") * F.col("y")).alias("sxy"),
+        dsum12(F.col("x") * F.col("x")).alias("sxx"),
+        dsum12(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )
