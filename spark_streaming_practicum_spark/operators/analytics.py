@@ -1156,3 +1156,74 @@ def revenue_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         F.round(F.col("top_sx") / F.col("sx"), 6).alias("top_decile_share"),
     )
+
+
+# Two-sided alpha=0.05 and power=0.80 normal quantiles (literals shared
+# with the oracle so both engines compute identical requirements).
+_PWR_Z_ALPHA = 1.959963985
+_PWR_Z_BETA = 0.8416212336
+_PWR_DELTA = 5.0  # minimum detectable absolute effect on `value`
+
+
+@query(
+    "ab_test_power_sample_size",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        FROM events GROUP BY event_type),
+    v AS (
+        SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+               (sxx - sx * sx / n) / (n - 1) AS s2
+        FROM s)
+    SELECT event_type, n_obs,
+           ROUND(s2, 6) AS variance,
+           CAST(CEIL(2.0 * s2
+                     * ({_PWR_Z_ALPHA} + {_PWR_Z_BETA})
+                     * ({_PWR_Z_ALPHA} + {_PWR_Z_BETA})
+                     / ({_PWR_DELTA} * {_PWR_DELTA})) AS BIGINT)
+               AS n_required_per_arm
+    FROM v
+    ORDER BY event_type
+    """,
+)
+def ab_test_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test power analysis: per event type, the sample size each arm
+    needs to detect a {_PWR_DELTA}-unit shift in mean value at
+    alpha=0.05 (two-sided) with 80% power — n = 2s²(z_a+z_b)²/d². This
+    is the pre-registration companion to `ab_test_welch_ttest`: run the
+    power calc BEFORE the experiment, the t-test after.
+
+    One global aggregate per type computes (n, Σx, Σx²) with DECIMAL
+    accumulation, so the sample variance — and therefore the required
+    n — is bit-identical across engines; the z-quantiles are shared
+    literals."""
+    s = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sx"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    s2 = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    zsum = _PWR_Z_ALPHA + _PWR_Z_BETA
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(s2, 6).alias("variance"),
+        F.ceil(
+            2.0 * s2 * F.lit(zsum) * F.lit(zsum) / (_PWR_DELTA * _PWR_DELTA)
+        )
+        .cast("bigint")
+        .alias("n_required_per_arm"),
+    ).orderBy("event_type")

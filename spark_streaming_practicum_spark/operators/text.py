@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.textfns import EN_STOPWORDS, poly_hash, tokens
+from ..functions.textfns import EN_STOPWORDS, poly_hash, shingles, tokens
 from ..registry import query
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
@@ -423,4 +423,90 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("f"), 6).alias("max_flesch"),
         )
         .orderBy("lang")
+    )
+
+
+_PMI_MIN_COUNT = 20
+
+
+@query(
+    "collocations_pmi_top",
+    oracle=f"""
+    WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+    uni AS (
+        SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM (SELECT unnest(w) AS tok FROM w) GROUP BY tok),
+    nt AS (SELECT CAST(SUM(c) AS DOUBLE) AS nt FROM uni),
+    bg AS (
+        SELECT w[i:i] [1] AS w1, w[i+1:i+1] [1] AS w2,
+               CAST(COUNT(*) AS DOUBLE) AS c12
+        FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_PMI_MIN_COUNT}),
+    nb AS (
+        SELECT CAST(SUM(CAST(len(w) - 1 AS BIGINT)) AS DOUBLE) AS nb FROM w),
+    scored AS (
+        SELECT b.w1, b.w2, b.c12,
+               LN((b.c12 / nb.nb) / ((u1.c / nt.nt) * (u2.c / nt.nt))) AS pmi
+        FROM bg b
+        JOIN uni u1 ON u1.tok = b.w1
+        JOIN uni u2 ON u2.tok = b.w2
+        CROSS JOIN nt CROSS JOIN nb)
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS n_cooccur, ROUND(pmi, 6) AS pmi
+    FROM scored
+    ORDER BY ROUND(pmi, 6) DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def collocations_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: adjacent
+    word pairs whose co-occurrence beats the independence baseline,
+    PMI = ln(P(w1w2) / (P(w1)P(w2))), with a count floor so rare-pair
+    noise (PMI's classic failure mode) can't top the list. The standard
+    first pass for multi-word-expression vocabularies before tokenizer
+    training — the relational cousin of `bpe_learn_merges`' pair stats.
+
+    Unigram and bigram tables are the usual two corpus aggregates;
+    scoring joins are keyed on the word (vocabulary-sized); the two
+    scalar totals ride broadcast cross joins. Counts are integers, so
+    only the final log needs rounding."""
+    d = table(spark, sf_dir, "documents").select(F.split("text", " ").alias("w"))
+    uni = (
+        d.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    nt = uni.agg(F.sum("c").alias("nt"))
+    bg = (
+        d.select(F.explode(shingles(F.col("w"), 2)).alias("bg"))
+        .select(
+            F.split("bg", " ")[0].alias("w1"),
+            F.split("bg", " ")[1].alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c12"))
+        .filter(F.col("c12") >= _PMI_MIN_COUNT)
+    )
+    nb = d.agg(
+        F.sum((F.size("w") - 1).cast("bigint")).cast("double").alias("nb")
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c12") / F.col("nb"))
+        / ((F.col("c1") / F.col("nt")) * (F.col("c2") / F.col("nt")))
+    )
+    return (
+        bg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("n_cooccur"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
     )
