@@ -398,3 +398,93 @@ def eval_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rouge2_f1").desc(), "doc_a")
         .limit(20)
     )
+
+
+_MRL_SUBDIM = 16  # truncated prefix length (Matryoshka-style)
+
+
+@query(
+    "eval_matryoshka_truncation",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= {N_QUERIES}),
+    full_rank AS (
+        SELECT q.qid, c.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND(list_cosine_similarity(c.e, q.qe), 6) DESC,
+                            c.vec_id) AS rnk
+        FROM c, q),
+    trunc_rank AS (
+        SELECT q.qid, c.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND(list_cosine_similarity(
+                                c.e[1:{_MRL_SUBDIM}],
+                                q.qe[1:{_MRL_SUBDIM}]), 6) DESC,
+                            c.vec_id) AS rnk
+        FROM c, q)
+    SELECT f.qid,
+           CAST(COUNT(*) AS BIGINT) AS overlap_at_{K},
+           ROUND(COUNT(*) * 1.0 / ({K} * 2 - COUNT(*)), 6) AS jaccard_at_{K}
+    FROM (SELECT qid, vec_id FROM full_rank WHERE rnk <= {K}) f
+    JOIN (SELECT qid, vec_id FROM trunc_rank WHERE rnk <= {K}) t
+      ON t.qid = f.qid AND t.vec_id = f.vec_id
+    GROUP BY f.qid
+    ORDER BY f.qid
+    """,
+)
+def eval_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-fidelity eval for Matryoshka-style embeddings: per
+    query, the top-{K} overlap (and Jaccard) between neighbors ranked
+    by the FULL 64-d cosine and by the first-{_MRL_SUBDIM}-dims cosine
+    — the measurement that decides whether you can serve the cheap
+    truncated index and keep the full vectors only for rerank.
+
+    Both rankings share the broadcast-query/corpus-scan topology of the
+    retrieval evals; ranks order by (rounded cosine, vec_id) so the
+    comparison is engine-exact. Overlap joins on (query, candidate) —
+    Q*k rows a side."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def ranked(qe_col, e_col):
+        cos = F.round(
+            dot(e_col, qe_col) / (l2_norm(e_col) * l2_norm(qe_col)), 6
+        )
+        w = Window.partitionBy("qid").orderBy(cos.desc(), F.col("vec_id"))
+        return (
+            c.crossJoin(F.broadcast(q))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= K)
+            .select("qid", "vec_id")
+        )
+
+    full = ranked(F.col("qe"), F.col("e"))
+    trunc = ranked(
+        F.slice(F.col("qe"), 1, _MRL_SUBDIM), F.slice(F.col("e"), 1, _MRL_SUBDIM)
+    )
+    return (
+        full.join(trunc, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias(f"overlap_at_{K}"))
+        .select(
+            "qid",
+            f"overlap_at_{K}",
+            F.round(
+                F.col(f"overlap_at_{K}")
+                * 1.0
+                / (K * 2 - F.col(f"overlap_at_{K}")),
+                6,
+            ).alias(f"jaccard_at_{K}"),
+        )
+        .orderBy("qid")
+    )
