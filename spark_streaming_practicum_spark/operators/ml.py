@@ -925,3 +925,104 @@ def eval_pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "eval_brier_decomposition",
+    oracle=_LOGREG_CTES
+    + f"""
+    , binned AS (
+        SELECT LEAST(CAST(FLOOR(p * {_PR_BINS}) AS BIGINT), {_PR_BINS - 1}) AS bin,
+               y, p
+        FROM scored),
+    per_bin AS (
+        SELECT bin, CAST(COUNT(*) AS DOUBLE) AS nk,
+               CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS fk,
+               CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS ok
+        FROM binned GROUP BY bin),
+    gstats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS obar,
+               CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*) AS brier
+        FROM binned)
+    SELECT CAST(g.n AS BIGINT) AS n,
+           ROUND(g.brier, 6) AS brier,
+           ROUND(CAST(SUM(CAST(b.nk * (b.fk - b.ok) * (b.fk - b.ok)
+                               AS DECIMAL(38,12))) AS DOUBLE) / g.n, 6)
+               AS reliability,
+           ROUND(CAST(SUM(CAST(b.nk * (b.ok - g.obar) * (b.ok - g.obar)
+                               AS DECIMAL(38,12))) AS DOUBLE) / g.n, 6)
+               AS resolution,
+           ROUND(g.obar * (1 - g.obar), 6) AS uncertainty
+    FROM per_bin b, gstats g
+    GROUP BY g.n, g.brier, g.obar
+    """,
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy decomposition for the trained
+    logistic model: reliability (calibration error), resolution (how
+    much the forecasts separate outcomes), and uncertainty (base-rate
+    variance) over the same 20 ventile bins as `logreg_calibration_bins`
+    — Brier ≈ reliability − resolution + uncertainty, the proper-score
+    view of WHY a probabilistic model is good or bad, not just how good.
+
+    One pass bins every scored row; per-bin forecast/outcome means and
+    all three decomposition terms accumulate in DECIMAL over the 20-row
+    frame, so the report is bit-identical across engines."""
+    scored = _logreg_scored(spark, sf_dir)
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("p") * _PR_BINS).cast("bigint"), F.lit(_PR_BINS - 1)
+        ).alias("bin"),
+        "y",
+        "p",
+    )
+
+    def dsum12(col):
+        return F.sum(col.cast("decimal(38,12)")).cast("double")
+
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("double").alias("nk"),
+        (dsum12(F.col("p")) / F.count("*")).alias("fk"),
+        (dsum12(F.col("y")) / F.count("*")).alias("ok"),
+    )
+    glob = binned.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (dsum12(F.col("y")) / F.count("*")).alias("obar"),
+        (
+            dsum12((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")))
+            / F.count("*")
+        ).alias("brier"),
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(glob))
+        .groupBy("n", "brier", "obar")
+        .agg(
+            F.round(
+                dsum12(
+                    F.col("nk")
+                    * (F.col("fk") - F.col("ok"))
+                    * (F.col("fk") - F.col("ok"))
+                )
+                / F.max("n"),
+                6,
+            ).alias("reliability"),
+            F.round(
+                dsum12(
+                    F.col("nk")
+                    * (F.col("ok") - F.col("obar"))
+                    * (F.col("ok") - F.col("obar"))
+                )
+                / F.max("n"),
+                6,
+            ).alias("resolution"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.round("brier", 6).alias("brier"),
+            "reliability",
+            "resolution",
+            F.round(F.col("obar") * (1 - F.col("obar")), 6).alias("uncertainty"),
+        )
+    )

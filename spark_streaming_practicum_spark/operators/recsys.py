@@ -17,7 +17,7 @@ extension operators exercising per-key closed-form linear algebra.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -176,3 +176,86 @@ def als_user_factors_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("a22") * F.col("b1") - F.col("a12") * F.col("b2")) / det, 6).alias("w1"),
         F.round((F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")) / det, 6).alias("w2"),
     ).orderBy("user_id")
+
+
+_OPE_ARMS = ("click", "error", "purchase", "signup", "view")  # alphabetical
+
+
+@query(
+    "ope_ips_estimate",
+    oracle=f"""
+    WITH logged AS (
+        SELECT user_id, event_type, value FROM events),
+    prop AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS p
+        FROM logged GROUP BY event_type),
+    scored AS (
+        SELECT l.value,
+               CASE WHEN l.event_type =
+                    (['click','error','purchase','signup','view'])
+                        [CAST(l.user_id % 5 AS INT) + 1]
+                    THEN 1.0 ELSE 0.0 END AS match,
+               pr.p
+        FROM logged l JOIN prop pr ON pr.event_type = l.event_type)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_logged,
+           ROUND(CAST(SUM(CAST(match * value / p AS DECIMAL(38,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS ips_value,
+           ROUND(CAST(SUM(CAST(match * value / p AS DECIMAL(38,12)))
+                      AS DOUBLE)
+                 / CAST(SUM(CAST(match / p AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS snips_value,
+           ROUND(CAST(SUM(CAST(match / p AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS effective_weight
+    FROM scored
+    """,
+)
+def ope_ips_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by inverse-propensity scoring: estimate the
+    value a deterministic target policy (arm chosen by user-id hash)
+    WOULD have earned from the logged event stream, reweighting each
+    logged (action, reward) by 1/propensity — plus the self-normalized
+    (SNIPS) variant that tames weight variance. This is how recommender
+    and bandit policies are evaluated before any A/B traffic exists.
+
+    Propensities are the arms' empirical shares (5-row broadcast);
+    matching and reweighting happen inside the one logged-data scan;
+    every weighted sum accumulates in DECIMAL so both engines agree
+    bit-for-bit before rounding."""
+    logged = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    prop = logged.groupBy("event_type").agg(
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.sum(F.count(F.lit(1))).over(Window.partitionBy())
+        ).alias("p")
+    )
+    target = None
+    for i, arm in enumerate(_OPE_ARMS):
+        c = F.col("user_id") % 5 == i
+        target = F.when(c, arm) if target is None else target.when(c, arm)
+    scored = logged.join(F.broadcast(prop), "event_type").select(
+        "value",
+        F.when(F.col("event_type") == target, 1.0).otherwise(0.0).alias("match"),
+        "p",
+    )
+
+    def dsum12(col):
+        return F.sum(col.cast("decimal(38,12)")).cast("double")
+
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_logged"),
+        F.round(
+            dsum12(F.col("match") * F.col("value") / F.col("p")) / F.count("*"),
+            6,
+        ).alias("ips_value"),
+        F.round(
+            dsum12(F.col("match") * F.col("value") / F.col("p"))
+            / dsum12(F.col("match") / F.col("p")),
+            6,
+        ).alias("snips_value"),
+        F.round(
+            dsum12(F.col("match") / F.col("p")) / F.count("*"), 6
+        ).alias("effective_weight"),
+    )
