@@ -1026,3 +1026,202 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("obar") * (1 - F.col("obar")), 6).alias("uncertainty"),
         )
     )
+
+
+@query(
+    "conformal_prediction_interval",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, CAST(l_quantity AS DOUBLE) AS x,
+               CAST(l_extendedprice AS DOUBLE) AS y
+        FROM lineitem),
+    train AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        FROM base WHERE l_orderkey % 2 = 0),
+    fit AS (
+        SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS icept
+        FROM train),
+    calib AS (
+        SELECT quantile_cont(ABS(b.y - (f.slope * b.x + f.icept)), 0.9) AS q,
+               COUNT(*) AS n_calib
+        FROM base b, fit f WHERE b.l_orderkey % 4 = 1),
+    ev AS (
+        SELECT COUNT(*) AS n_eval,
+               CAST(SUM(CASE WHEN ABS(b.y - (f.slope * b.x + f.icept)) <= c.q
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS covered
+        FROM base b, fit f, calib c WHERE b.l_orderkey % 4 = 3)
+    SELECT CAST(c.n_calib AS BIGINT) AS n_calib,
+           CAST(e.n_eval AS BIGINT) AS n_eval,
+           ROUND(c.q, 6) AS interval_halfwidth,
+           ROUND(e.covered / e.n_eval, 6) AS coverage
+    FROM calib c, ev e
+    """,
+)
+def conformal_prediction_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the price~quantity
+    regression: fit on the train split, take the 90th percentile of
+    absolute residuals on a held-out CALIBRATION split as the interval
+    half-width, and report empirical coverage on a disjoint eval split
+    — the distribution-free uncertainty wrapper (Vovk; split-conformal
+    per Lei et al.) that turns any point model into calibrated
+    intervals, with coverage ≈ 0.9 by construction.
+
+    Every stage is one aggregate over a hash-keyed split: OLS moments
+    and the fit are DECIMAL-exact, the residual quantile is the exact
+    interpolated percentile, and the 1-row fit/width frames ride
+    broadcasts into the coverage scan."""
+    base = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+
+    def dsum6(col):
+        return F.sum(col.cast("decimal(38,6)")).cast("double")
+
+    train = base.filter(F.col("l_orderkey") % 2 == 0).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum6(F.col("x")).alias("sx"),
+        dsum6(F.col("y")).alias("sy"),
+        dsum6(F.col("x") * F.col("y")).alias("sxy"),
+        dsum6(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = train.select(
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("icept"),
+    )
+    resid = F.abs(F.col("y") - (F.col("slope") * F.col("x") + F.col("icept")))
+    calib = (
+        base.filter(F.col("l_orderkey") % 4 == 1)
+        .crossJoin(F.broadcast(fit))
+        .agg(
+            F.percentile(resid, F.lit(0.9)).alias("q"),
+            F.count(F.lit(1)).cast("bigint").alias("n_calib"),
+        )
+    )
+    ev = (
+        base.filter(F.col("l_orderkey") % 4 == 3)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(calib.select("q")))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum(F.when(resid <= F.col("q"), 1).otherwise(0))
+            .cast("double")
+            .alias("covered"),
+        )
+    )
+    return (
+        calib.select("n_calib", "q")
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "n_calib",
+            "n_eval",
+            F.round("q", 6).alias("interval_halfwidth"),
+            F.round(F.col("covered") / F.col("n_eval"), 6).alias("coverage"),
+        )
+    )
+
+
+@query(
+    "explain_shapley_global_importance",
+    oracle=_LOGREG_CTES
+    + """
+    , means AS (
+        SELECT CAST(SUM(CAST(x1 AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m1,
+               CAST(SUM(CAST(x2 AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m2
+        FROM f),
+    shap AS (
+        SELECT
+            0.5 * ((1 / (1 + EXP(-(w2.a * f.x1 + w2.b * m.m2 + w2.c)))
+                    - 1 / (1 + EXP(-(w2.a * m.m1 + w2.b * m.m2 + w2.c))))
+                 + (1 / (1 + EXP(-(w2.a * f.x1 + w2.b * f.x2 + w2.c)))
+                    - 1 / (1 + EXP(-(w2.a * m.m1 + w2.b * f.x2 + w2.c)))))
+                AS phi1,
+            0.5 * ((1 / (1 + EXP(-(w2.a * m.m1 + w2.b * f.x2 + w2.c)))
+                    - 1 / (1 + EXP(-(w2.a * m.m1 + w2.b * m.m2 + w2.c))))
+                 + (1 / (1 + EXP(-(w2.a * f.x1 + w2.b * f.x2 + w2.c)))
+                    - 1 / (1 + EXP(-(w2.a * f.x1 + w2.b * m.m2 + w2.c)))))
+                AS phi2
+        FROM f, w2, means m)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(ABS(phi1) AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_abs_shap_quantity,
+           ROUND(CAST(SUM(CAST(ABS(phi2) AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_abs_shap_discount,
+           ROUND(CAST(SUM(CAST(phi1 AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_shap_quantity,
+           ROUND(CAST(SUM(CAST(phi2 AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_shap_discount
+    FROM shap
+    """,
+)
+def explain_shapley_global_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley feature attributions for the trained 2-feature
+    logistic model, aggregated into global importance (mean |φ| per
+    feature): with two features the Shapley value needs only the four
+    coalition predictions — absent features imputed at the training
+    mean — so no sampling approximation is involved. The model-
+    explainability report (SHAP summary numbers) every governed model
+    ships with.
+
+    One pass evaluates all four sigmoids per row (weights and feature
+    means ride 1-row broadcasts); attribution sums accumulate in
+    DECIMAL. Exhaustive-coalition Shapley is exponential in features —
+    exactly why this exact form is reserved for small feature sets and
+    the hashed-feature models use other diagnostics."""
+    scored = _logreg_scored(spark, sf_dir)  # brings (a, b, c) per row
+    li = table(spark, sf_dir, "lineitem")
+    f = li.select(
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+    )
+
+    def dsum12(col):
+        return F.sum(col.cast("decimal(38,12)")).cast("double")
+
+    means = f.agg(
+        (dsum12(F.col("x1")) / F.count("*")).alias("m1"),
+        (dsum12(F.col("x2")) / F.count("*")).alias("m2"),
+    )
+    w = scored.select("a", "b", "c").limit(1)
+
+    def sig(z1, z2):
+        return F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(-(F.col("a") * z1 + F.col("b") * z2 + F.col("c")))
+        )
+
+    joined = f.crossJoin(F.broadcast(w)).crossJoin(F.broadcast(means))
+    phi1 = 0.5 * (
+        (sig(F.col("x1"), F.col("m2")) - sig(F.col("m1"), F.col("m2")))
+        + (sig(F.col("x1"), F.col("x2")) - sig(F.col("m1"), F.col("x2")))
+    )
+    phi2 = 0.5 * (
+        (sig(F.col("m1"), F.col("x2")) - sig(F.col("m1"), F.col("m2")))
+        + (sig(F.col("x1"), F.col("x2")) - sig(F.col("x1"), F.col("m2")))
+    )
+    shap = joined.select(phi1.alias("phi1"), phi2.alias("phi2"))
+    return shap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(dsum12(F.abs(F.col("phi1"))) / F.count("*"), 6).alias(
+            "mean_abs_shap_quantity"
+        ),
+        F.round(dsum12(F.abs(F.col("phi2"))) / F.count("*"), 6).alias(
+            "mean_abs_shap_discount"
+        ),
+        F.round(dsum12(F.col("phi1")) / F.count("*"), 6).alias(
+            "mean_shap_quantity"
+        ),
+        F.round(dsum12(F.col("phi2")) / F.count("*"), 6).alias(
+            "mean_shap_discount"
+        ),
+    )
