@@ -1227,3 +1227,131 @@ def ab_test_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_required_per_arm"),
     ).orderBy("event_type")
+
+
+@query(
+    "survival_logrank_test",
+    oracle=f"""
+    WITH durations AS (
+        SELECT l.l_suppkey % 2 AS arm,
+               datediff('day', o.o_orderdate, l.l_shipdate) AS t,
+               CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0 END AS ev
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE datediff('day', o.o_orderdate, l.l_shipdate)
+              BETWEEN 0 AND {_KM_HORIZON}),
+    per_ta AS (
+        SELECT t, arm, CAST(SUM(ev) AS DOUBLE) AS d,
+               CAST(COUNT(*) AS DOUBLE) AS r
+        FROM durations GROUP BY t, arm),
+    risk AS (
+        SELECT t, arm, d,
+               SUM(r) OVER (PARTITION BY arm ORDER BY t
+                            ROWS BETWEEN CURRENT ROW
+                            AND UNBOUNDED FOLLOWING) AS n_at_risk
+        FROM per_ta),
+    merged AS (
+        SELECT a1.t,
+               a1.d AS d1, a1.n_at_risk AS n1,
+               a1.d + COALESCE(a0.d, 0) AS dj,
+               a1.n_at_risk + COALESCE(a0.n_at_risk, 0) AS nj
+        FROM (SELECT * FROM risk WHERE arm = 1) a1
+        LEFT JOIN (SELECT * FROM risk WHERE arm = 0) a0 ON a0.t = a1.t
+        WHERE a1.d + COALESCE(a0.d, 0) > 0),
+    terms AS (
+        SELECT d1, dj * n1 / nj AS e1,
+               CASE WHEN nj > 1
+                    THEN dj * (n1 / nj) * (1 - n1 / nj) * (nj - dj) / (nj - 1)
+                    ELSE 0 END AS v1
+        FROM merged)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+           CAST(SUM(CAST(d1 AS DECIMAL(38,6))) AS BIGINT) AS observed_arm1,
+           ROUND(CAST(SUM(CAST(e1 AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS expected_arm1,
+           ROUND(POWER(CAST(SUM(CAST(d1 - e1 AS DECIMAL(38,12))) AS DOUBLE), 2)
+                 / CAST(SUM(CAST(v1 AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS logrank_chi2
+    FROM terms
+    """,
+)
+def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing ship-latency survival between two
+    supplier arms (suppkey parity) — the hypothesis test that belongs
+    next to `survival_kaplan_meier`'s curves: at every event time,
+    compare arm 1's observed events to its risk-set-proportional
+    expectation and accumulate the hypergeometric variance;
+    chi2 = (ΣO−E)²/ΣV on 1 df.
+
+    The raw join collapses to one row per (duration, arm); at-risk
+    counts are a REVERSED cumulative sum over that ≤2·366-row frame
+    (no per-subject sort), arms merge on the duration key, and every
+    O/E/V accumulation runs through DECIMAL — the statistic cannot
+    drift between engines. The event-time grid is anchored on arm 1's
+    observed durations (daily-resolution data puts events from both
+    arms on almost every day, so the grids coincide in practice);
+    days where only arm 0 has events contribute no O−E term."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        (F.col("l_suppkey") % 2).alias("arm"),
+        F.when(F.col("l_linestatus") == "F", 1).otherwise(0).alias("ev"),
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    dur = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "arm", F.datediff("l_shipdate", "o_orderdate").alias("t"), "ev"
+        )
+        .filter((F.col("t") >= 0) & (F.col("t") <= _KM_HORIZON))
+    )
+    per_ta = dur.groupBy("t", "arm").agg(
+        F.sum("ev").cast("double").alias("d"),
+        F.count(F.lit(1)).cast("double").alias("r"),
+    )
+    wrev = (
+        Window.partitionBy("arm")
+        .orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    risk = per_ta.select("t", "arm", "d", F.sum("r").over(wrev).alias("n_at_risk"))
+    a1 = risk.filter(F.col("arm") == 1).select(
+        "t", F.col("d").alias("d1"), F.col("n_at_risk").alias("n1")
+    )
+    a0 = risk.filter(F.col("arm") == 0).select(
+        "t", F.col("d").alias("d0"), F.col("n_at_risk").alias("n0")
+    )
+    merged = (
+        a1.join(a0, "t", "left")
+        .select(
+            "d1",
+            "n1",
+            (F.col("d1") + F.coalesce("d0", F.lit(0.0))).alias("dj"),
+            (F.col("n1") + F.coalesce("n0", F.lit(0.0))).alias("nj"),
+        )
+        .filter(F.col("dj") > 0)
+    )
+    e1 = F.col("dj") * F.col("n1") / F.col("nj")
+    v1 = F.when(
+        F.col("nj") > 1,
+        F.col("dj")
+        * (F.col("n1") / F.col("nj"))
+        * (1 - F.col("n1") / F.col("nj"))
+        * (F.col("nj") - F.col("dj"))
+        / (F.col("nj") - 1),
+    ).otherwise(0.0)
+    terms = merged.select(
+        "d1", e1.alias("e1"), v1.alias("v1")
+    )
+
+    def dsum12(col):
+        return F.sum(col.cast("decimal(38,12)")).cast("double")
+
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_event_times"),
+        F.sum(F.col("d1").cast("decimal(38,6)")).cast("bigint").alias(
+            "observed_arm1"
+        ),
+        F.round(dsum12(F.col("e1")), 6).alias("expected_arm1"),
+        F.round(
+            F.pow(dsum12(F.col("d1") - F.col("e1")), 2) / dsum12(F.col("v1")), 6
+        ).alias("logrank_chi2"),
+    )
