@@ -92,6 +92,10 @@ HEADLINE = [
     "attribution_last_touch_linear",
     "poisson_bootstrap_ci",
     "sim_mmr_diversified_topk",
+    "embedding_knn_outlier_score",
+    "lm_kneser_ney_bigrams",
+    "linkage_fellegi_sunter_em",
+    "rm3_query_expansion",
 ]
 
 
