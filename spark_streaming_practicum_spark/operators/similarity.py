@@ -687,3 +687,97 @@ def embedding_knn_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("knn_dist_avg").desc(), "vec_id")
         .limit(_OUT_TOPN)
     )
+
+
+# --- late-interaction (MaxSim) retrieval ----------------------------------
+
+_LI_SUBS = 4
+_LI_SUBDIM = 16
+_LI_TOPN = 10
+
+
+@query(
+    "sim_maxsim_late_interaction",
+    oracle=f"""
+    WITH q AS (
+        SELECT s.s AS qsub,
+               (CAST(embedding AS DOUBLE[]))
+                   [s.s * {_LI_SUBDIM} + 1 : s.s * {_LI_SUBDIM} + {_LI_SUBDIM}]
+                   AS qv
+        FROM embeddings, unnest(generate_series(0, {_LI_SUBS - 1})) AS s(s)
+        WHERE vec_id = 0),
+    d AS (
+        SELECT vec_id, s.s AS dsub,
+               (CAST(embedding AS DOUBLE[]))
+                   [s.s * {_LI_SUBDIM} + 1 : s.s * {_LI_SUBDIM} + {_LI_SUBDIM}]
+                   AS dv
+        FROM embeddings, unnest(generate_series(0, {_LI_SUBS - 1})) AS s(s)
+        WHERE vec_id > 0),
+    best AS (
+        SELECT d.vec_id, q.qsub,
+               MAX(ROUND(list_cosine_similarity(d.dv, q.qv), 6)) AS m
+        FROM d CROSS JOIN q
+        GROUP BY d.vec_id, q.qsub),
+    score AS (
+        SELECT vec_id,
+               ROUND(CAST(SUM(CAST(m AS DECIMAL(38,6))) AS DOUBLE), 6) AS maxsim
+        FROM best GROUP BY vec_id)
+    SELECT vec_id, maxsim
+    FROM score
+    ORDER BY maxsim DESC, vec_id
+    LIMIT {_LI_TOPN}
+    """,
+)
+def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval: treat each
+    vector's 4 sixteen-dim subvectors as token embeddings; a document
+    scores Σ over query tokens of its best-matching document token —
+    the interaction pattern that beats single-vector cosine when
+    queries have multiple aspects, and the shape a real multi-vector
+    index (token embeddings per passage) plugs straight into.
+
+    The 4 query subvectors ride a broadcast against the exploded
+    document-subvector scan (constant 4x); per-(doc, query-token)
+    maxima reduce in one aggregate, and the 4-term MaxSim sum
+    accumulates rounded maxima in DECIMAL — both engines rank
+    identically."""
+    emb = table(spark, sf_dir, "embeddings")
+    sub_of = lambda s: F.slice(
+        F.transform("embedding", lambda x: x.cast("double")),
+        s * _LI_SUBDIM + 1,
+        _LI_SUBDIM,
+    )
+    subs = F.array(
+        *[
+            F.struct(F.lit(s).alias("subidx"), sub_of(s).alias("sv"))
+            for s in range(_LI_SUBS)
+        ]
+    )
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.explode(subs).alias("t"))
+        .select(F.col("t.subidx").alias("qsub"), F.col("t.sv").alias("qv"))
+    )
+    d = (
+        emb.filter(F.col("vec_id") > 0)
+        .select("vec_id", F.explode(subs).alias("t"))
+        .select("vec_id", F.col("t.sv").alias("dv"))
+    )
+    cos = F.round(
+        dot("dv", F.col("qv")) / (l2_norm("dv") * l2_norm(F.col("qv"))), 6
+    )
+    best = (
+        d.crossJoin(F.broadcast(q))
+        .groupBy("vec_id", "qsub")
+        .agg(F.max(cos).alias("m"))
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum(F.col("m").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("maxsim")
+        )
+        .orderBy(F.col("maxsim").desc(), "vec_id")
+        .limit(_LI_TOPN)
+    )
