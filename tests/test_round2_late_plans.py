@@ -203,3 +203,91 @@ def test_dataset_card_sanity(spark):
 def test_funnel_plan_no_cartesian(spark):
     plan = formatted_plan(DEFS["window_funnel_within_time"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_psi_terms_nonnegative(spark):
+    """(q-p)ln(q/p) >= 0 pointwise — any negative term is a math bug."""
+    rows = DEFS["drift_psi_value_distribution"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(r["psi_term"] >= 0 for r in rows)
+
+
+def test_pr_curve_monotone_recall(spark):
+    rows = DEFS["eval_pr_curve_points"].fn(spark, SF_DIR).collect()
+    recalls = [r["recall"] for r in rows]  # ordered by ascending threshold
+    assert recalls == sorted(recalls, reverse=True)
+    assert all(0 <= r["precision"] <= 1 for r in rows)
+
+
+def test_conformal_coverage_near_nominal(spark):
+    r = DEFS["conformal_prediction_interval"].fn(spark, SF_DIR).collect()[0]
+    assert r["interval_halfwidth"] > 0
+    assert 0.82 <= r["coverage"] <= 0.98  # nominal 0.9 +- finite-sample slack
+
+
+def test_shapley_abs_dominates_signed(spark):
+    r = DEFS["explain_shapley_global_importance"].fn(spark, SF_DIR).collect()[0]
+    assert abs(r["mean_shap_quantity"]) <= r["mean_abs_shap_quantity"] + 1e-9
+    assert abs(r["mean_shap_discount"]) <= r["mean_abs_shap_discount"] + 1e-9
+
+
+def test_brier_terms_sane(spark):
+    r = DEFS["eval_brier_decomposition"].fn(spark, SF_DIR).collect()[0]
+    assert 0 <= r["brier"] <= 1
+    assert r["reliability"] >= 0 and r["resolution"] >= 0
+    assert 0 <= r["uncertainty"] <= 0.25
+
+
+def test_logrank_chi2_nonnegative(spark):
+    r = DEFS["survival_logrank_test"].fn(spark, SF_DIR).collect()[0]
+    assert r["logrank_chi2"] >= 0
+    assert r["n_event_times"] > 0
+
+
+def test_ips_effective_weight_near_one(spark):
+    r = DEFS["ope_ips_estimate"].fn(spark, SF_DIR).collect()[0]
+    assert 0.5 < r["effective_weight"] < 2.0
+    assert r["snips_value"] > 0
+
+
+def test_linkage_em_probabilities_bounded(spark):
+    rows = DEFS["linkage_fellegi_sunter_em"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0 <= r["m_new"] <= 1
+        assert 0 <= r["u_new"] <= 1
+        assert 0 <= r["prevalence"] <= 1
+
+
+def test_knn_outlier_scores_descending(spark):
+    rows = DEFS["embedding_knn_outlier_score"].fn(spark, SF_DIR).collect()
+    scores = [r["knn_dist_avg"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert len(rows) == 20
+
+
+def test_kn_bigram_probabilities_valid(spark):
+    rows = DEFS["lm_kneser_ney_bigrams"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert all(0 < r["p_kn"] <= 1 for r in rows)
+
+
+def test_gini_and_zipf_shapes(spark):
+    g = DEFS["revenue_gini_lorenz"].fn(spark, SF_DIR).collect()[0]
+    assert 0 <= g["gini"] < 1
+    assert g["top_decile_share"] >= 0.09
+    z = DEFS["token_zipf_fit"].fn(spark, SF_DIR).collect()[0]
+    assert z["zipf_slope"] < 0
+    assert 0 <= z["r2"] <= 1
+
+
+def test_maxsim_bounded_by_token_count(spark):
+    rows = DEFS["sim_maxsim_late_interaction"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(-4.0 <= r["maxsim"] <= 4.0 for r in rows)
+
+
+def test_item_item_cosine_bounded(spark):
+    rows = DEFS["recsys_item_item_cosine"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5,2) ordered pairs
+    assert all(0 <= r["cosine"] <= 1 for r in rows)
