@@ -614,3 +614,101 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("intercept", 6).alias("intercept"),
         )
     )
+
+
+_BT_EVAL_DAYS = 10
+
+
+@query(
+    "ts_forecast_backtest_naive",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM events GROUP BY CAST(ts AS DATE)),
+    feat AS (
+        SELECT day, n,
+               LAG(n, 1) OVER (ORDER BY day) AS naive1,
+               LAG(n, 7) OVER (ORDER BY day) AS snaive7,
+               AVG(n) OVER (ORDER BY day
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS ma7,
+               ROW_NUMBER() OVER (ORDER BY day DESC) AS rfe
+        FROM daily),
+    ev AS (SELECT * FROM feat
+           WHERE rfe <= {_BT_EVAL_DAYS} AND snaive7 IS NOT NULL),
+    metrics AS (
+        SELECT 'naive_lag1' AS method,
+               CAST(SUM(CAST(ABS(n - naive1) AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*) AS mae,
+               CAST(SUM(CAST(ABS(n - naive1) / n AS DECIMAL(38,12)))
+                    AS DOUBLE) / COUNT(*) AS mape
+        FROM ev
+        UNION ALL
+        SELECT 'seasonal_lag7',
+               CAST(SUM(CAST(ABS(n - snaive7) AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*),
+               CAST(SUM(CAST(ABS(n - snaive7) / n AS DECIMAL(38,12)))
+                    AS DOUBLE) / COUNT(*)
+        FROM ev
+        UNION ALL
+        SELECT 'trailing_mean7',
+               CAST(SUM(CAST(ABS(n - ma7) AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*),
+               CAST(SUM(CAST(ABS(n - ma7) / n AS DECIMAL(38,12)))
+                    AS DOUBLE) / COUNT(*)
+        FROM ev)
+    SELECT method, ROUND(mae, 6) AS mae, ROUND(mape, 6) AS mape
+    FROM metrics ORDER BY method
+    """,
+)
+def ts_forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast baseline backtest on the daily volume: last-value
+    (naive), same-weekday-last-week (seasonal naive), and trailing
+    7-day mean, each scored by MAE and MAPE over the final
+    {_BT_EVAL_DAYS} days — the baselines any real forecasting model
+    must beat before it ships, straight from the M-competition
+    methodology.
+
+    The raw table reduces to the per-day frame; every forecast is a
+    LAG/rolling window on that frame and all three methods read the
+    SAME windowed pass (one scan, one tiny sort). Error sums accumulate
+    in DECIMAL."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    wday = Window.partitionBy().orderBy("day")
+    wma = wday.rowsBetween(-7, -1)
+    wrev = Window.partitionBy().orderBy(F.col("day").desc())
+    feat = daily.select(
+        "n",
+        F.lag("n", 1).over(wday).alias("naive1"),
+        F.lag("n", 7).over(wday).alias("snaive7"),
+        F.avg("n").over(wma).alias("ma7"),
+        F.row_number().over(wrev).alias("rfe"),
+    )
+    ev = feat.filter(
+        (F.col("rfe") <= _BT_EVAL_DAYS) & F.col("snaive7").isNotNull()
+    )
+
+    def metrics(name: str, pred) -> DataFrame:
+        err = F.abs(F.col("n") - pred)
+        return ev.agg(
+            F.lit(name).alias("method"),
+            F.round(
+                F.sum(err.cast("decimal(38,12)")).cast("double") / F.count("*"),
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sum((err / F.col("n")).cast("decimal(38,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mape"),
+        )
+
+    return (
+        metrics("naive_lag1", F.col("naive1"))
+        .unionByName(metrics("seasonal_lag7", F.col("snaive7")))
+        .unionByName(metrics("trailing_mean7", F.col("ma7")))
+        .orderBy("method")
+    )

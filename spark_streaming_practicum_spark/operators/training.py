@@ -716,3 +716,81 @@ def shard_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("row_fp") % 1000000007).cast("bigint").alias("content_checksum"),
         )
     )
+
+
+_NEYMAN_BUDGET = 1000
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS nh,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        FROM events GROUP BY event_type),
+    v AS (
+        SELECT event_type, nh,
+               SQRT((sxx - sx * sx / nh) / (nh - 1)) AS sh
+        FROM s),
+    tot AS (
+        SELECT CAST(SUM(CAST(nh * sh AS DECIMAL(38,12))) AS DOUBLE) AS denom
+        FROM v)
+    SELECT v.event_type,
+           CAST(v.nh AS BIGINT) AS n_stratum,
+           ROUND(v.sh, 6) AS stddev,
+           ROUND(v.nh * v.sh / t.denom, 6) AS allocation_share,
+           CAST(ROUND({_NEYMAN_BUDGET} * v.nh * v.sh / t.denom, 0) AS BIGINT)
+               AS n_sampled
+    FROM v, tot t
+    ORDER BY v.event_type
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation: given a
+    {_NEYMAN_BUDGET}-row labeling/audit budget, each stratum gets
+    n_h ∝ N_h·σ_h — the allocation minimizing the variance of the
+    stratified mean estimator, and the principled upgrade to the
+    proportional allocation `sample_stratified_hash` uses. The same
+    math budgets eval-annotation across data sources.
+
+    One grouped aggregate per stratum computes (N, Σx, Σx²) with
+    DECIMAL accumulation (so σ_h is bit-stable), the normalizer is one
+    5-row reduction riding a broadcast, and the shares are closed
+    form."""
+    s = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("nh"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sx"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    sh = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("nh"))
+        / (F.col("nh") - 1)
+    )
+    v = s.select("event_type", "nh", sh.alias("sh"))
+    tot = v.agg(
+        F.sum((F.col("nh") * F.col("sh")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("denom")
+    )
+    share = F.col("nh") * F.col("sh") / F.col("denom")
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("nh").cast("bigint").alias("n_stratum"),
+            F.round("sh", 6).alias("stddev"),
+            F.round(share, 6).alias("allocation_share"),
+            F.round(_NEYMAN_BUDGET * share, 0).cast("bigint").alias("n_sampled"),
+        )
+        .orderBy("event_type")
+    )
