@@ -1355,3 +1355,104 @@ def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(dsum12(F.col("d1") - F.col("e1")), 2) / dsum12(F.col("v1")), 6
         ).alias("logrank_chi2"),
     )
+
+
+@query(
+    "causal_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+        SELECT user_id % 2 AS treated,
+               CASE WHEN EXTRACT(day FROM ts) > 15 THEN 1 ELSE 0 END AS post,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        FROM events
+        GROUP BY 1, 2),
+    m AS (
+        SELECT treated, post, n, sx / n AS mean,
+               (sxx - sx * sx / n) / (n - 1) / n AS var_mean
+        FROM cells),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN treated = 1 AND post = 1 THEN mean END) AS t_post,
+            MAX(CASE WHEN treated = 1 AND post = 0 THEN mean END) AS t_pre,
+            MAX(CASE WHEN treated = 0 AND post = 1 THEN mean END) AS c_post,
+            MAX(CASE WHEN treated = 0 AND post = 0 THEN mean END) AS c_pre,
+            SUM(var_mean) AS var_did,
+            CAST(SUM(n) AS BIGINT) AS n_total
+        FROM m)
+    SELECT n_total,
+           ROUND(t_pre, 6) AS treated_pre,
+           ROUND(t_post, 6) AS treated_post,
+           ROUND(c_pre, 6) AS control_pre,
+           ROUND(c_post, 6) AS control_post,
+           ROUND((t_post - t_pre) - (c_post - c_pre), 6) AS did_estimate,
+           ROUND(SQRT(var_did), 6) AS std_error,
+           ROUND(((t_post - t_pre) - (c_post - c_pre)) / SQRT(var_did), 6)
+               AS t_stat
+    FROM wide
+    """,
+)
+def causal_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator: treated arm (user-id
+    parity) vs control, pre vs post mid-month — the workhorse
+    quasi-experimental design when you can't randomize, with the
+    standard error from the four cell-mean variances. Under parallel
+    trends, DiD isolates the treatment effect from both arm-level and
+    period-level confounds that a naive post-period comparison absorbs.
+
+    ONE grouped aggregate produces all four cells (n, Σx, Σx² through
+    DECIMAL); the estimator, its variance, and the t-statistic are
+    closed-form arithmetic on that 4-row frame."""
+    cells = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            (F.col("user_id") % 2).alias("treated"),
+            F.when(F.dayofmonth("ts") > 15, 1).otherwise(0).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sx"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    m = cells.select(
+        "treated",
+        "post",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+            / F.col("n")
+        ).alias("var_mean"),
+    )
+
+    def cell(t, p):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col("mean"))
+        )
+
+    wide = m.agg(
+        cell(1, 1).alias("t_post"),
+        cell(1, 0).alias("t_pre"),
+        cell(0, 1).alias("c_post"),
+        cell(0, 0).alias("c_pre"),
+        F.sum("var_mean").alias("var_did"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    did = (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre"))
+    return wide.select(
+        "n_total",
+        F.round("t_pre", 6).alias("treated_pre"),
+        F.round("t_post", 6).alias("treated_post"),
+        F.round("c_pre", 6).alias("control_pre"),
+        F.round("c_post", 6).alias("control_post"),
+        F.round(did, 6).alias("did_estimate"),
+        F.round(F.sqrt("var_did"), 6).alias("std_error"),
+        F.round(did / F.sqrt("var_did"), 6).alias("t_stat"),
+    )
