@@ -510,3 +510,71 @@ def collocations_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+_FANO_TOPK = 30
+
+
+@query(
+    "term_burstiness_fano",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    per_doc AS (
+        SELECT tok, doc_id, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM tok GROUP BY tok, doc_id),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    stats AS (
+        SELECT tok,
+               CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE) AS sc,
+               CAST(SUM(CAST(c * c AS DECIMAL(38,6))) AS DOUBLE) AS scc,
+               CAST(COUNT(*) AS BIGINT) AS df
+        FROM per_doc GROUP BY tok)
+    SELECT s.tok,
+           CAST(s.sc AS BIGINT) AS total_count,
+           s.df,
+           ROUND(((s.scc - s.sc * s.sc / d.n) / (d.n - 1))
+                 / (s.sc / d.n), 6) AS fano_factor
+    FROM stats s, nd d
+    ORDER BY s.sc DESC, s.tok
+    LIMIT {_FANO_TOPK}
+    """,
+)
+def term_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness via the Fano factor (variance/mean of the
+    per-document count, zeros included): function words scatter
+    Poisson-like (factor ≈ 1) while topical terms clump into the few
+    documents about them (factor >> 1) — the Church-Gale burstiness
+    signal used for stopword discovery and term weighting beyond IDF.
+
+    Zero-count documents never materialize: Σc and Σc² over documents
+    CONTAINING the term already equal the full-population moments, so
+    the variance needs only the corpus doc count. One (term, doc)
+    aggregate, one vocabulary-sized rollup with DECIMAL moments, a
+    TakeOrdered top-{_FANO_TOPK}."""
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    per_doc = tok.groupBy("tok", "doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    n_docs = float(table(spark, sf_dir, "documents").count())
+    stats = per_doc.groupBy("tok").agg(
+        F.sum(F.col("c").cast("decimal(38,6)")).cast("double").alias("sc"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("scc"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    var = (F.col("scc") - F.col("sc") * F.col("sc") / n_docs) / (n_docs - 1)
+    mean = F.col("sc") / n_docs
+    return (
+        stats.select(
+            "tok",
+            F.col("sc").cast("bigint").alias("total_count"),
+            "df",
+            F.round(var / mean, 6).alias("fano_factor"),
+        )
+        .orderBy(F.col("total_count").desc(), "tok")
+        .limit(_FANO_TOPK)
+    )
