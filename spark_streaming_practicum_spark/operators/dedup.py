@@ -89,14 +89,21 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus arrives as one parquet file here, so the scan is a single
     task; repartitioning by doc_id first spreads the (heavy) tokenize +
     explode across all cores — on a real cluster the same holds for any
-    skewed file layout. The result is persisted because every similarity
-    strategy (signatures, candidate join, verification) re-reads it."""
+    skewed file layout. Within-doc duplicate shingles are removed by
+    ``array_distinct`` BEFORE the explode, which makes (doc_id, shingle)
+    globally distinct by construction — the alternative
+    ``explode(...).distinct()`` would shuffle every exploded row
+    (n_docs x avg_shingles) just to rediscover that fact. The result is
+    persisted because every similarity strategy (signatures, candidate
+    join, verification) re-reads it."""
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     sh = (
-        d.select("doc_id", F.explode(shingles(tokens("text"), 3)).alias("shingle"))
-        .distinct()
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(tokens("text"), 3))).alias("shingle"),
+        )
         .persist()
     )
     # Materialize eagerly: downstream plans reference this set from

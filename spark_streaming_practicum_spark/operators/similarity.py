@@ -416,47 +416,50 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     are blocked by a portable multiplicative hash — the distributed
     analogue of in-batch negative mining, where the "batch" is the hash
     block, keeping the pair space linear in corpus size at fixed block
-    width. Both argmaxes are ranking windows with deterministic
-    (cosine desc, id asc) tie-breaks, so results are engine-portable."""
-    from ..functions.vector import dot, l2_norm
+    width. Each group is scored by ONE numpy GEMM inside applyInPandas
+    (the same Arrow fast path as dedup_embedding_cosine) instead of a
+    per-pair JVM fold — |group|^2 dot products collapse into a single
+    vectorized matmul, and the per-anchor argmax happens inside the task
+    so only one row per anchor ever shuffles. Tie-breaks are
+    deterministic (cosine desc, id asc): columns are sorted by id and
+    np.argmax takes the first maximum. At corpus scale the label/block
+    groups would be sub-blocked exactly like dedup_embedding_cosine's
+    B-block fanout; block width is the knob that bounds task memory."""
+    import numpy as np
+    import pandas as pd
 
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         ((F.col("vec_id") * 2654435761) % 1000003 % 16).alias("blk"),
-        "embedding",
-        l2_norm("embedding").alias("nrm"),
+        F.col("embedding").cast("array<double>").alias("emb"),
     )
 
-    def hardest(join_keys_equal: bool) -> DataFrame:
-        a = e.select(
-            F.col("vec_id"),
-            F.col("label").alias("la"),
-            F.col("blk").alias("ba"),
-            F.col("embedding").alias("ea"),
-            F.col("nrm").alias("na"),
-        )
-        b = e.select(
-            F.col("vec_id").alias("other_id"),
-            F.col("label").alias("lb"),
-            F.col("blk").alias("bb"),
-            F.col("embedding").alias("eb"),
-            F.col("nrm").alias("nb"),
-        )
-        if join_keys_equal:  # positives: same label, different vector
-            joined = a.join(b, (a.la == b.lb) & (a.vec_id != b.other_id))
-        else:  # negatives: same hash block, different label
-            joined = a.join(b, (a.ba == b.bb) & (a.la != b.lb))
-        cos = F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 4)
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("cos").desc(), F.col("other_id").asc()
-        )
-        return (
-            joined.select("vec_id", "other_id", cos.alias("cos"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
+    def hardest(by_label: bool) -> DataFrame:
+        out_schema = "vec_id bigint, other_id bigint, cos double"
+
+        def mine(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+            ids = pdf["vec_id"].to_numpy()
+            E = np.vstack(pdf["emb"].to_numpy())
+            E = E / np.linalg.norm(E, axis=1, keepdims=True)
+            C = np.round(E @ E.T, 4)
+            if by_label:
+                # positives: exclude self only (group IS one label)
+                np.fill_diagonal(C, -np.inf)
+            else:
+                # negatives: exclude same-label pairs within the block
+                lab = pdf["label"].to_numpy()
+                C[lab[:, None] == lab[None, :]] = -np.inf
+            j = np.argmax(C, axis=1)  # first max -> smallest other_id
+            best = C[np.arange(len(ids)), j]
+            keep = np.isfinite(best)
+            return pd.DataFrame(
+                {"vec_id": ids[keep], "other_id": ids[j[keep]], "cos": best[keep]}
+            )
+
+        key = "label" if by_label else "blk"
+        return e.groupBy(key).applyInPandas(mine, out_schema)
 
     pos = hardest(True).select(
         "vec_id", F.col("other_id").alias("pos_id"), F.col("cos").alias("pos_cos")
