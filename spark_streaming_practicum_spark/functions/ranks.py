@@ -1,0 +1,83 @@
+"""Distributed global-ranking primitives.
+
+A ``row_number()``/``ntile()`` window with ORDER BY but no PARTITION BY
+plans a single-partition WindowExec: every row in the relation moves to
+ONE task, which is the canonical cluster-scale bottleneck (Spark even
+logs "No Partition Defined for Window operation" at runtime). The exact
+same total order can be produced with every pass fully parallel:
+
+1. range-partition on the sort key, so partition *i* holds strictly
+   smaller keys than partition *i+1* (ties stay together; callers pass a
+   tie-breaking column so the order is total);
+2. count rows per partition — a P-row aggregate whose result (P
+   integers) is the only driver-side state — and turn the counts into
+   cumulative offsets, broadcast back;
+3. global rank = offset + partition-local ``row_number`` (the local
+   window needs no exchange: the data is already partitioned by range).
+
+This is the DataFrame form of RDD ``zipWithIndex`` and the plan that
+``training.ids_contiguous_global`` pins in its plan-shape test; the
+helpers here share it with every operator that needs a global total
+order (equi-depth histograms, RFM quartiles, ...).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_exprs: list[Column],
+    rn_name: str = "global_rn",
+    partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """``df`` + a 1-based global ROW_NUMBER() by ``order_exprs``.
+
+    Returns (frame, total_row_count); the count is a by-product of the
+    offset pass, so callers needing N (e.g. ntile) pay no extra job.
+    ``order_exprs`` must define a TOTAL order (include a unique
+    tie-break column) and may use ``.desc()`` — the same expressions
+    drive both the range partitioner and the partition-local sort.
+    """
+    spark = df.sparkSession
+    P = partitions or spark.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(P, *order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    local = F.row_number().over(Window.partitionBy("_pid").orderBy(*order_exprs))
+    out = (
+        d.withColumn("_rn", local)
+        .join(F.broadcast(off), "_pid")
+        .withColumn(rn_name, F.col("_off") + F.col("_rn"))
+        .drop("_pid", "_off", "_rn")
+    )
+    return out, acc
+
+
+def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
+    """SQL-standard NTILE(k) from a 1-based global rank over n rows.
+
+    With q = n div k and r = n mod k, the first r buckets hold q+1 rows
+    — identical to Spark's and DuckDB's window NTILE, so results stay
+    oracle-comparable while the assignment is a map-side expression.
+    """
+    q, r = divmod(n, k)
+    head = r * (q + 1)
+    first = (F.floor((rank - 1) / (q + 1)) + 1).cast("int")
+    if q == 0:
+        return first
+    rest = (F.floor((rank - head - 1) / q) + r + 1).cast("int")
+    return F.when(rank <= head, first).otherwise(rest)

@@ -481,16 +481,23 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     profilers store for selectivity estimation on skewed columns, where
     equi-WIDTH buckets collapse into one hot bin.
 
-    NTILE over a global sort is the exact small-scale form; the ties
-    are made deterministic by the (value, event_id) total order so the
-    oracle comparison is stable. At 100 TB the exact global sort is
-    replaced by percentile_approx boundaries (fixed-size sketch, one
-    pass) + a map-side bucket lookup — same output contract, and the
-    sketch's error bound is the documented trade."""
+    The bucket assignment is exact NTILE semantics but NOT the
+    single-partition window a bare ``ntile() OVER (ORDER BY ...)``
+    plans: ranks come from the two-pass range-partition + offset scheme
+    in functions/ranks.py (every pass parallel, driver state = P
+    integers), and the (value, event_id) total order keeps ties
+    deterministic so the oracle comparison is stable. At 100 TB the
+    exact rank pass can still be swapped for percentile_approx
+    boundaries (fixed-size sketch, one pass) when the error bound is an
+    acceptable trade."""
+    from ..functions.ranks import global_row_number, ntile_from_rank
+
     e = table(spark, sf_dir, "events")
-    b = e.select(
-        "value",
-        F.ntile(8).over(Window.orderBy("value", "event_id")).alias("bucket"),
+    ranked, n = global_row_number(
+        e.select("value", "event_id"), [F.col("value"), F.col("event_id")]
+    )
+    b = ranked.select(
+        "value", ntile_from_rank(F.col("global_rn"), n, 8).alias("bucket")
     )
     return (
         b.groupBy("bucket")

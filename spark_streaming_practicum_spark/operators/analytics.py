@@ -246,11 +246,17 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: recency/frequency/monetary quartiles per
-    customer. The base is one customer-keyed aggregation; the three
-    NTILE windows are global sorts over the (small) per-customer
-    rollup, not the raw facts — at scale the rollup is 1/1000th the
-    fact size, and each quartile assignment is deterministic via the
-    custkey tiebreak. Monetary uses exact DECIMAL accumulation."""
+    customer. The base is one customer-keyed aggregation; each quartile
+    is exact NTILE(4) semantics over the rollup, computed through the
+    two-pass distributed ranking in functions/ranks.py rather than
+    three single-partition global windows — per-customer rollups are
+    1/1000th the fact size but still cluster-scale relations, so no
+    pass here funnels them through one task. The three slim rank frames
+    re-join the rollup on c_custkey (one co-keyed shuffle each), and
+    each assignment stays deterministic via the custkey tiebreak.
+    Monetary uses exact DECIMAL accumulation."""
+    from ..functions.ranks import global_row_number, ntile_from_rank
+
     c = table(spark, sf_dir, "customer").select("c_custkey")
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
     base = (
@@ -261,18 +267,31 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("monetary"),
         )
+        .persist()
     )
-    wr = Window.orderBy(F.col("last_order").desc(), "c_custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), "c_custkey")
-    wm = Window.orderBy(F.col("monetary").desc(), "c_custkey")
-    return base.select(
-        "c_custkey",
-        "last_order",
-        "frequency",
-        F.round("monetary", 2).alias("monetary"),
-        F.ntile(4).over(wr).alias("r_quartile"),
-        F.ntile(4).over(wf).alias("f_quartile"),
-        F.ntile(4).over(wm).alias("m_quartile"),
+
+    def quartile(metric: str, out: str) -> DataFrame:
+        ranked, n = global_row_number(
+            base.select("c_custkey", metric),
+            [F.col(metric).desc(), F.col("c_custkey")],
+        )
+        return ranked.select(
+            "c_custkey", ntile_from_rank(F.col("global_rn"), n, 4).alias(out)
+        )
+
+    return (
+        base.join(quartile("last_order", "r_quartile"), "c_custkey")
+        .join(quartile("frequency", "f_quartile"), "c_custkey")
+        .join(quartile("monetary", "m_quartile"), "c_custkey")
+        .select(
+            "c_custkey",
+            "last_order",
+            "frequency",
+            F.round("monetary", 2).alias("monetary"),
+            "r_quartile",
+            "f_quartile",
+            "m_quartile",
+        )
     )
 
 

@@ -291,3 +291,20 @@ def test_item_item_cosine_bounded(spark):
     rows = DEFS["recsys_item_item_cosine"].fn(spark, SF_DIR).collect()
     assert len(rows) == 10  # C(5,2) ordered pairs
     assert all(0 <= r["cosine"] <= 1 for r in rows)
+
+
+def test_equidepth_histogram_no_single_partition_window(spark):
+    """histogram_equidepth must rank through the two-pass range-partition
+    scheme — a bare ntile() window would funnel the whole events table
+    through an Exchange SinglePartition."""
+    df = DEFS["histogram_equidepth"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, plan[:3000]
+
+
+def test_rfm_quartiles_no_single_partition_window(spark):
+    """All three RFM quartile assignments rank distributed; no pass may
+    move the customer rollup to one task."""
+    df = DEFS["rfm_customer_segments"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, plan[:3000]
