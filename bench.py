@@ -60,6 +60,9 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "geo_grid_knn_join",
     "kmeans_lloyd_assignments",
+    "rolling_wau_hll",
+    "hbos_outlier_score",
+    "jl_random_projection",
     # expensive families added round 2 so regressions stay visible
     "dedup_embedding_cosine",
     "sparse_cosine_pairs_topk",

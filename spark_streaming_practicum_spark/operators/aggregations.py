@@ -508,3 +508,64 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "rolling_wau_hll",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+    wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS wau_exact
+            FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day)
+    SELECT d.day, dau.dau, wau.wau_exact, TRUE AS within_bound
+    FROM days d JOIN dau USING (day) JOIN wau USING (day)
+    """,
+)
+def rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + 7-day rolling WAU, with the rolling distinct computed from
+    MERGEABLE HLL sketches: one sketch of each day's users, then a
+    7-row sliding ``hll_union_agg`` window over the per-day frame.
+
+    This is how rolling-distinct dashboards survive 100 TB: the raw
+    stream reduces once to a few-KB sketch per day, and every rolling
+    window (7-day, 28-day, ...) is a union of 7 sketches — no re-scan
+    of a week of raw events per day, ever. The window runs on the
+    calendar-bounded per-day frame (<=366 rows/yr), not on raw data.
+    The exact WAU certifying the estimate maps each distinct
+    (day, user) to its 7 contributing grid days via a bounded explode
+    (never a range nested-loop) and re-counts distinct per grid day.
+    Sketch estimates are algorithm-specific, so the oracled output is
+    the INVARIANT: exact DAU/WAU plus the error-envelope boolean."""
+    e = table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    daily = e.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("dau"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    est = daily.select(
+        "day", "dau", F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("wau_est")
+    )
+    du = e.distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("gday"),
+    )
+    exact = (
+        contrib.join(daily.select(F.col("day").alias("gday")), "gday")
+        .groupBy("gday")
+        .agg(F.countDistinct("user_id").alias("wau_exact"))
+        .withColumnRenamed("gday", "day")
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "dau",
+        "wau_exact",
+        (
+            F.abs(F.col("wau_est") - F.col("wau_exact"))
+            <= F.greatest(F.lit(3.0), 0.025 * F.col("wau_exact"))
+        ).alias("within_bound"),
+    )

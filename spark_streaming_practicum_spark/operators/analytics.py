@@ -1475,3 +1475,68 @@ def causal_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("var_did"), 6).alias("std_error"),
         F.round(did / F.sqrt("var_did"), 6).alias("t_stat"),
     )
+
+
+@query(
+    "hbos_outlier_score",
+    oracle="""
+    WITH feat AS (
+        SELECT event_id, value, EXTRACT(hour FROM ts) AS h FROM events),
+    stats AS (
+        SELECT MIN(value) AS mn, MAX(value) AS mx, COUNT(*) AS n FROM feat),
+    binned AS (
+        SELECT f.event_id, f.h, s.n,
+               LEAST(9, CAST(FLOOR((f.value - s.mn) * 10.0 / (s.mx - s.mn))
+                             AS BIGINT)) AS vbin
+        FROM feat f, stats s),
+    vb AS (SELECT vbin, COUNT(*) AS nv FROM binned GROUP BY vbin),
+    hb AS (SELECT h, COUNT(*) AS nh FROM binned GROUP BY h)
+    SELECT b.event_id, b.vbin, b.h,
+           ROUND(-LOG10(vb.nv * 1.0 / b.n) - LOG10(hb.nh * 1.0 / b.n), 6)
+               AS hbos_score
+    FROM binned b JOIN vb USING (vbin) JOIN hb USING (h)
+    ORDER BY hbos_score DESC, event_id ASC
+    LIMIT 20
+    """,
+)
+def hbos_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-Based Outlier Score (HBOS): per-feature histograms
+    (10 equi-width value bins, 24 hour-of-day bins) turn into log
+    inverse-density scores that sum across features — the linear-time
+    unsupervised anomaly screen that scales where kNN/isolation-forest
+    scoring can't.
+
+    One global (min, max, n) aggregate broadcasts back to bin every row
+    map-side; the two histogram aggregates reduce to <=34 rows that
+    also broadcast into the scoring pass — the events table is never
+    shuffled on a per-row key, and the top-20 is TakeOrderedAndProject.
+    Identical binning and log expressions run in both engines."""
+    feat = table(spark, sf_dir, "events").select(
+        "event_id", "value", F.hour("ts").alias("h")
+    )
+    stats = feat.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx"), F.count("*").alias("n")
+    )
+    binned = feat.crossJoin(F.broadcast(stats)).select(
+        "event_id",
+        "h",
+        "n",
+        F.least(
+            F.lit(9),
+            F.floor((F.col("value") - F.col("mn")) * 10.0 / (F.col("mx") - F.col("mn"))).cast("long"),
+        ).alias("vbin"),
+    )
+    vb = binned.groupBy("vbin").agg(F.count("*").alias("nv"))
+    hb = binned.groupBy("h").agg(F.count("*").alias("nh"))
+    score = -F.log10(F.col("nv") * 1.0 / F.col("n")) - F.log10(
+        F.col("nh") * 1.0 / F.col("n")
+    )
+    return (
+        binned.join(F.broadcast(vb), "vbin")
+        .join(F.broadcast(hb), "h")
+        .select(
+            "event_id", "vbin", "h", F.round(score, 6).alias("hbos_score")
+        )
+        .orderBy(F.col("hbos_score").desc(), F.col("event_id").asc())
+        .limit(20)
+    )

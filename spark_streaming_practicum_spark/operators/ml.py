@@ -1225,3 +1225,81 @@ def explain_shapley_global_importance(spark: SparkSession, sf_dir: str) -> DataF
             "mean_shap_discount"
         ),
     )
+
+
+_JL_K = 16
+_JL_A = 2654435761
+_JL_B = 40503
+_JL_M = 1000003
+
+
+@query(
+    "jl_random_projection",
+    oracle=f"""
+    WITH x AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(CAST(embedding AS DOUBLE[])) AS xi
+        FROM embeddings),
+    proj AS (
+        SELECT vec_id, j,
+               SUM(xi * (((i * {_JL_A} + j * {_JL_B}) % {_JL_M}) % 2 * 2 - 1))
+                   / SQRT({_JL_K}) AS yj
+        FROM x, unnest(generate_series(0, {_JL_K - 1})) AS t(j)
+        GROUP BY vec_id, j),
+    nrm AS (SELECT vec_id, SQRT(SUM(xi * xi)) AS xn FROM x GROUP BY vec_id)
+    SELECT p.vec_id,
+           ROUND(MAX(CASE WHEN j = 0 THEN yj END), 6) AS y0,
+           ROUND(MAX(CASE WHEN j = 1 THEN yj END), 6) AS y1,
+           ROUND(MAX(CASE WHEN j = 2 THEN yj END), 6) AS y2,
+           ROUND(MAX(CASE WHEN j = 3 THEN yj END), 6) AS y3,
+           ROUND(SQRT(SUM(yj * yj)) / MAX(n.xn), 4) AS norm_ratio
+    FROM proj p JOIN nrm n USING (vec_id)
+    GROUP BY p.vec_id
+    """,
+)
+def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64d -> 16d with a
+    DETERMINISTIC Rademacher (+-1) matrix derived from a multiplicative
+    hash of (row, column) — the dimensionality-reduction preprocessing
+    for ANN indexing and sketched similarity, reproducible across
+    engines and runs with no stored matrix.
+
+    The projection is one numpy GEMM per Arrow batch inside mapInPandas
+    (Y = X @ S / sqrt(k)): map-side only, zero shuffles at any corpus
+    size, and the sign matrix is rebuilt from the hash on each worker
+    (64x16 ints — nothing ships). Emits the first 4 components plus the
+    norm-preservation ratio ||y||/||x|| — the quantity JL bounds around
+    1, and the per-row audit of embedding-distance fidelity."""
+    import numpy as np
+    import pandas as pd
+
+    i = np.arange(1, 65, dtype=np.int64)[:, None]
+    j = np.arange(0, _JL_K, dtype=np.int64)[None, :]
+    S = (((i * _JL_A + j * _JL_B) % _JL_M) % 2 * 2 - 1).astype(np.float64)
+
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    def project(batches):
+        for pdf in batches:
+            X = np.vstack(pdf["emb"].to_numpy())
+            Y = (X @ S) / np.sqrt(_JL_K)
+            xn = np.linalg.norm(X, axis=1)
+            yn = np.linalg.norm(Y, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "y0": np.round(Y[:, 0], 6),
+                    "y1": np.round(Y[:, 1], 6),
+                    "y2": np.round(Y[:, 2], 6),
+                    "y3": np.round(Y[:, 3], 6),
+                    "norm_ratio": np.round(yn / xn, 4),
+                }
+            )
+
+    return base.mapInPandas(
+        project,
+        "vec_id bigint, y0 double, y1 double, y2 double, y3 double, norm_ratio double",
+    )

@@ -322,3 +322,77 @@ def sql_udf_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_group_order_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 3.4+/4.0): the analyst
+    shorthand that infers grouping keys from the non-aggregate SELECT
+    items and the sort order from the full select list. Purely a
+    binding-time feature — Catalyst resolves it to the same two-phase
+    hash aggregate + range-partitioned sort as the explicit form, so
+    the physical plan (and its scale behavior) is unchanged."""
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        FROM parquet.`{sf_dir}/lineitem.parquet`
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@query(
+    "sql_lateral_column_alias",
+    oracle="""
+    WITH chained AS (
+        SELECT l_orderkey, l_linenumber,
+               ROUND(CAST(l_extendedprice AS DECIMAL(14,2))
+                     * (1 - CAST(l_discount AS DECIMAL(14,2))), 2) AS net,
+               ROUND(net * CAST(l_tax AS DECIMAL(14,2)), 2)        AS tax_amt,
+               ROUND(net + tax_amt, 2)                             AS total
+        FROM lineitem)
+    SELECT l_orderkey, l_linenumber,
+           CAST(net AS DOUBLE)     AS net,
+           CAST(tax_amt AS DOUBLE) AS tax_amt,
+           CAST(total AS DOUBLE)   AS total
+    FROM chained
+    """,
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+): later SELECT items reference
+    earlier aliases in the same list (net -> tax_amt -> total) — the
+    derived-metric chain that otherwise needs nested subqueries or
+    repeated expressions. Catalyst inlines the chain into one Project,
+    so everything stays in a single codegen stage and each value is
+    computed once per row. Money math runs in DECIMAL end-to-end (the
+    2-dp inputs cast exactly), so the chained rounds are bit-identical
+    across engines; the final cast surfaces plain doubles."""
+    return spark.sql(
+        f"""
+        WITH chained AS (
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(CAST(l_extendedprice AS DECIMAL(14,2))
+                         * (1 - CAST(l_discount AS DECIMAL(14,2))), 2) AS net,
+                   ROUND(net * CAST(l_tax AS DECIMAL(14,2)), 2)        AS tax_amt,
+                   ROUND(net + tax_amt, 2)                             AS total
+            FROM parquet.`{sf_dir}/lineitem.parquet`)
+        SELECT l_orderkey, l_linenumber,
+               CAST(net AS DOUBLE)     AS net,
+               CAST(tax_amt AS DOUBLE) AS tax_amt,
+               CAST(total AS DOUBLE)   AS total
+        FROM chained
+        """
+    )

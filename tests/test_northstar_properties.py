@@ -229,3 +229,34 @@ def test_hll_sketch_estimates_track_exact_counts(spark):
     for etype, exact in exact_per.items():
         assert by_type[etype]["n_exact"] == exact
     assert by_type["__all__"]["n_exact"] == exact_all
+
+
+def test_rolling_wau_envelope_and_bounds(spark):
+    """Rolling 7-day WAU from merged HLL sketches: estimate inside the
+    error envelope every day, and exact WAU always >= that day's DAU."""
+    rows = DEFS["rolling_wau_hll"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert all(r["within_bound"] for r in rows)
+    assert all(r["wau_exact"] >= r["dau"] for r in rows)
+
+
+def test_jl_projection_norms_concentrate(spark):
+    """JL lemma in action: 64d -> 16d Rademacher projection preserves
+    norms in expectation — ratios center on 1 and rarely stray far."""
+    rows = DEFS["jl_random_projection"].fn(spark, SF_DIR).collect()
+    ratios = [r["norm_ratio"] for r in rows]
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.25, mean
+    frac_in_band = sum(1 for x in ratios if 0.4 <= x <= 1.8) / len(ratios)
+    assert frac_in_band > 0.85, frac_in_band
+
+
+def test_hbos_scores_sorted_and_nonnegative(spark):
+    """HBOS: top-20 by score, scores are -log10 of bin shares <= 1 so
+    every score is >= 0; vbin/hour stay inside their histogram ranges."""
+    rows = DEFS["hbos_outlier_score"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    scores = [r["hbos_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 0 for s in scores)
+    assert all(0 <= r["vbin"] <= 9 and 0 <= r["h"] <= 23 for r in rows)
