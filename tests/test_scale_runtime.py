@@ -1,0 +1,100 @@
+"""Cluster-scale runtime features: dynamic partition pruning on a
+day-partitioned lake table, and the RocksDB state store for streaming
+state that outgrows executor heaps.
+
+Both are pure-conf Spark capabilities — no extra JARs — but they are
+exactly what changes at 100 TB: DPP turns a dim filter into a
+planning-time partition skip on the fact scan, and RocksDB keeps
+per-key streaming state on local disk (snapshotted to the checkpoint)
+instead of the JVM heap.
+"""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from spark_streaming_practicum_spark.catalog import stream_table, table
+from spark_streaming_practicum_spark.plans import formatted_plan
+from spark_streaming_practicum_spark.streaming.sinks import ParquetSink
+
+from .conftest import SF_DIR
+
+
+def test_dynamic_partition_pruning_from_filtered_dim(spark, tmp_path):
+    """Joining a day-partitioned fact on its partition column against a
+    selectively-filtered dim must inject a dynamicpruning expression
+    into the fact scan's PartitionFilters — the fact table's untouched
+    days are skipped at planning time, not read-and-dropped."""
+    out = str(tmp_path / "fact")
+    events = table(spark, SF_DIR, "events").withColumn("event_date", F.to_date("ts"))
+    ParquetSink(out, partition_columns=("event_date",)).write(events)
+
+    dim = events.select("event_date").distinct().withColumn(
+        "is_audit_day", F.dayofmonth("event_date") <= 2
+    )
+    fact = spark.read.parquet(out)
+    j = fact.join(
+        dim.filter(F.col("is_audit_day")),
+        "event_date",
+    ).groupBy("event_date").agg(F.count("*").alias("n"))
+    plan = formatted_plan(j)
+    assert "dynamicpruning" in plan.lower(), plan[:4000]
+
+    audit_days = {r["event_date"] for r in dim.filter("is_audit_day").collect()}
+    got = {r["event_date"]: r["n"] for r in j.collect()}
+    assert set(got) == audit_days
+    want = {
+        r["event_date"]: r["n"]
+        for r in events.groupBy("event_date").agg(F.count("*").alias("n")).collect()
+        if r["event_date"] in audit_days
+    }
+    assert got == want
+
+
+def test_rocksdb_state_store_stateful_agg(spark, tmp_path):
+    """Stateful streaming aggregation with the RocksDB state store
+    provider: results must match the batch aggregate, and the
+    checkpoint must hold RocksDB zip snapshots (proof the provider —
+    not the default in-heap HDFS-backed one — actually ran)."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ck = str(tmp_path / "ckpt")
+    try:
+        s = (
+            stream_table(spark, SF_DIR, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            s.writeStream.format("memory")
+            .queryName("rocksdb_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r["event_type"]: r["n"]
+            for r in spark.sql("SELECT * FROM rocksdb_counts").collect()
+        }
+        want = {
+            r["event_type"]: r["n"]
+            for r in table(spark, SF_DIR, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want
+        snapshots = glob.glob(ck + "/state/**/*.zip", recursive=True)
+        assert snapshots, "no RocksDB snapshot files under the checkpoint"
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
