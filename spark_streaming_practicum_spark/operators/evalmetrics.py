@@ -488,3 +488,55 @@ def eval_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@query(
+    "cv_kfold_gap",
+    oracle="""
+    WITH folds AS (
+        SELECT user_id % 5 AS fold,
+               SUM(CAST(value AS DECIMAL(38,6))) AS s,
+               COUNT(*) AS n
+        FROM events GROUP BY user_id % 5),
+    tot AS (SELECT SUM(s) AS st, SUM(n) AS nt FROM folds)
+    SELECT f.fold,
+           f.n AS n_holdout,
+           ROUND(CAST(t.st - f.s AS DOUBLE) / (t.nt - f.n), 6) AS mean_train,
+           ROUND(CAST(f.s AS DOUBLE) / f.n, 6)                 AS mean_holdout,
+           ROUND(CAST(f.s AS DOUBLE) / f.n
+                 - CAST(t.st - f.s AS DOUBLE) / (t.nt - f.n), 6) AS gap
+    FROM folds f, tot t
+    ORDER BY f.fold
+    """,
+)
+def cv_kfold_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation statistics from ONE scan: per-fold
+    holdout mean vs the complementary train-folds mean, via the
+    global-minus-fold identity (train_f = (S_total - S_f)/(N_total -
+    N_f)) — k-fold CV never needs k passes over the data for additive
+    statistics.
+
+    Folds are a deterministic key hash (reproducible splits, no stored
+    assignment); the corpus reduces to 5 (sum, count) partials, totals
+    are a 1-row broadcast, and all k train/holdout estimates are
+    constant-size arithmetic on top. DECIMAL accumulation keeps the
+    subtraction exact across engines."""
+    e = table(spark, sf_dir, "events")
+    folds = e.groupBy((F.col("user_id") % 5).alias("fold")).agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = folds.agg(F.sum("s").alias("st"), F.sum("n").alias("nt"))
+    mean_train = (F.col("st") - F.col("s")).cast("double") / (F.col("nt") - F.col("n"))
+    mean_holdout = F.col("s").cast("double") / F.col("n")
+    return (
+        folds.crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            F.col("n").alias("n_holdout"),
+            F.round(mean_train, 6).alias("mean_train"),
+            F.round(mean_holdout, 6).alias("mean_holdout"),
+            F.round(mean_holdout - mean_train, 6).alias("gap"),
+        )
+        .orderBy("fold")
+    )

@@ -176,3 +176,124 @@ def zorder_cluster_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zval", "l_orderkey", "l_linenumber")
         .limit(100)
     )
+
+
+@query(
+    "target_encode_loo",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               SUM(CAST(value AS DECIMAL(38,6))) AS s,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           ROUND(CAST(g.s - CAST(e.value AS DECIMAL(38,6)) AS DOUBLE)
+                 / (g.n - 1), 6) AS te_value
+    FROM events e JOIN g USING (event_type)
+    WHERE g.n > 1
+    """,
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's category feature becomes
+    the mean target of all OTHER rows in its category — the
+    leakage-safe form of mean encoding (plain category means would leak
+    each row's own label into its feature).
+
+    One group aggregate reduces the corpus to |categories| (sum, count)
+    rows that broadcast back onto the facts; the per-row encode
+    (S - v) / (n - 1) is then map-side arithmetic. Sums accumulate in
+    DECIMAL so the subtraction is exact and the result engine-portable;
+    singleton categories are dropped in both engines (undefined LOO)."""
+    e = table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(38,6)")
+    g = e.groupBy("event_type").agg(
+        F.sum(dec).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        e.join(F.broadcast(g), "event_type")
+        .filter(F.col("n") > 1)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("s") - dec).cast("double") / (F.col("n") - 1), 6
+            ).alias("te_value"),
+        )
+    )
+
+
+@query(
+    "woe_iv_binning",
+    oracle="""
+    WITH feat AS (
+        SELECT value, (event_type = 'purchase') AS is_pos FROM events),
+    stats AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM feat),
+    binned AS (
+        SELECT LEAST(9, CAST(FLOOR((f.value - s.mn) * 10.0 / (s.mx - s.mn))
+                             AS BIGINT)) AS bin,
+               f.is_pos
+        FROM feat f, stats s),
+    per_bin AS (
+        SELECT bin,
+               SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS n_pos,
+               SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS n_neg
+        FROM binned GROUP BY bin),
+    tot AS (SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn FROM per_bin)
+    SELECT b.bin,
+           CAST(b.n_pos AS BIGINT) AS n_pos,
+           CAST(b.n_neg AS BIGINT) AS n_neg,
+           ROUND(LN((b.n_pos * 1.0 / t.tp) / (b.n_neg * 1.0 / t.tn)), 6)
+               AS woe,
+           ROUND((b.n_pos * 1.0 / t.tp - b.n_neg * 1.0 / t.tn)
+                 * LN((b.n_pos * 1.0 / t.tp) / (b.n_neg * 1.0 / t.tn)), 6)
+               AS iv_contrib
+    FROM per_bin b, tot t
+    WHERE b.n_pos > 0 AND b.n_neg > 0
+    ORDER BY b.bin
+    """,
+)
+def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value binning — the classical
+    credit-scoring feature audit: bin a numeric feature, compare each
+    bin's share of positives vs negatives, WOE = ln of the share ratio,
+    and the bin's IV contribution measures its predictive power.
+
+    The whole computation reduces the corpus to 10 (bin, pos, neg)
+    rows: one (min, max) aggregate to fix equi-width bin edges
+    (broadcast back), one conditional-count aggregate, and a 1-row
+    totals broadcast — three collapsing passes, no per-row state, the
+    same shape at any corpus size. Zero-count bins are excluded in both
+    engines (WOE undefined there; production systems smooth instead)."""
+    e = table(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "purchase").alias("is_pos")
+    )
+    stats = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = e.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("value") - F.col("mn")) * 10.0 / (F.col("mx") - F.col("mn"))
+            ).cast("long"),
+        ).alias("bin"),
+        "is_pos",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).alias("n_neg"),
+    )
+    tot = per_bin.agg(F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn"))
+    pos_share = F.col("n_pos") * 1.0 / F.col("tp")
+    neg_share = F.col("n_neg") * 1.0 / F.col("tn")
+    woe = F.log(pos_share / neg_share)
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "bin",
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.col("n_neg").cast("bigint").alias("n_neg"),
+            F.round(woe, 6).alias("woe"),
+            F.round((pos_share - neg_share) * woe, 6).alias("iv_contrib"),
+        )
+        .orderBy("bin")
+    )

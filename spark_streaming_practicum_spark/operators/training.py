@@ -794,3 +794,50 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_RSV_A = 2654435761
+_RSV_M = 1000003
+_RSV_K = 10
+
+
+@query(
+    "sample_reservoir_per_group",
+    oracle=f"""
+    WITH pri AS (
+        SELECT event_id, event_type,
+               (event_id * {_RSV_A} + 99991) % {_RSV_M} AS priority
+        FROM events)
+    SELECT event_id, event_type, priority FROM (
+        SELECT event_id, event_type, priority,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY priority ASC, event_id ASC) AS rn
+        FROM pri)
+    WHERE rn <= {_RSV_K}
+    """,
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample per group (k=10 per event_type) — the
+    distributed equivalent of per-group reservoir sampling: rows get a
+    deterministic hash priority and each group keeps its k smallest.
+
+    Hash priorities make the "random" choice a pure function of the
+    row key, so the sample is reproducible across runs, engines and
+    partitionings (a true reservoir is order-dependent — useless for
+    parity or reruns). The per-group top-k is a rank window over one
+    shuffle on the group key; map-side, nothing but (id, type, priority)
+    triples move, and at 100 TB the same plan bounds output at
+    k x |groups| rows."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        ((F.col("event_id") * _RSV_A + 99991) % _RSV_M).alias("priority"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("priority").asc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RSV_K)
+        .drop("rn")
+    )
