@@ -76,6 +76,7 @@ def all_queries() -> dict[str, QueryDef]:
         streaming_equiv,
         text,
         timeseries,
+        topics,
         tokenizer,
         tpch_extra,
         training,
