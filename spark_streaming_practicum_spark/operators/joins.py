@@ -387,3 +387,28 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("double").alias("qty"),
         "o_orderpriority",
     )
+
+
+@query(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control: the SHUFFLE_HASH hint forces a
+    ShuffledHashJoin where the planner would otherwise pick
+    broadcast/sort-merge. On a real cluster this is the tool for the
+    mid-size build side: too big to broadcast, but small enough per
+    partition that hashing it beats sort-merge's double sort. Results
+    are strategy-invariant (the oracle is the plain join); the plan
+    shape is pinned in tests/test_round2_late_plans.py."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").hint("SHUFFLE_HASH")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

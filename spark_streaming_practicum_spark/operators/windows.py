@@ -242,3 +242,31 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("sum_last_hour"),
     )
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(CAST(o_totalprice AS DECIMAL(38,6))
+                      / SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                            OVER (PARTITION BY o_custkey) AS DOUBLE), 6)
+               AS share_of_customer
+    FROM orders
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each order's share of its customer's total spend
+    — the percent-of-total window every BI layer ships (Oracle's
+    RATIO_TO_REPORT), done with one unbounded SUM window per key.
+    One shuffle on the partition key; the denominator accumulates in
+    DECIMAL so shares are identical across engines and partitionings."""
+    w = Window.partitionBy("o_custkey")
+    dec = F.col("o_totalprice").cast("decimal(38,6)")
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round((dec / F.sum(dec).over(w)).cast("double"), 6).alias(
+            "share_of_customer"
+        ),
+    )

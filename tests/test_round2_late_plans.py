@@ -308,3 +308,10 @@ def test_rfm_quartiles_no_single_partition_window(spark):
     df = DEFS["rfm_customer_segments"].fn(spark, SF_DIR)
     plan = formatted_plan(df)
     assert "SinglePartition" not in plan, plan[:3000]
+
+
+def test_shuffle_hash_hint_plans_shuffled_hash_join(spark):
+    """The SHUFFLE_HASH hint must override the broadcast default."""
+    df = DEFS["join_shuffle_hash_hint"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan[:3000]
