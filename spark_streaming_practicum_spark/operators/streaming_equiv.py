@@ -233,3 +233,59 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(sink_name)
+
+
+@query(
+    "stream_incremental_dedup",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang,
+               list_reduce(
+                   list_transform(generate_series(1, LENGTH(text)),
+                                  i -> CAST(ascii(text[i:i]) AS BIGINT)),
+                   (acc, x) -> (acc * 131 + x) % 1000000007) AS f
+        FROM documents),
+    seen AS (SELECT DISTINCT f FROM fp WHERE doc_id % 3 = 0)
+    SELECT lang, COUNT(*) AS n_new
+    FROM fp ANTI JOIN seen USING (f)
+    GROUP BY lang
+    """,
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming incremental corpus update: arriving documents are
+    fingerprinted and LEFT ANTI joined against the static fingerprint
+    store of the already-ingested corpus (every third doc here), so
+    only genuinely new content survives — the standing dedup gate in
+    front of a training-corpus lake.
+
+    The stream-static anti join is STATELESS per micro-batch (the store
+    broadcasts; nothing accumulates in streaming state, unlike
+    within-stream dropDuplicates whose key set grows), which is what
+    makes the pattern viable forever-running. Survivor counts per lang
+    aggregate in complete mode. Oracle: the identical batch anti join,
+    with the polynomial fingerprint reproduced in SQL."""
+    from ..functions.textfns import poly_hash
+
+    static = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(poly_hash("text").alias("f"))
+        .distinct()
+    )
+    stream = stream_table(spark, sf_dir, "documents").select(
+        "lang", poly_hash("text").alias("f")
+    )
+    fresh = stream.join(static, "f", "left_anti")
+    agg = fresh.groupBy("lang").agg(F.count(F.lit(1)).alias("n_new"))
+    sink_name = f"incdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink_name)
