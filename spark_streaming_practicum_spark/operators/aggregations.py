@@ -569,3 +569,43 @@ def rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(3.0), 0.025 * F.col("wau_exact"))
         ).alias("within_bound"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through mergeable bitmaps (Spark 3.5+
+    bitmap_* functions) — the third point on the distinct-count design
+    space after exact shuffle (agg_count_distinct) and approximate HLL
+    (agg_approx_count_distinct): exact AND re-aggregatable.
+
+    Integer ids partition into 32k-bit buckets; each shard (here a
+    deliberate user_id%2 split standing in for partitions/days) builds
+    its own bucket bitmaps, ``bitmap_or_agg`` merges shards without
+    information loss, and distinct = sum of bucket popcounts. At 100 TB
+    this is the rollup-friendly exact distinct: per-day bitmaps merge
+    into week/month counts by OR alone — no re-scan, no rank-1 error
+    like sketches. The oracle is the plain exact distinct: bitmap math
+    must agree exactly."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("shard"),
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    shard_maps = e.groupBy("event_type", "shard", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    merged = shard_maps.groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return (
+        merged.select("event_type", F.expr("bitmap_count(bm)").alias("c"))
+        .groupBy("event_type")
+        .agg(F.sum("c").alias("n_distinct"))
+    )

@@ -90,3 +90,54 @@ def udf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.round(median_udaf("value"), 5).alias("median_value")
     )
+
+
+@query(
+    "udtf_sentence_segments",
+    oracle="""
+    WITH sel AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+    segs AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, '.'), 1) - 1 AS seg_idx,
+               unnest(string_split(text, '.')) AS seg
+        FROM sel)
+    SELECT doc_id, seg_idx,
+           LENGTH(TRIM(seg)) AS n_chars,
+           len(string_split(TRIM(seg), ' ')) AS n_words
+    FROM segs
+    WHERE LENGTH(TRIM(seg)) > 0
+    """,
+)
+def udtf_sentence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 3.5+): one input row ->
+    many output rows, invoked per-row via LATERAL — here a sentence
+    segmenter emitting (doc_id, seg_idx, n_chars, n_words) per segment,
+    the row-generating shape (chunkers, parsers, taggers) scalar UDFs
+    can't express.
+
+    This completes the UDF surface (scalar pandas / grouped map /
+    grouped agg / table function). UDTFs execute Python row-at-a-time,
+    so they are the LAST resort — the identical segmentation is pure
+    JVM via explode(split(...)) (see text_chunk_fixed_tokens); the
+    input is subsampled accordingly. The oracle re-states the
+    segmentation relationally."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, seg_idx int, n_chars int, n_words int")
+    class SentenceSegments:
+        def eval(self, doc_id: int, text: str):
+            idx = 0
+            for seg in text.split("."):
+                stripped = seg.strip()
+                if stripped:
+                    yield (doc_id, idx, len(stripped), len(stripped.split(" ")))
+                idx += 1
+
+    spark.udtf.register("sentence_segments", SentenceSegments)
+    table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    ).createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        "SELECT s.* FROM udtf_docs_in d, "
+        "LATERAL sentence_segments(d.doc_id, d.text) s"
+    )
