@@ -13,7 +13,13 @@ from __future__ import annotations
 import json
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import (
     MapType,
     StringType,
@@ -94,3 +100,79 @@ class SyntheticEventsDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# --- Python DataSink (Spark 4 DataSource write path) -----------------------
+#
+# The write-side counterpart of the reader above, and the first-class
+# version of the reference producer's local-dir sink
+# (/root/reference/src/producer/data_sinks.py): each task streams its
+# partition to one JSON-lines file, returns a commit message, and the
+# driver publishes a _SUCCESS manifest only when EVERY task committed —
+# the all-or-nothing contract a bare foreachPartition writer lacks.
+
+
+class _JsonLinesCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class JsonLinesWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options["path"]
+        self.columns = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> _JsonLinesCommit:
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        os.makedirs(self.path, exist_ok=True)
+        # attempt number in the name: a retried task never half-overwrites
+        # a committed file, and only committed paths reach the manifest
+        out = os.path.join(
+            self.path, f"part-{ctx.partitionId():05d}-{ctx.attemptNumber()}.jsonl"
+        )
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self.columns, row)), default=str))
+                fh.write("\n")
+                n += 1
+        return _JsonLinesCommit(out, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        manifest = {
+            "files": sorted(m.path for m in messages),
+            "rows": sum(m.rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonLinesDataSource(DataSource):
+    """``df.write.format("jsonl_dir").option("path", ...)`` sink."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonLinesWriter:
+        return JsonLinesWriter(self.options, schema)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonLinesDataSource)

@@ -98,3 +98,66 @@ def test_rocksdb_state_store_stateful_agg(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_python_datasink_jsonl_roundtrip(spark, tmp_path):
+    """Custom Python DataSink (Spark 4 write path): every partition
+    commits one JSON-lines file, the driver publishes _SUCCESS +
+    manifest only after all tasks commit, and a plain JSON read round-trips
+    the rows."""
+    import json as _json
+
+    from spark_streaming_practicum_spark.sources.synthetic import register_sink
+
+    register_sink(spark)
+    out = str(tmp_path / "jsonl")
+    df = (
+        table(spark, SF_DIR, "events")
+        .select("event_id", "event_type", "user_id")
+        .repartition(4)
+    )
+    df.write.format("jsonl_dir").option("path", out).mode("append").save()
+
+    manifest = _json.load(open(out + "/_MANIFEST.json"))
+    assert manifest["rows"] == df.count()
+    assert len(manifest["files"]) == 4
+    back = spark.read.json(out)
+    assert back.count() == df.count()
+    assert {int(r["event_id"]) for r in back.select("event_id").collect()} == {
+        int(r["event_id"]) for r in df.select("event_id").collect()
+    }
+
+
+def test_dynamic_partition_overwrite_backfills_one_day(spark, tmp_path):
+    """INSERT OVERWRITE with partitionOverwriteMode=dynamic must replace
+    ONLY the partitions present in the incoming frame — the single-day
+    backfill every lake pipeline needs (static mode would wipe the whole
+    table)."""
+    out = str(tmp_path / "lake")
+    events = table(spark, SF_DIR, "events").withColumn("event_date", F.to_date("ts"))
+    events.write.partitionBy("event_date").parquet(out)
+    days = sorted(r["event_date"] for r in events.select("event_date").distinct().collect())
+    target = days[1]
+
+    patched = (
+        events.filter(F.col("event_date") == target)
+        .withColumn("value", F.lit(0.0))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patched.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()  # other days untouched
+    assert back.filter(F.col("event_date") == target).agg(
+        F.sum(F.abs("value"))
+    ).first()[0] == 0.0
+    other = days[0]
+    want = events.filter(F.col("event_date") == other).count()
+    assert back.filter(F.col("event_date") == other).count() == want
