@@ -609,3 +609,133 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("c").alias("n_distinct"))
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority, o_orderstatus)
+    SELECT o_orderpriority, o_orderstatus AS mode_status, n AS n_mode
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY n DESC, o_orderstatus ASC) AS rn
+          FROM c)
+    WHERE rn = 1
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: built-in ``mode()`` breaks ties
+    arbitrarily (engine- and partitioning-dependent — useless for
+    parity or reruns), so the modal value is derived explicitly: count
+    per (group, value), then rank by (count DESC, value ASC). The
+    ranking window runs on the |groups x values| aggregate (15 rows
+    here), never the facts — the corpus is reduced by the first hash
+    aggregate regardless of scale."""
+    c = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("n").desc(), F.col("o_orderstatus").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("n").alias("n_mode"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_regression_fns",
+    oracle="""
+    SELECT l_linestatus,
+           regr_count(l_extendedprice, l_quantity)              AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r2
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_regression_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard linear-regression aggregates (regr_slope /
+    regr_intercept / regr_r2 / regr_count): the one-pass OLS fit both
+    engines define identically (population covariance over population
+    variance), computed inside the same two-phase hash aggregate as any
+    SUM — no gradient loop needed for a single-feature fit."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.expr("regr_count(l_extendedprice, l_quantity)").alias("n"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 6).alias(
+            "intercept"
+        ),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+    )
+
+
+@query(
+    "agg_higher_moments",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(value * value * value AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,6))) AS DOUBLE) AS s4
+        FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND(s1 / n, 6) AS mean,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POWER(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
+                 - 3, 6) AS excess_kurtosis
+    FROM s
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group from EXACT
+    power sums: the built-in skewness()/kurtosis() accumulate floats in
+    partition order (and engines disagree on bias correction), so the
+    moments are derived from DECIMAL-accumulated S1..S4 with the
+    explicit central-moment identities — bit-identical across engines
+    and partitionings. Still one two-phase hash aggregate: four extra
+    sum slots, not four extra passes — the standard trick for any
+    moment-based statistic at scale."""
+    e = table(spark, sf_dir, "events")
+    v = F.col("value")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("s2"),
+        F.sum((v * v * v).cast("decimal(38,6)")).cast("double").alias("s3"),
+        F.sum((v * v * v * v).cast("decimal(38,6)")).cast("double").alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - 3 * mu * (F.col("s2") / F.col("n")) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * (F.col("s3") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(mu, 6).alias("mean"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    )
