@@ -63,6 +63,8 @@ HEADLINE = [
     "rolling_wau_hll",
     "hbos_outlier_score",
     "jl_random_projection",
+    "plsa_em_step_topics",
+    "agg_bitmap_distinct",
     # expensive families added round 2 so regressions stay visible
     "dedup_embedding_cosine",
     "sparse_cosine_pairs_topk",

@@ -442,9 +442,14 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + two hash aggs keyed by (doc, feature): inference cost is
     linear in corpus bytes and embarrassingly parallel — the shape that
     lets a quality model run over 100 TB as a single pass."""
-    from ..functions.textfns import poly_hash
-
-    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    # repartition first: the corpus is one parquet file locally, and the
+    # trigram explode is the hot transform — same rationale as
+    # text_fingerprint / _doc_shingles
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 3)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     tri = d.select(
         "doc_id",
         "lang",
@@ -452,7 +457,14 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
         ).alias("tg"),
     )
-    j = poly_hash(F.col("tg")) % _QM_DIM
+    # closed form of poly_hash for 3-grams: the rolling fold's accumulator
+    # peaks at 127*131^2 + 127*131 + 127 << 1e9+7, so no intermediate mod
+    # ever fires and the unrolled expression is value-identical — but it
+    # is pure codegen'd arithmetic instead of an interpreted per-char
+    # lambda fold (the fold costs ~3 lambda dispatches per trigram; this
+    # was the hottest expression in the corpus-curation bench family).
+    c = lambda k: F.ascii(F.substring(F.col("tg"), k, 1))  # noqa: E731
+    j = ((c(1) * 131 * 131 + c(2) * 131 + c(3)).cast("long") % 1000000007) % _QM_DIM
     # Per-occurrence weight summed directly: sum_occ w(j) == sum_j c_j*w_j,
     # so the per-feature intermediate aggregate (an extra shuffle keyed by
     # (doc, feature)) is unnecessary — inference is ONE hash agg per doc.
