@@ -641,3 +641,69 @@ def feature_hashing_collision_audit(spark: SparkSession, sf_dir: str) -> DataFra
             F.max("load").cast("bigint").alias("max_bucket_load"),
         )
     )
+
+
+@query(
+    "boilerplate_domain_segments",
+    oracle="""
+    WITH segs AS (
+        SELECT DISTINCT doc_id, source, TRIM(seg) AS seg
+        FROM (SELECT doc_id, source, unnest(string_split(text, '.')) AS seg
+              FROM documents)
+        WHERE LENGTH(TRIM(seg)) > 0),
+    per_source AS (
+        SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM segs GROUP BY source),
+    seg_df AS (
+        SELECT source, seg, COUNT(*) AS n_seg_docs
+        FROM segs GROUP BY source, seg)
+    SELECT s.source,
+           p.n_docs,
+           COUNT(*) AS n_boilerplate_segs,
+           MAX(s.n_seg_docs) AS worst_seg_docs
+    FROM seg_df s JOIN per_source p USING (source)
+    WHERE s.n_seg_docs * 10 >= p.n_docs * 3
+    GROUP BY s.source, p.n_docs
+    ORDER BY s.source
+    """,
+)
+def boilerplate_domain_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate detection: sentence segments that repeat
+    across >=30% of a source's documents (navigation chrome, cookie
+    banners, footers) — the per-DOMAIN repetition signal that corpus-wide
+    paragraph dedup (dedup_paragraph_exact) structurally misses, because
+    boilerplate is frequent within a domain yet can be globally rare.
+
+    Per (source, segment) document frequency from one explode +
+    distinct + count chain keyed on the source; the 30% gate compares
+    integer counts cross-multiplied (n_seg_docs*10 >= n_docs*3) so no
+    float ratio enters the oracle hash. Everything shuffles on
+    (source, segment) — co-partitioned with the group key, no corpus-
+    wide state."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    segs = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(F.split("text", "\\.")).alias("seg"),
+        )
+        .select("doc_id", "source", F.trim("seg").alias("seg"))
+        .filter(F.length("seg") > 0)
+        .distinct()
+    )
+    per_source = segs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    seg_df = segs.groupBy("source", "seg").agg(F.count(F.lit(1)).alias("n_seg_docs"))
+    return (
+        seg_df.join(F.broadcast(per_source), "source")
+        .filter(F.col("n_seg_docs") * 10 >= F.col("n_docs") * 3)
+        .groupBy("source", "n_docs")
+        .agg(
+            F.count(F.lit(1)).alias("n_boilerplate_segs"),
+            F.max("n_seg_docs").alias("worst_seg_docs"),
+        )
+        .select("source", "n_docs", "n_boilerplate_segs", "worst_seg_docs")
+        .orderBy("source")
+    )
