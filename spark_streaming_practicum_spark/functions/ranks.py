@@ -81,3 +81,48 @@ def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
         return first
     rest = (F.floor((rank - head - 1) / q) + r + 1).cast("int")
     return F.when(rank <= head, first).otherwise(rest)
+
+
+def global_cumulative_sums(
+    df: DataFrame,
+    order_exprs: list[Column],
+    sum_cols: list[str],
+    partitions: int | None = None,
+) -> DataFrame:
+    """Running ``SUM(col) OVER (ORDER BY ...)`` for each ``sum_cols``
+    entry, without the single-partition window: the same two-pass
+    range-partition scheme as ``global_row_number``, generalized from
+    counting rows to prefix-summing arbitrary (exact-typed) columns.
+    Driver-side state is P partial-sum rows. Output columns are named
+    ``cum_<col>``."""
+    spark = df.sparkSession
+    P = partitions or spark.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(P, *order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    partials = {
+        r["_pid"]: r
+        for r in d.groupBy("_pid")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    }
+    offsets, acc = [], {c: 0 for c in sum_cols}
+    for pid in sorted(partials):
+        offsets.append((pid, *[acc[c] for c in sum_cols]))
+        for c in sum_cols:
+            acc[c] += partials[pid][c] or 0
+    schema = "_pid int, " + ", ".join(f"_off_{c} long" for c in sum_cols)
+    off = spark.createDataFrame(
+        offsets or [(0, *[0] * len(sum_cols))], schema
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = d.join(F.broadcast(off), "_pid")
+    for c in sum_cols:
+        out = out.withColumn(f"cum_{c}", F.col(f"_off_{c}") + F.sum(c).over(w))
+    return out.drop("_pid", *[f"_off_{c}" for c in sum_cols])

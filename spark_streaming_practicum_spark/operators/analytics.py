@@ -1540,3 +1540,74 @@ def hbos_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("hbos_score").desc(), F.col("event_id").asc())
         .limit(20)
     )
+
+
+@query(
+    "drift_ks_two_sample",
+    oracle="""
+    WITH tagged AS (
+        SELECT value,
+               CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END AS a
+        FROM events),
+    per_v AS (
+        SELECT value,
+               CAST(SUM(a) AS BIGINT) AS ca,
+               CAST(SUM(1 - a) AS BIGINT) AS cb
+        FROM tagged GROUP BY value),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb FROM per_v),
+    cum AS (
+        SELECT value,
+               SUM(ca) OVER (ORDER BY value) AS cum_ca,
+               SUM(cb) OVER (ORDER BY value) AS cum_cb
+        FROM per_v)
+    SELECT t.na, t.nb,
+           ROUND(MAX(ABS(cum_ca * 1.0 / t.na - cum_cb * 1.0 / t.nb)), 6)
+               AS ks_stat,
+           MAX(ABS(cum_ca * 1.0 / t.na - cum_cb * 1.0 / t.nb))
+               > 1.358 * SQRT((t.na + t.nb) * 1.0 / (t.na * t.nb))
+               AS reject_95
+    FROM cum, tot t
+    GROUP BY t.na, t.nb
+    """,
+)
+def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the first and
+    second half of each month: the EXACT sup-distance between the two
+    empirical CDFs, plus the alpha=0.95 decision — the
+    distribution-free companion to the binned PSI monitor
+    (drift_psi_value_distribution), sensitive to shape changes PSI's
+    10 coarse bins can smooth over.
+
+    The exact ECDFs need a global running sum over the value order —
+    computed with the two-pass range-partition prefix scan
+    (functions/ranks.py::global_cumulative_sums), NOT a
+    single-partition window, so the value-distinct frame never funnels
+    through one task. KS itself is then a MAX selection (no float
+    accumulation): one aggregate over |distinct values| rows."""
+    from ..functions.ranks import global_cumulative_sums
+
+    e = table(spark, sf_dir, "events").select(
+        "value", F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("a")
+    )
+    per_v = e.groupBy("value").agg(
+        F.sum("a").cast("long").alias("ca"),
+        F.sum(1 - F.col("a")).cast("long").alias("cb"),
+    )
+    cum = global_cumulative_sums(per_v, [F.col("value")], ["ca", "cb"])
+    tot = per_v.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    diff = F.abs(
+        F.col("cum_ca") * 1.0 / F.col("na") - F.col("cum_cb") * 1.0 / F.col("nb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(F.max(diff), 6).alias("ks_stat"),
+            (
+                F.max(diff)
+                > 1.358
+                * F.sqrt((F.col("na") + F.col("nb")) * 1.0 / (F.col("na") * F.col("nb")))
+            ).alias("reject_95"),
+        )
+    )
