@@ -1611,3 +1611,97 @@ def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reject_95"),
         )
     )
+
+
+@query(
+    "ab_test_mann_whitney",
+    oracle="""
+    WITH tagged AS (
+        SELECT value, user_id % 2 AS arm FROM events),
+    per_v AS (
+        SELECT value,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+        FROM tagged GROUP BY value),
+    cum AS (
+        SELECT value, c, c0,
+               SUM(c) OVER (ORDER BY value) - c AS before
+        FROM per_v),
+    tot AS (
+        SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+               CAST(SUM(c - c0) AS BIGINT) AS n1,
+               CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE) AS tie_term
+        FROM per_v),
+    r AS (
+        SELECT CAST(SUM(CAST(c0 * (before + (c + 1) / 2.0) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS r0
+        FROM cum)
+    SELECT t.n0, t.n1,
+           ROUND(r.r0 - t.n0 * (t.n0 + 1) / 2.0, 6) AS u_stat,
+           ROUND((r.r0 - t.n0 * (t.n0 + 1) / 2.0 - t.n0 * t.n1 / 2.0)
+                 / SQRT(t.n0 * t.n1 / 12.0
+                        * ((t.n0 + t.n1 + 1)
+                           - t.tie_term / ((t.n0 + t.n1) * (t.n0 + t.n1 - 1.0)))),
+                 6) AS z_score
+    FROM tot t, r
+    """,
+)
+def ab_test_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two hash-assigned
+    arms — the nonparametric A/B companion to ab_test_welch_ttest for
+    heavy-tailed metrics where mean comparisons mislead, with the
+    normal approximation's TIE-corrected variance.
+
+    Average ranks come from per-distinct-value counts + the two-pass
+    distributed prefix scan (functions/ranks.py) — rank of a tie group
+    = rows-before + (c+1)/2 — so no per-row global window exists
+    anywhere. The rank SUM accumulates in DECIMAL; the tie-correction
+    term sums c^3 - c per distinct value. Three collapsing aggregates
+    total, each keyed on value then global — scale-invariant."""
+    from ..functions.ranks import global_cumulative_sums
+
+    e = table(spark, sf_dir, "events").select(
+        "value", (F.col("user_id") % 2).alias("arm")
+    )
+    per_v = e.groupBy("value").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("c0"),
+    )
+    cum = global_cumulative_sums(per_v, [F.col("value")], ["c"]).withColumn(
+        "before", F.col("cum_c") - F.col("c")
+    )
+    r0 = cum.agg(
+        F.sum(
+            (F.col("c0") * (F.col("before") + (F.col("c") + 1) / 2.0)).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("r0")
+    )
+    tot = per_v.agg(
+        F.sum("c0").alias("n0"),
+        F.sum(F.col("c") - F.col("c0")).alias("n1"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("double")
+        .alias("tie_term"),
+    )
+    u = F.col("r0") - F.col("n0") * (F.col("n0") + 1) / 2.0
+    n = F.col("n0") + F.col("n1")
+    var = (
+        F.col("n0")
+        * F.col("n1")
+        / 12.0
+        * ((n + 1) - F.col("tie_term") / (n * (n - 1.0)))
+    )
+    return (
+        r0.crossJoin(F.broadcast(tot))
+        .select(
+            "n0",
+            "n1",
+            F.round(u, 6).alias("u_stat"),
+            F.round((u - F.col("n0") * F.col("n1") / 2.0) / F.sqrt(var), 6).alias(
+                "z_score"
+            ),
+        )
+    )

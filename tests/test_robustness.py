@@ -152,3 +152,51 @@ def test_catalog_dtypes_match_duckdb_views(spark, oracle_con):
             assert spark_types.get(col) == expected, (
                 f"{t}.{col}: spark={spark_types.get(col)} duckdb={ducktype}"
             )
+
+
+# --- determinism under partitioning --------------------------------------
+
+_PARTITION_SENSITIVE_SAMPLE = [
+    # two-pass ranking / prefix scans
+    "histogram_equidepth",
+    "rfm_customer_segments",
+    "drift_ks_two_sample",
+    "ab_test_mann_whitney",
+    "ids_contiguous_global",
+    # decimal-accumulated float aggregates
+    "agg_pricing_summary",
+    "agg_higher_moments",
+    # grouped-GEMM / pandas paths
+    "contrastive_pair_mining",
+    "jl_random_projection",
+    # hash-priority sampling
+    "sample_reservoir_per_group",
+    "weighted_sample_topk",
+]
+
+
+def test_results_invariant_to_shuffle_partitioning(spark):
+    """The same query must return IDENTICAL rows at different
+    spark.sql.shuffle.partitions settings — the distributed-engine
+    property that catches order-dependent accumulation, partition-id
+    leakage, and rank instability. Exercises the operators whose plans
+    explicitly depend on partitioning (two-pass ranking, prefix scans,
+    decimal sums, grouped GEMM, hash sampling)."""
+    from spark_streaming_practicum_spark.registry import all_queries
+
+    defs = all_queries()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in _PARTITION_SENSITIVE_SAMPLE:
+            results = []
+            for parts in ("7", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", parts)
+                spark.catalog.clearCache()
+                rows = defs[name].fn(spark, SF_DIR).collect()
+                results.append(sorted(tuple(r) for r in rows))
+            assert results[0] == results[1], (
+                f"{name}: results differ between 7 and 32 shuffle partitions"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.clearCache()
