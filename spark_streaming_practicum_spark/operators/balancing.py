@@ -198,3 +198,56 @@ def corpus_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return one("lang").unionByName(one("source")).orderBy("dimension")
+
+
+@query(
+    "quantile_normalize_sources",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               NTILE(20) OVER (PARTITION BY source
+                               ORDER BY n_chars, doc_id) AS q
+        FROM documents),
+    target AS (
+        SELECT q, CAST(AVG(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS pooled_mean
+        FROM ranked GROUP BY q)
+    SELECT r.source, r.q,
+           COUNT(*) AS n,
+           CAST(AVG(CAST(r.n_chars AS DECIMAL(38,6))) AS DOUBLE) AS source_mean,
+           ROUND(MAX(t.pooled_mean), 6) AS normalized_value
+    FROM ranked r JOIN target t USING (q)
+    GROUP BY r.source, r.q
+    ORDER BY r.source, r.q
+    """,
+)
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across corpus sources (the bioinformatics
+    batch-effect correction, applied to data mixing): every source's
+    doc-length distribution is mapped onto the POOLED distribution —
+    ventile v of any source gets the pooled ventile mean — so
+    length-driven sampling bias can't leak a source signal into the
+    mix.
+
+    Per-source ventiles are windows PARTITIONED by source (each source
+    shuffles independently — not a global sort); the 20-row pooled
+    profile broadcasts back. Means accumulate in DECIMAL. Output: the
+    per-(source, ventile) mapping table, which at serving time is a
+    broadcast lookup applied map-side."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source", "n_chars", F.ntile(20).over(w).alias("q")
+    )
+    dmean = F.avg(F.col("n_chars").cast("decimal(38,6)")).cast("double")
+    target = ranked.groupBy("q").agg(dmean.alias("pooled_mean"))
+    return (
+        ranked.join(F.broadcast(target), "q")
+        .groupBy("source", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dmean.alias("source_mean"),
+            F.round(F.max("pooled_mean"), 6).alias("normalized_value"),
+        )
+        .select("source", "q", "n", "source_mean", "normalized_value")
+        .orderBy("source", "q")
+    )
