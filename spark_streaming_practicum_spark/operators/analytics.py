@@ -1705,3 +1705,62 @@ def ab_test_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "median_rank_ci",
+    oracle="""
+    WITH ranked AS (
+        SELECT value,
+               ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM events),
+    marks AS (
+        SELECT n,
+               CAST(CEIL(n / 2.0 - 1.959964 * SQRT(n) / 2) AS BIGINT) AS lo_rank,
+               CAST(CEIL(n / 2.0 + 1 + 1.959964 * SQRT(n) / 2) AS BIGINT) AS hi_rank,
+               CAST(CEIL(n / 2.0) AS BIGINT) AS med_rank
+        FROM (SELECT DISTINCT n FROM ranked))
+    SELECT m.n,
+           ROUND(MAX(CASE WHEN r.rk = m.med_rank THEN r.value END), 6) AS median,
+           ROUND(MAX(CASE WHEN r.rk = m.lo_rank THEN r.value END), 6) AS ci_lo,
+           ROUND(MAX(CASE WHEN r.rk = m.hi_rank THEN r.value END), 6) AS ci_hi
+    FROM ranked r JOIN marks m USING (n)
+    GROUP BY m.n
+    """,
+)
+def median_rank_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nonparametric 95% confidence interval for the median from
+    ORDER STATISTICS (the binomial rank bound: ranks n/2 -+ z*sqrt(n)/2)
+    — no resampling, no normality assumption; the rank-based sibling of
+    poisson_bootstrap_ci.
+
+    Global ranks come from the two-pass range-partition scheme
+    (functions/ranks.py), so no single-partition window touches the
+    fact table; the three order statistics are then one conditional
+    aggregate over rows whose rank hits a mark. Selection, not
+    accumulation — float order can't perturb it."""
+    from ..functions.ranks import global_row_number
+
+    e = table(spark, sf_dir, "events").select("value", "event_id")
+    ranked, n = global_row_number(e, [F.col("value"), F.col("event_id")], "rk")
+    import math
+
+    lo = math.ceil(n / 2.0 - 1.959964 * math.sqrt(n) / 2)
+    hi = math.ceil(n / 2.0 + 1 + 1.959964 * math.sqrt(n) / 2)
+    med = math.ceil(n / 2.0)
+    return (
+        ranked.filter(F.col("rk").isin(lo, hi, med))
+        .agg(
+            F.lit(n).cast("long").alias("n"),
+            F.round(F.max(F.when(F.col("rk") == med, F.col("value"))), 6).alias(
+                "median"
+            ),
+            F.round(F.max(F.when(F.col("rk") == lo, F.col("value"))), 6).alias(
+                "ci_lo"
+            ),
+            F.round(F.max(F.when(F.col("rk") == hi, F.col("value"))), 6).alias(
+                "ci_hi"
+            ),
+        )
+    )

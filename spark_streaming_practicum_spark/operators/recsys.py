@@ -259,3 +259,50 @@ def ope_ips_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum12(F.col("match") / F.col("p")) / F.count("*"), 6
         ).alias("effective_weight"),
     )
+
+
+@query(
+    "bandit_ucb1_allocation",
+    oracle="""
+    WITH arms AS (
+        SELECT event_type AS arm,
+               COUNT(*) AS n_pulls,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                   AS mean_reward
+        FROM events GROUP BY event_type),
+    tot AS (SELECT CAST(SUM(n_pulls) AS BIGINT) AS n FROM arms)
+    SELECT a.arm, a.n_pulls,
+           ROUND(a.mean_reward, 6) AS mean_reward,
+           ROUND(a.mean_reward + SQRT(2 * LN(t.n) / a.n_pulls), 6) AS ucb1,
+           RANK() OVER (ORDER BY a.mean_reward + SQRT(2 * LN(t.n) / a.n_pulls)
+                            DESC, a.arm) AS play_priority
+    FROM arms a, tot t
+    """,
+)
+def bandit_ucb1_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit allocation from logged rewards: per-arm mean reward
+    plus the sqrt(2 ln N / n_a) exploration bonus, ranked into the next
+    play order — the optimism-under-uncertainty step that pairs with
+    the off-policy evaluator (ope_ips_estimate).
+
+    One (count, DECIMAL-sum) aggregate per arm and a 1-row totals
+    broadcast; the ranking window runs over the |arms| frame (5 rows),
+    never facts. At any corpus size this is a single collapsing pass."""
+    e = table(spark, sf_dir, "events")
+    arms = e.groupBy(F.col("event_type").alias("arm")).agg(
+        F.count(F.lit(1)).alias("n_pulls"),
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_reward"),
+    )
+    tot = arms.agg(F.sum("n_pulls").alias("n"))
+    ucb = F.col("mean_reward") + F.sqrt(2 * F.log(F.col("n")) / F.col("n_pulls"))
+    w = Window.orderBy(ucb.desc(), F.col("arm").asc())
+    return arms.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n_pulls",
+        F.round("mean_reward", 6).alias("mean_reward"),
+        F.round(ucb, 6).alias("ucb1"),
+        F.rank().over(w).alias("play_priority"),
+    )
