@@ -251,3 +251,54 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "q", "n", "source_mean", "normalized_value")
         .orderBy("source", "q")
     )
+
+
+@query(
+    "negative_sampling_unigram",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    cnt AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w),
+    top AS (SELECT w, n FROM cnt ORDER BY n DESC, w ASC LIMIT 50),
+    pw AS (SELECT w, n, POWER(n, 0.75) AS u FROM top),
+    tot AS (SELECT SUM(u) AS z FROM pw)
+    SELECT p.w AS token, p.n,
+           ROUND(p.u / t.z, 6) AS sample_prob,
+           ROUND(SUM(p.u) OVER (ORDER BY p.u / t.z DESC, p.w ASC) / t.z, 6)
+               AS cum_prob
+    FROM pw p, tot t
+    ORDER BY sample_prob DESC, token
+    """,
+)
+def negative_sampling_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table: unigram counts raised to the
+    3/4 power and normalized (Mikolov's smoothing — rare words get
+    boosted, stopwords damped), with the cumulative distribution that a
+    sampler inverts. The vocabulary reduces to the top-50 head; the
+    window runs on that 50-row frame, and at serving time the table is
+    a broadcast binary-search lookup — the constant-size artifact a
+    100 TB corpus compiles down to for contrastive training."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    top = cnt.orderBy(F.col("n").desc(), F.col("w").asc()).limit(50)
+    pw = top.select("w", "n", F.pow("n", 0.75).alias("u"))
+    tot = pw.agg(F.sum("u").alias("z"))
+    prob = F.col("u") / F.col("z")
+    w = (
+        Window.orderBy(prob.desc(), F.col("w").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w").alias("token"),
+            "n",
+            F.round(prob, 6).alias("sample_prob"),
+            F.round(F.sum("u").over(w) / F.col("z"), 6).alias("cum_prob"),
+        )
+        .orderBy(F.col("sample_prob").desc(), "token")
+    )

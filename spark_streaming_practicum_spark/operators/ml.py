@@ -1303,3 +1303,101 @@ def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         project,
         "vec_id bigint, y0 double, y1 double, y2 double, y3 double, norm_ratio double",
     )
+
+
+@query(
+    "coreset_kcenter_greedy",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c0 AS (SELECT emb AS ce FROM e WHERE vec_id = 0),
+    d1 AS (SELECT v.vec_id, v.emb, list_distance(v.emb, c.ce) AS dmin
+           FROM e v, c0 c),
+    c1 AS (SELECT vec_id AS cid, emb AS ce FROM d1
+           ORDER BY ROUND(dmin, 6) DESC, vec_id ASC LIMIT 1),
+    d2 AS (SELECT v.vec_id, v.emb,
+                  LEAST(v.dmin, list_distance(v.emb, c.ce)) AS dmin
+           FROM d1 v, c1 c),
+    c2 AS (SELECT vec_id AS cid, emb AS ce FROM d2
+           ORDER BY ROUND(dmin, 6) DESC, vec_id ASC LIMIT 1),
+    d3 AS (SELECT v.vec_id,
+                  LEAST(v.dmin, list_distance(v.emb, c.ce)) AS dmin
+           FROM d2 v, c2 c)
+    SELECT 1 AS k, CAST(0 AS BIGINT) AS center_id,
+           ROUND(MAX(dmin), 6) AS covering_radius FROM d1
+    UNION ALL
+    SELECT 2, (SELECT cid FROM c1), ROUND(MAX(dmin), 6) FROM d2
+    UNION ALL
+    SELECT 3, (SELECT cid FROM c2), ROUND(MAX(dmin), 6) FROM d3
+    """,
+)
+def coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez's 2-approximation, 3
+    centers unrolled): repeatedly add the point FARTHEST from the
+    selected set — the geometric-coverage data-selection strategy that
+    complements distributional matching (dsir_importance_weights) and
+    cluster pruning (semdedup_cluster_prune) for training-subset
+    construction.
+
+    Each round is one broadcast of the (<=1-row) new center, a map-side
+    running min-distance update, and one distributed argmax — a single
+    lazy plan with NO collect (centers re-enter as one-row broadcast
+    joins, the logreg_gd_two_steps pattern). Rounds cost O(n) work and
+    O(1) shuffle rows each; the argmax ranks on ROUND(dist, 6) with an
+    id tiebreak so float last-bits can't flip center choice across
+    engines. Output: (k, chosen center, covering radius after k
+    centers) — the radius curve is the coreset quality certificate."""
+    from pyspark.sql import Column
+
+    def dist(a: Column, b: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    c0 = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("ce"))
+    d1 = e.crossJoin(F.broadcast(c0)).select(
+        "vec_id", "emb", dist(F.col("emb"), F.col("ce")).alias("dmin")
+    ).persist()
+    c1 = (
+        d1.orderBy(F.round("dmin", 6).desc(), F.col("vec_id").asc())
+        .limit(1)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("ce"))
+        .persist()
+    )
+    d2 = d1.crossJoin(F.broadcast(c1.select("ce"))).select(
+        "vec_id",
+        "emb",
+        F.least(F.col("dmin"), dist(F.col("emb"), F.col("ce"))).alias("dmin"),
+    ).persist()
+    c2 = (
+        d2.orderBy(F.round("dmin", 6).desc(), F.col("vec_id").asc())
+        .limit(1)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("ce"))
+        .persist()
+    )
+    d3 = d2.crossJoin(F.broadcast(c2.select("ce"))).select(
+        "vec_id",
+        F.least(F.col("dmin"), dist(F.col("emb"), F.col("ce"))).alias("dmin"),
+    )
+    r1 = d1.agg(
+        F.lit(1).alias("k"),
+        F.lit(0).cast("long").alias("center_id"),
+        F.round(F.max("dmin"), 6).alias("covering_radius"),
+    )
+    r2 = d2.crossJoin(F.broadcast(c1.select("cid"))).agg(
+        F.lit(2).alias("k"),
+        F.max("cid").alias("center_id"),
+        F.round(F.max("dmin"), 6).alias("covering_radius"),
+    )
+    r3 = d3.crossJoin(F.broadcast(c2.select("cid"))).agg(
+        F.lit(3).alias("k"),
+        F.max("cid").alias("center_id"),
+        F.round(F.max("dmin"), 6).alias("covering_radius"),
+    )
+    return r1.unionAll(r2).unionAll(r3)
