@@ -65,6 +65,11 @@ HEADLINE = [
     "jl_random_projection",
     "plsa_em_step_topics",
     "agg_bitmap_distinct",
+    "drift_ks_two_sample",
+    "ab_test_mann_whitney",
+    "graph_sssp_bellman_ford",
+    "coreset_kcenter_greedy",
+    "boilerplate_domain_segments",
     # expensive families added round 2 so regressions stay visible
     "dedup_embedding_cosine",
     "sparse_cosine_pairs_topk",

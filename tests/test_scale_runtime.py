@@ -161,3 +161,37 @@ def test_dynamic_partition_overwrite_backfills_one_day(spark, tmp_path):
     other = days[0]
     want = events.filter(F.col("event_date") == other).count()
     assert back.filter(F.col("event_date") == other).count() == want
+
+
+def test_parquet_aggregate_pushdown_stats_only_scan(spark):
+    """COUNT/MIN/MAX over a parquet table can be answered from footer
+    statistics alone (DataSource V2 + aggregatePushdown): the plan
+    carries PushedAggregation and no row ever reaches the JVM — at
+    100 TB this turns full-table profiling aggregates into a metadata
+    read. Kept as an explicit opt-in (the engine's default scans stay
+    on V1, which the bucketed-join layout requires)."""
+    prev_push = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(f"{SF_DIR}/orders.parquet").agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+        plan = formatted_plan(df)
+        assert "PushedAggregation" in plan, plan[:3000]
+        got = df.first()
+        want = (
+            table(spark, SF_DIR, "orders")
+            .agg(F.count("*"), F.min("o_totalprice"), F.max("o_totalprice"))
+            .first()
+        )
+        assert tuple(got) == tuple(want)
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+        if prev_v1 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
