@@ -540,3 +540,82 @@ def cv_kfold_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@query(
+    "eval_auc_exact",
+    oracle="""
+    WITH scored AS (
+        SELECT (event_type = 'purchase') AS label,
+               ROUND(1.0 / (1.0 + EXP(-(value / 100.0 - 2.0))), 9) AS score
+        FROM events),
+    per_s AS (
+        SELECT score,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS cp
+        FROM scored GROUP BY score),
+    cum AS (
+        SELECT score, c, cp,
+               SUM(c) OVER (ORDER BY score) - c AS before
+        FROM per_s),
+    r AS (
+        SELECT CAST(SUM(CAST(cp * (before + (c + 1) / 2.0) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS rpos
+        FROM cum),
+    tot AS (
+        SELECT CAST(SUM(cp) AS BIGINT) AS np,
+               CAST(SUM(c - cp) AS BIGINT) AS nn
+        FROM per_s)
+    SELECT t.np AS n_pos, t.nn AS n_neg,
+           ROUND((r.rpos - t.np * (t.np + 1) / 2.0) / (t.np * 1.0 * t.nn), 6)
+               AS auc
+    FROM r, tot t
+    """,
+)
+def eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC of a classifier score against the purchase label,
+    via the Mann-Whitney identity AUC = (R_pos - n_pos(n_pos+1)/2) /
+    (n_pos * n_neg) with midrank tie handling — no threshold sweep, no
+    sampling, and exact where the 20-bucket PR curve
+    (eval_pr_curve_points) is binned.
+
+    Average ranks come from per-distinct-score counts + the two-pass
+    distributed prefix scan; the rank sum accumulates in DECIMAL.
+    Scales with |distinct scores|, not rows — the standard exact-AUC
+    plan for billion-row eval sets."""
+    from ..functions.ranks import global_cumulative_sums
+
+    e = table(spark, sf_dir, "events").select(
+        (F.col("event_type") == "purchase").alias("label"),
+        F.round(
+            1.0 / (1.0 + F.exp(-(F.col("value") / 100.0 - 2.0))), 9
+        ).alias("score"),
+    )
+    per_s = e.groupBy("score").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("cp"),
+    )
+    cum = global_cumulative_sums(per_s, [F.col("score")], ["c"]).withColumn(
+        "before", F.col("cum_c") - F.col("c")
+    )
+    rpos = cum.agg(
+        F.sum(
+            (F.col("cp") * (F.col("before") + (F.col("c") + 1) / 2.0)).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("rpos")
+    )
+    tot = per_s.agg(
+        F.sum("cp").alias("np"), F.sum(F.col("c") - F.col("cp")).alias("nn")
+    )
+    return rpos.crossJoin(F.broadcast(tot)).select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(
+            (F.col("rpos") - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np") * 1.0 * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )
