@@ -10,6 +10,7 @@ path: Arrow-batched pandas UDFs, never row-at-a-time Python.
 from __future__ import annotations
 
 import numpy as np
+from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -140,4 +141,68 @@ def udtf_sentence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT s.* FROM udtf_docs_in d, "
         "LATERAL sentence_segments(d.doc_id, d.text) s"
+    )
+
+
+@query(
+    "udf_grouped_map_arrow",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN stddev_pop(value) OVER (PARTITION BY user_id) = 0 THEN 0.0
+                      ELSE (value - AVG(value) OVER (PARTITION BY user_id))
+                           / stddev_pop(value) OVER (PARTITION BY user_id)
+                 END, 5) AS zscore
+    FROM events
+    """,
+)
+def udf_grouped_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map through ``applyInArrow`` (Spark 4): the same per-user
+    z-score as udf_grouped_map_zscore but the group arrives as a raw
+    ``pyarrow.Table`` — no pandas materialization, no index baggage,
+    the lowest-overhead Python grouped path. Shares the pandas
+    variant's oracle so the two paths are proven value-identical."""
+    import pyarrow as pa
+
+    def zscore(t: "pa.Table") -> "pa.Table":
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        std = v.std()
+        z = np.zeros(len(v)) if std == 0.0 else (v - v.mean()) / std
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "zscore": pa.array(np.round(z, 5), type=pa.float64()),
+            }
+        )
+
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return e.groupBy("user_id").applyInArrow(
+        zscore, schema="event_id bigint, user_id bigint, zscore double"
+    )
+
+
+@query(
+    "udf_pandas_scalar_iter",
+    oracle="""
+    SELECT event_id,
+           ROUND(LN(1.0 + value / 100.0), 6) AS log_feature
+    FROM events
+    """,
+)
+def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-series pandas UDF (SCALAR_ITER): the flavor for UDFs
+    with expensive one-time setup (model load, tokenizer init) — the
+    setup runs once per PARTITION, then every Arrow batch streams
+    through the open iterator. Here the 'model' is a trivial log1p,
+    but the lifecycle (init outside the loop, yield per batch) is
+    exactly how a real scorer amortizes its load at 100 TB."""
+    @pandas_udf("double")
+    def log_feature(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        scale = 100.0  # stand-in for per-partition model/tokenizer setup
+        for v in batches:
+            yield np.log1p(v / scale).round(6)
+
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id", log_feature("value").alias("log_feature")
     )
