@@ -70,6 +70,8 @@ HEADLINE = [
     "graph_sssp_bellman_ford",
     "coreset_kcenter_greedy",
     "boilerplate_domain_segments",
+    "pipeline_pretraining_prep",
+    "eval_auc_exact",
     # expensive families added round 2 so regressions stay visible
     "dedup_embedding_cosine",
     "sparse_cosine_pairs_topk",

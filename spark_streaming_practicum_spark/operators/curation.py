@@ -707,3 +707,88 @@ def boilerplate_domain_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "n_boilerplate_segs", "worst_seg_docs")
         .orderBy("source")
     )
+
+
+@query(
+    "pipeline_pretraining_prep",
+    oracle=f"""
+    WITH words AS ({_WORDS_SQL}),
+    tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY doc_id, word),
+    stats AS (SELECT doc_id,
+                     CAST(SUM(c) AS BIGINT) AS n_words,
+                     MAX(c) AS max_wc
+              FROM wc GROUP BY doc_id),
+    gated AS (
+        SELECT d.doc_id, d.lang, d.text, s.n_words
+        FROM documents d JOIN stats s USING (doc_id)
+        WHERE s.n_words BETWEEN 10 AND 1000
+          AND s.max_wc * 1.0 / s.n_words <= 0.2),
+    deduped AS (
+        SELECT lang, text, MIN(doc_id) AS doc_id, MIN(n_words) AS n_words
+        FROM gated GROUP BY lang, text),
+    split AS (
+        SELECT lang, n_words,
+               CASE WHEN {_bucket_sql("CAST(doc_id AS VARCHAR)")} < 80
+                    THEN 'train' ELSE 'heldout' END AS split
+        FROM deduped)
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens
+    FROM split GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def pipeline_pretraining_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-data user journey in ONE lazy plan:
+    quality gates (Gopher word stats) -> exact dedup (keep lowest
+    doc_id per identical text) -> deterministic hash split -> per
+    (split, lang) document/token budget — i.e. the four pipeline
+    stages a data team runs nightly, composed exactly as the
+    individually-oracled operators (quality_gopher_gates, dedup_exact,
+    split_train_val_test, dataset_card_summary) chain in production.
+
+    Stage boundaries share partitionings where possible: the word-stat
+    shuffles key on doc_id, the dedup keys on (lang, text), the final
+    rollup on (split, lang) — every reduce collapses the data before
+    the next stage, so peak shuffle width is the FIRST aggregation's,
+    not the sum of stages. One oracled result certifies the whole
+    composition (component bugs can't cancel silently at this row
+    granularity)."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    wc = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"), F.max("c").alias("max_wc")
+    )
+    gated = (
+        d.select("doc_id", "lang", "text")
+        .join(stats, "doc_id")
+        .filter(
+            F.col("n_words").between(10, 1000)
+            & (F.col("max_wc") * 1.0 / F.col("n_words") <= 0.2)
+        )
+    )
+    deduped = gated.groupBy("lang", "text").agg(
+        F.min("doc_id").alias("doc_id"), F.min("n_words").alias("n_words")
+    )
+    split = deduped.select(
+        "lang",
+        "n_words",
+        F.when(_bucket(F.col("doc_id").cast("string")) < 80, "train")
+        .otherwise("heldout")
+        .alias("split"),
+    )
+    return (
+        split.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -396,3 +396,46 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM chained
         """
     )
+
+
+@query(
+    "sql_scripting_control_flow",
+    oracle="""
+    WITH a AS (SELECT AVG(o_totalprice) AS avg_p FROM orders),
+    r AS (SELECT CASE WHEN avg_p <= 1000 THEN 0
+                      ELSE CAST(CEIL(LOG2(avg_p / 1000.0)) AS INT) END AS rounds,
+                 avg_p
+          FROM a)
+    SELECT r.rounds,
+           ROUND(1000.0 * POWER(2, r.rounds), 2) AS final_budget,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_totalprice <= 1000.0 * POWER(2, r.rounds)) AS BIGINT)
+               AS n_within
+    FROM r
+    """,
+)
+def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.0 BEGIN/END compound statements): session
+    variables + a WHILE loop doubling a budget until it clears the mean
+    order price, then a data query parameterized by the loop result —
+    procedural control flow INSIDE the SQL surface, no driver round
+    trips per iteration. The oracle is the loop's closed form
+    (ceil(log2(avg/1000)) doublings), so the script's control flow is
+    verified against arithmetic, not another loop."""
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE budget DOUBLE DEFAULT 1000;
+          DECLARE rounds INT DEFAULT 0;
+          WHILE budget < (SELECT AVG(o_totalprice)
+                          FROM parquet.`{sf_dir}/orders.parquet`) DO
+            SET budget = budget * 2;
+            SET rounds = rounds + 1;
+          END WHILE;
+          SELECT rounds,
+                 ROUND(budget, 2) AS final_budget,
+                 (SELECT COUNT(*) FROM parquet.`{sf_dir}/orders.parquet`
+                  WHERE o_totalprice <= budget) AS n_within;
+        END
+        """
+    )
