@@ -1764,3 +1764,102 @@ def median_rank_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "survival_nelson_aalen",
+    oracle=f"""
+    WITH durations AS (
+        SELECT datediff('day', o.o_orderdate, l.l_shipdate) AS t,
+               CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0 END AS ev
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE datediff('day', o.o_orderdate, l.l_shipdate) BETWEEN 0 AND {_KM_HORIZON}),
+    per_t AS (
+        SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM durations GROUP BY t),
+    risk AS (
+        SELECT t, d,
+               SUM(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - (d + c) AS removed_before,
+               SUM(d + c) OVER () AS total
+        FROM per_t),
+    na AS (
+        SELECT t, d, total - removed_before AS n_at_risk,
+               SUM(CAST(d AS DOUBLE) / (total - removed_before))
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS h,
+               SUM(CAST(d AS DOUBLE) / POWER(total - removed_before, 2))
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS var_h
+        FROM risk)
+    SELECT t AS duration_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           ROUND(h, 6) AS cumulative_hazard,
+           ROUND(SQRT(var_h), 6) AS hazard_se,
+           ROUND(EXP(-h), 6) AS survival_fh
+    FROM na
+    WHERE t % 30 = 0
+    ORDER BY t
+    """,
+)
+def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard with its standard error, plus the
+    Fleming-Harrington survival exp(-H) — the hazard-space companion to
+    survival_kaplan_meier (hazards ADD across time and strata, which is
+    what makes this the estimator regulators/meta-analyses want).
+
+    Identical plan shape to KM: durations reduce to one row per day
+    (<=366 rows at the 1-year horizon), every window runs on that
+    calendar-bounded frame, never the fact table. The cumulative sums
+    are over <=366 values per frame — the oracle mirrors them
+    window-for-window."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_linestatus"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    t = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    durations = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            t.alias("t"),
+            F.when(F.col("l_linestatus") == "F", 1).otherwise(0).alias("ev"),
+        )
+        .filter(F.col("t").between(0, _KM_HORIZON))
+    )
+    per_t = durations.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    risk = per_t.select(
+        "t",
+        "d",
+        (F.sum(F.col("d") + F.col("c")).over(w_cum) - (F.col("d") + F.col("c"))).alias(
+            "removed_before"
+        ),
+        F.sum(F.col("d") + F.col("c")).over(w_all).alias("total"),
+    )
+    n_at_risk = F.col("total") - F.col("removed_before")
+    na = risk.select(
+        "t",
+        n_at_risk.alias("n_at_risk"),
+        F.sum(F.col("d").cast("double") / n_at_risk).over(w_cum).alias("h"),
+        F.sum(F.col("d").cast("double") / F.pow(n_at_risk, 2))
+        .over(w_cum)
+        .alias("var_h"),
+    )
+    return (
+        na.filter(F.col("t") % 30 == 0)
+        .select(
+            F.col("t").alias("duration_days"),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.round("h", 6).alias("cumulative_hazard"),
+            F.round(F.sqrt("var_h"), 6).alias("hazard_se"),
+            F.round(F.exp(-F.col("h")), 6).alias("survival_fh"),
+        )
+        .orderBy("duration_days")
+    )

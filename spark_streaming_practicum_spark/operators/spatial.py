@@ -158,3 +158,58 @@ def geo_grid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("c_custkey", F.col("s_suppkey").alias("nearest_suppkey"), "dist2")
     )
+
+
+@query(
+    "geo_trajectory_stats",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, ts, event_id,
+               {_LAT.format(k="event_id")} AS lat,
+               {_LON.format(k="event_id")} AS lon
+        FROM events WHERE user_id % 17 = 0),
+    hops AS (
+        SELECT user_id,
+               SQRT(POWER(lat - LAG(lat) OVER w, 2)
+                    + POWER(lon - LAG(lon) OVER w, 2)) AS hop
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           COUNT(*) AS n_points,
+           CAST(COUNT(hop) AS BIGINT) AS n_moves,
+           CAST(ROUND(SUM(CAST(hop AS DECIMAL(38,12))), 6) AS DOUBLE)
+               AS path_length,
+           ROUND(MAX(hop), 6) AS max_hop
+    FROM hops GROUP BY user_id
+    """,
+)
+def geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity trajectory statistics: order each user's points by
+    time, measure consecutive-hop distances with one LAG window, and
+    roll up path length / longest hop — the movement-analytics shape
+    (GPS tracks, delivery routes) on the synthetic coordinate scheme.
+
+    One shuffle on user_id shared by the window and the rollup; hop
+    lengths accumulate in DECIMAL so the per-user sum is
+    order-independent. Planar distance on the derived coordinates
+    keeps it trig-free and bit-identical across engines."""
+    pts = _latlon(
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 17 == 0)
+        .select("user_id", "ts", "event_id"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hop = F.sqrt(
+        F.pow(F.col("lat") - F.lag("lat").over(w), 2)
+        + F.pow(F.col("lon") - F.lag("lon").over(w), 2)
+    )
+    hops = pts.select("user_id", hop.alias("hop"))
+    return hops.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count("hop").alias("n_moves"),
+        F.round(F.sum(F.col("hop").cast("decimal(38,12)")), 6)
+        .cast("double")
+        .alias("path_length"),
+        F.round(F.max("hop"), 6).alias("max_hop"),
+    )
