@@ -1401,3 +1401,117 @@ def coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("dmin"), 6).alias("covering_radius"),
     )
     return r1.unionAll(r2).unionAll(r3)
+
+
+_RS_K = 16  # candidate models (pairs)
+_RS_EPS = 5000.0  # inlier band on the price residual
+
+
+@query(
+    "ransac_line_fit",
+    oracle=f"""
+    WITH pts AS (
+        SELECT l_quantity AS x, l_extendedprice AS y,
+               (l_orderkey * 2654435761 + l_linenumber) % 1000003 AS pri,
+               l_orderkey, l_linenumber
+        FROM lineitem),
+    sampled AS (
+        SELECT x, y, ROW_NUMBER() OVER (ORDER BY pri, l_orderkey, l_linenumber)
+                         AS rn
+        FROM pts ORDER BY pri, l_orderkey, l_linenumber LIMIT {2 * _RS_K}),
+    cand AS (
+        SELECT a.rn // 2 AS cid,
+               (b.y - a.y) / (b.x - a.x) AS slope,
+               a.y - (b.y - a.y) / (b.x - a.x) * a.x AS intercept
+        FROM (SELECT * FROM sampled WHERE rn % 2 = 1) a
+        JOIN (SELECT * FROM sampled WHERE rn % 2 = 0) b
+          ON b.rn = a.rn + 1
+        WHERE b.x <> a.x),
+    votes AS (
+        SELECT c.cid, c.slope, c.intercept,
+               CAST(SUM(CASE WHEN ABS(p.y - (c.intercept + c.slope * p.x))
+                                  <= {_RS_EPS} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_inliers,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM pts p, cand c
+        GROUP BY c.cid, c.slope, c.intercept)
+    SELECT cid AS model_id,
+           ROUND(slope, 6) AS slope,
+           ROUND(intercept, 6) AS intercept,
+           n_inliers, n_total
+    FROM votes
+    ORDER BY n_inliers DESC, cid ASC
+    LIMIT 1
+    """,
+)
+def ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC robust line fit (price ~ quantity), relationally: 16
+    candidate 2-point models from a DETERMINISTIC hash-priority sample,
+    every candidate broadcast against the full point set for an inlier
+    vote, argmax wins — the outlier-immune alternative to the OLS
+    regr_* aggregates, with the same one-pass-over-facts cost.
+
+    The "random" sample is a hash-priority top-2K (TakeOrdered, no
+    collect, reproducible across engines); the vote is facts x K rows
+    via broadcast — map-side conditional counting with the fact table
+    scanned ONCE for all candidates (never once per model). Ranking on
+    integer inlier counts with the candidate-id tiebreak keeps the
+    winner engine-stable."""
+    pts = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        ((F.col("l_orderkey") * 2654435761 + F.col("l_linenumber")) % 1000003).alias(
+            "pri"
+        ),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    sampled = (
+        pts.orderBy("pri", "l_orderkey", "l_linenumber")
+        .limit(2 * _RS_K)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy("pri", "l_orderkey", "l_linenumber")
+            ),
+        )
+    )
+    a = sampled.filter(F.col("rn") % 2 == 1).select(
+        F.col("rn").alias("rna"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = sampled.filter(F.col("rn") % 2 == 0).select(
+        F.col("rn").alias("rnb"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    slope = (F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))
+    cand = (
+        a.join(b, F.col("rnb") == F.col("rna") + 1)
+        .filter(F.col("xb") != F.col("xa"))
+        .select(
+            (F.col("rna") / 2).cast("long").alias("cid"),
+            slope.alias("slope"),
+            (F.col("ya") - slope * F.col("xa")).alias("intercept"),
+        )
+    )
+    inlier = (
+        F.abs(F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x")))
+        <= _RS_EPS
+    )
+    votes = (
+        pts.crossJoin(F.broadcast(cand))
+        .groupBy("cid", "slope", "intercept")
+        .agg(
+            F.sum(F.when(inlier, 1).otherwise(0)).cast("long").alias("n_inliers"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+    return (
+        votes.orderBy(F.col("n_inliers").desc(), F.col("cid").asc())
+        .limit(1)
+        .select(
+            F.col("cid").alias("model_id"),
+            F.round("slope", 6).alias("slope"),
+            F.round("intercept", 6).alias("intercept"),
+            "n_inliers",
+            "n_total",
+        )
+    )
