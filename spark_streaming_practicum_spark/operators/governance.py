@@ -714,3 +714,113 @@ def drift_psi_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+@query(
+    "privacy_t_closeness_audit",
+    oracle="""
+    WITH stats AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+    binned AS (
+        SELECT user_id % 50 AS age_band,
+               event_type,
+               LEAST(9, CAST(FLOOR((e.value - s.mn) * 10.0 / (s.mx - s.mn))
+                             AS BIGINT)) AS sbin
+        FROM events e, stats s),
+    cell_bin AS (
+        SELECT age_band, event_type, sbin, COUNT(*) AS n
+        FROM binned GROUP BY 1, 2, 3),
+    cell_tot AS (
+        SELECT age_band, event_type, CAST(SUM(n) AS BIGINT) AS n_cell
+        FROM cell_bin GROUP BY 1, 2),
+    gdist AS (SELECT sbin, CAST(COUNT(*) AS BIGINT) AS g FROM binned GROUP BY sbin),
+    gtot AS (SELECT CAST(SUM(g) AS BIGINT) AS n_all FROM gdist),
+    grid AS (
+        SELECT c.age_band, c.event_type, c.n_cell, b.sbin, b.g, t.n_all,
+               COALESCE(cb.n, 0) AS n
+        FROM cell_tot c CROSS JOIN gdist b CROSS JOIN gtot t
+        LEFT JOIN cell_bin cb
+          ON cb.age_band = c.age_band AND cb.event_type = c.event_type
+         AND cb.sbin = b.sbin),
+    cum AS (
+        SELECT age_band, event_type, n_cell,
+               SUM(n * 1.0 / n_cell - g * 1.0 / n_all)
+                   OVER (PARTITION BY age_band, event_type ORDER BY sbin)
+                   AS cdiff
+        FROM grid),
+    emd AS (
+        SELECT age_band, event_type, n_cell,
+               SUM(ABS(cdiff)) / 9.0 AS t_dist
+        FROM cum GROUP BY 1, 2, 3)
+    SELECT event_type,
+           COUNT(*) AS n_cells,
+           CAST(SUM(CASE WHEN t_dist > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           ROUND(MAX(t_dist), 6) AS worst_t,
+           CAST(SUM(CASE WHEN t_dist > 0.2 THEN 1 ELSE 0 END) AS BIGINT) = 0
+               AS t_close
+    FROM emd
+    GROUP BY event_type
+    """,
+)
+def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (t=0.2, ordered EMD): each quasi-identifier
+    cell's distribution over the binned sensitive attribute (value
+    deciles) must sit within Earth-Mover's-Distance t of the GLOBAL
+    distribution — the leak k-anonymity AND l-diversity both miss
+    (a cell can be large and diverse yet still skew toward 'high
+    value', revealing its members' attribute). Completes the privacy
+    trio with privacy_k_anonymity_audit / privacy_l_diversity_audit.
+
+    For an ordered attribute EMD is the mean |cumulative-share
+    difference| — here one window over each cell's 10-bin frame. The
+    10-row global profile broadcasts; the dense cell x bin grid is
+    linear in cells; no float enters the hash unrounded (worst_t is
+    rounded, the gate compares unrounded doubles identically in both
+    engines)."""
+    e = table(spark, sf_dir, "events")
+    stats = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = e.crossJoin(F.broadcast(stats)).select(
+        (F.col("user_id") % 50).alias("age_band"),
+        "event_type",
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("value") - F.col("mn")) * 10.0 / (F.col("mx") - F.col("mn"))
+            ).cast("long"),
+        ).alias("sbin"),
+    )
+    cell_bin = binned.groupBy("age_band", "event_type", "sbin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cell_tot = cell_bin.groupBy("age_band", "event_type").agg(
+        F.sum("n").cast("long").alias("n_cell")
+    )
+    glob = binned.groupBy("sbin").agg(F.count(F.lit(1)).alias("g"))
+    gtot = glob.agg(F.sum("g").cast("long").alias("n_all"))
+    grid = (
+        cell_tot.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(gtot))
+        .join(cell_bin, ["age_band", "event_type", "sbin"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    w = Window.partitionBy("age_band", "event_type").orderBy("sbin")
+    cum = grid.select(
+        "age_band",
+        "event_type",
+        "n_cell",
+        F.sum(
+            F.col("n") * 1.0 / F.col("n_cell") - F.col("g") * 1.0 / F.col("n_all")
+        )
+        .over(w)
+        .alias("cdiff"),
+    )
+    emd = cum.groupBy("age_band", "event_type", "n_cell").agg(
+        (F.sum(F.abs("cdiff")) / 9.0).alias("t_dist")
+    )
+    viol = F.sum(F.when(F.col("t_dist") > 0.2, 1).otherwise(0)).cast("long")
+    return emd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        viol.alias("n_violating"),
+        F.round(F.max("t_dist"), 6).alias("worst_t"),
+        (viol == 0).alias("t_close"),
+    )
