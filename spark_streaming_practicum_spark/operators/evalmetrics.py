@@ -619,3 +619,83 @@ def eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@query(
+    "eval_cumulative_gains",
+    oracle="""
+    WITH scored AS (
+        SELECT (event_type = 'purchase') AS label,
+               ROUND(1.0 / (1.0 + EXP(-(value / 100.0 - 2.0))), 9) AS score,
+               event_id
+        FROM events),
+    ranked AS (
+        SELECT label,
+               NTILE(10) OVER (ORDER BY score DESC, event_id ASC) AS decile
+        FROM scored),
+    per_d AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        FROM ranked GROUP BY decile),
+    tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+                   CAST(SUM(n) AS BIGINT) AS tn FROM per_d)
+    SELECT p.decile, p.n, p.n_pos,
+           ROUND(SUM(p.n_pos) OVER (ORDER BY p.decile) * 1.0 / t.tp, 6)
+               AS cum_gain,
+           ROUND((SUM(p.n_pos) OVER (ORDER BY p.decile) * 1.0 / t.tp)
+                 / (SUM(p.n) OVER (ORDER BY p.decile) * 1.0 / t.tn), 6)
+               AS cum_lift
+    FROM per_d p, tot t
+    ORDER BY p.decile
+    """,
+)
+def eval_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table by score decile — the campaign-
+    targeting readout ('the top 20% of scores captures X% of the
+    positives') that complements the threshold view (eval_pr_curve)
+    and the ranking view (eval_auc_exact).
+
+    Score deciles are exact NTILE semantics computed via the two-pass
+    distributed ranking (functions/ranks.py) — the facts never meet a
+    single-partition window; the decile rollup is 10 rows, and the
+    cumulative windows run on that 10-row frame."""
+    from ..functions.ranks import global_row_number, ntile_from_rank
+
+    scored = table(spark, sf_dir, "events").select(
+        (F.col("event_type") == "purchase").alias("label"),
+        F.round(
+            1.0 / (1.0 + F.exp(-(F.col("value") / 100.0 - 2.0))), 9
+        ).alias("score"),
+        "event_id",
+    )
+    ranked, n = global_row_number(
+        scored, [F.col("score").desc(), F.col("event_id").asc()]
+    )
+    per_d = (
+        ranked.select(
+            "label", ntile_from_rank(F.col("global_rn"), n, 10).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        )
+    )
+    tot = per_d.agg(F.sum("n_pos").alias("tp"), F.sum("n").alias("tn"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_d.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(F.sum("n_pos").over(w) * 1.0 / F.col("tp"), 6).alias("cum_gain"),
+            F.round(
+                (F.sum("n_pos").over(w) * 1.0 / F.col("tp"))
+                / (F.sum("n").over(w) * 1.0 / F.col("tn")),
+                6,
+            ).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )
