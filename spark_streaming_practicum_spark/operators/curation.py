@@ -24,7 +24,7 @@ BASELINE.json north-star extension set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -791,4 +791,129 @@ def pipeline_pretraining_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").alias("n_tokens"),
         )
         .orderBy("split", "lang")
+    )
+
+
+@query(
+    "curation_attrition_funnel",
+    oracle=f"""
+    WITH words AS ({_WORDS_SQL}),
+    tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY doc_id, word),
+    stats AS (SELECT doc_id,
+                     CAST(SUM(c) AS BIGINT) AS n_words,
+                     MAX(c) AS max_wc
+              FROM wc GROUP BY doc_id),
+    bg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS b
+           FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+    bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    rep AS (SELECT doc_id,
+                   SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c) AS dupf
+            FROM bgc GROUP BY doc_id),
+    flags AS (
+        SELECT d.doc_id, s.n_words,
+               (s.n_words BETWEEN 10 AND 1000
+                AND s.max_wc * 1.0 / s.n_words <= 0.2) AS q_ok,
+               (r.dupf < 0.2) AS r_ok,
+               (d.doc_id = MIN(d.doc_id) OVER (PARTITION BY d.text)) AS first_occ
+        FROM documents d JOIN stats s USING (doc_id) JOIN rep r USING (doc_id)),
+    tot AS (SELECT COUNT(*) AS n0 FROM flags)
+    SELECT stage, n_docs, n_tokens,
+           ROUND(n_docs * 1.0 / t.n0, 4) AS frac_of_raw
+    FROM (
+        SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_tokens FROM flags
+        UNION ALL
+        SELECT '1_quality', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_words) AS BIGINT) FROM flags WHERE q_ok
+        UNION ALL
+        SELECT '2_repetition', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_words) AS BIGINT) FROM flags WHERE q_ok AND r_ok
+        UNION ALL
+        SELECT '3_dedup', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_words) AS BIGINT) FROM flags
+        WHERE q_ok AND r_ok AND first_occ
+    ) f, tot t
+    ORDER BY stage
+    """,
+)
+def curation_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation ATTRITION funnel: how many documents (and tokens)
+    survive each successive gate — raw -> quality -> repetition ->
+    exact dedup — the bookkeeping table every corpus release publishes
+    (and the first thing reviewed when a data refresh shifts model
+    quality: which gate's attrition moved?).
+
+    All gate flags compute in one pass over the per-doc stat frames
+    (shared shuffles on doc_id), the first-occurrence flag is one
+    window keyed on text, and the four stage rows are conditional
+    aggregates over the SAME flags frame — adding a stage never adds a
+    scan."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    wc = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"), F.max("c").alias("max_wc")
+    )
+    bgc = (
+        d.select("doc_id", F.explode(shingles(tokens(F.col("text")), 2)).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rep = bgc.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            * 1.0
+            / F.sum("c")
+        ).alias("dupf")
+    )
+    w_first = Window.partitionBy("text")
+    flags = (
+        d.select("doc_id", "text")
+        .join(stats, "doc_id")
+        .join(rep, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            (
+                F.col("n_words").between(10, 1000)
+                & (F.col("max_wc") * 1.0 / F.col("n_words") <= 0.2)
+            ).alias("q_ok"),
+            (F.col("dupf") < 0.2).alias("r_ok"),
+            (F.col("doc_id") == F.min("doc_id").over(w_first)).alias("first_occ"),
+        )
+        .persist()
+    )
+    tot = flags.agg(F.count(F.lit(1)).alias("n0"))
+
+    def stage(name: str, cond) -> DataFrame:
+        src = flags.filter(cond) if cond is not None else flags
+        return src.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+        )
+
+    stages = (
+        stage("0_raw", None)
+        .unionAll(stage("1_quality", F.col("q_ok")))
+        .unionAll(stage("2_repetition", F.col("q_ok") & F.col("r_ok")))
+        .unionAll(
+            stage("3_dedup", F.col("q_ok") & F.col("r_ok") & F.col("first_occ"))
+        )
+    )
+    return (
+        stages.crossJoin(F.broadcast(tot))
+        .select(
+            "stage",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") * 1.0 / F.col("n0"), 4).alias("frac_of_raw"),
+        )
+        .orderBy("stage")
     )

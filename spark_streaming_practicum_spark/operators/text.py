@@ -578,3 +578,97 @@ def term_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_count").desc(), "tok")
         .limit(_FANO_TOPK)
     )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                   AS n_tok,
+               len(string_split(text, ' ')) AS n_words
+        FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           ROUND(SUM(n_tok) * 1.0 / SUM(n_words), 4) AS fertility
+    FROM per_doc GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY (tokens per word) by language — the standard
+    multilingual-tokenizer equity metric: a vocabulary that fragments
+    one language into 3x the tokens of another silently down-weights it
+    at a fixed token budget (and triples its inference cost). Feeds the
+    lang_temperature_resample weights with tokenizer-aware counts.
+
+    One regex-count projection + one hash aggregate per lang —
+    corpus-linear, integer sums, engine-identical regex."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0))
+    n_words = F.size(F.split(F.col("text"), " "))
+    per_doc = d.select("lang", n_tok.alias("n_tok"), n_words.alias("n_words"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.round(F.sum("n_tok") * 1.0 / F.sum("n_words"), 4).alias("fertility"),
+    )
+
+
+@query(
+    "text_distinct_ngram_ratios",
+    oracle="""
+    WITH words AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    uni AS (
+        SELECT lang, COUNT(*) AS total1, COUNT(DISTINCT tok) AS uniq1
+        FROM (SELECT lang, unnest(w) AS tok FROM words) GROUP BY lang),
+    bi AS (
+        SELECT lang, COUNT(*) AS total2, COUNT(DISTINCT bg) AS uniq2
+        FROM (SELECT lang, array_to_string(w[i:i+1], ' ') AS bg
+              FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i))
+        GROUP BY lang)
+    SELECT u.lang,
+           ROUND(u.uniq1 * 1.0 / u.total1, 6) AS distinct_1,
+           ROUND(b.uniq2 * 1.0 / b.total2, 6) AS distinct_2
+    FROM uni u JOIN bi b USING (lang)
+    """,
+)
+def text_distinct_ngram_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1 / distinct-2 ratios per language — the text-generation
+    diversity metric (Li et al.'s distinct-n) applied corpus-side:
+    unique n-grams over total n-gram occurrences. Low values flag
+    templated or degenerate text the per-document repetition gate
+    (repetition_dup_ngram_fraction) can miss when the repetition is
+    ACROSS documents.
+
+    Two explode + count-distinct aggregates keyed on lang — the
+    distinct shuffles carry (lang, gram) pairs, linear in corpus
+    tokens."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    w = tokens(F.col("text"))
+    uni = (
+        d.select("lang", F.explode(w).alias("tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total1"),
+            F.countDistinct("tok").alias("uniq1"),
+        )
+    )
+    bi = (
+        d.select("lang", F.explode(shingles(w, 2)).alias("bg"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total2"),
+            F.countDistinct("bg").alias("uniq2"),
+        )
+    )
+    return uni.join(bi, "lang").select(
+        "lang",
+        F.round(F.col("uniq1") * 1.0 / F.col("total1"), 6).alias("distinct_1"),
+        F.round(F.col("uniq2") * 1.0 / F.col("total2"), 6).alias("distinct_2"),
+    )
