@@ -1863,3 +1863,130 @@ def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("duration_days")
     )
+
+
+@query(
+    "anova_oneway_f",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ss
+        FROM events GROUP BY event_type),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               SUM(s) AS st, SUM(ss) AS sst,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g),
+    parts AS (
+        SELECT t.k, t.nt,
+               SUM(g.s * g.s / g.n) - t.st * t.st / t.nt AS ss_between,
+               t.sst - SUM(g.s * g.s / g.n) AS ss_within
+        FROM g, tot t GROUP BY t.k, t.nt, t.st, t.sst)
+    SELECT k AS n_groups, nt AS n_total,
+           ROUND(ss_between / (k - 1), 6) AS ms_between,
+           ROUND(ss_within / (nt - k), 6) AS ms_within,
+           ROUND((ss_between / (k - 1)) / (ss_within / (nt - k)), 6) AS f_stat
+    FROM parts
+    """,
+)
+def anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across event-type groups — the k-group
+    generalization of ab_test_welch_ttest: does ANY group mean differ?
+    Computed entirely from per-group (n, sum, sum-of-squares) partials
+    (DECIMAL-accumulated), so the corpus reduces to k rows and the
+    F ratio is closed-form arithmetic — one pass at any scale."""
+    e = table(spark, sf_dir, "events")
+    v = F.col("value")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(38,6)")).cast("double").alias("s"),
+        F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.sum("ss").alias("sst"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    parts = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "nt", "st", "sst")
+        .agg(F.sum(F.col("s") * F.col("s") / F.col("n")).alias("explained"))
+        .select(
+            "k",
+            "nt",
+            (F.col("explained") - F.col("st") * F.col("st") / F.col("nt")).alias(
+                "ss_between"
+            ),
+            (F.col("sst") - F.col("explained")).alias("ss_within"),
+        )
+    )
+    msb = F.col("ss_between") / (F.col("k") - 1)
+    msw = F.col("ss_within") / (F.col("nt") - F.col("k"))
+    return parts.select(
+        F.col("k").alias("n_groups"),
+        F.col("nt").alias("n_total"),
+        F.round(msb, 6).alias("ms_between"),
+        F.round(msw, 6).alias("ms_within"),
+        F.round(msb / msw, 6).alias("f_stat"),
+    )
+
+
+@query(
+    "chi2_independence_test",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, EXTRACT(dow FROM ts) AS dow, COUNT(*) AS o
+        FROM events GROUP BY 1, 2),
+    margins AS (
+        SELECT o.event_type, o.dow, o.o,
+               SUM(o.o) OVER (PARTITION BY o.event_type) AS row_tot,
+               SUM(o.o) OVER (PARTITION BY o.dow) AS col_tot,
+               SUM(o.o) OVER () AS n
+        FROM obs o)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MAX(n) AS BIGINT) AS n_total,
+           ROUND(SUM(POWER(o - row_tot * col_tot * 1.0 / n, 2)
+                     / (row_tot * col_tot * 1.0 / n)), 6) AS chi2,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof
+    FROM margins
+    """,
+)
+def chi2_independence_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test between event type and day-of-week
+    — 'is behavior mix stable across the week?', the categorical
+    companion to drift_ks_two_sample. The contingency table is one hash
+    aggregate (|types| x 7 cells); margins are windows on that tiny
+    frame; the statistic is one more collapse. The raw stream is
+    scanned exactly once."""
+    e = table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow_raw")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    # Spark dayofweek: 1=Sunday..7 ; DuckDB dow: 0=Sunday..6
+    obs = obs.select(
+        "event_type", (F.col("dow_raw") - 1).alias("dow"), "o"
+    )
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    m = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(w_r).alias("row_tot"),
+        F.sum("o").over(w_c).alias("col_tot"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    expected = F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("n")
+    return m.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n").cast("long").alias("n_total"),
+        F.round(F.sum(F.pow(F.col("o") - expected, 2) / expected), 6).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).cast("long").alias("dof"),
+    )
