@@ -1990,3 +1990,107 @@ def chi2_independence_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
         ).cast("long").alias("dof"),
     )
+
+
+@query(
+    "kruskal_wallis_h",
+    oracle="""
+    WITH per_v AS (
+        SELECT value, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY value, event_type),
+    val_tot AS (
+        SELECT value, CAST(SUM(c) AS BIGINT) AS cv FROM per_v GROUP BY value),
+    cum AS (
+        SELECT value, cv,
+               SUM(cv) OVER (ORDER BY value) - cv AS before
+        FROM val_tot),
+    ranked AS (
+        SELECT p.event_type, p.c,
+               (cu.before + (cu.cv + 1) / 2.0) AS avg_rank
+        FROM per_v p JOIN cum cu USING (value)),
+    grp AS (
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS n_g,
+               CAST(SUM(CAST(c * avg_rank AS DECIMAL(38,6))) AS DOUBLE) AS r_g
+        FROM ranked GROUP BY event_type),
+    ties AS (
+        SELECT CAST(SUM(CAST(cv AS HUGEINT) * cv * cv - cv) AS DOUBLE) AS tsum
+        FROM val_tot),
+    tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k FROM grp),
+    h AS (
+        SELECT t.k, t.n,
+               (12.0 / (t.n * (t.n + 1.0)))
+               * SUM(g.n_g * POWER(g.r_g / g.n_g - (t.n + 1) / 2.0, 2)) AS h_raw,
+               MAX(ti.tsum) AS tsum
+        FROM grp g, tot t, ties ti
+        GROUP BY t.k, t.n)
+    SELECT k AS n_groups, n AS n_total,
+           ROUND(h_raw, 6) AS h_uncorrected,
+           ROUND(h_raw / (1 - tsum / (POWER(n, 3) - n)), 6) AS h_tie_corrected,
+           CAST(k - 1 AS BIGINT) AS dof
+    FROM h
+    """,
+)
+def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across event-type groups — the rank-based
+    (distribution-free) counterpart of anova_oneway_f, with the tie
+    correction; completes the hypothesis-testing matrix {2-group,
+    k-group} x {parametric, rank-based} next to welch / mann-whitney /
+    anova.
+
+    Midranks come from per-distinct-value counts + the two-pass
+    distributed prefix scan; group rank sums accumulate in DECIMAL.
+    Everything after the value-keyed reduce runs on |distinct values|
+    and |groups| rows."""
+    from ..functions.ranks import global_cumulative_sums
+
+    e = table(spark, sf_dir, "events").select("value", "event_type")
+    per_v = e.groupBy("value", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    val_tot = per_v.groupBy("value").agg(F.sum("c").cast("long").alias("cv"))
+    cum = global_cumulative_sums(val_tot, [F.col("value")], ["cv"]).withColumn(
+        "before", F.col("cum_cv") - F.col("cv")
+    )
+    ranked = per_v.join(cum.select("value", "before", "cv"), "value").select(
+        "event_type",
+        "c",
+        (F.col("before") + (F.col("cv") + 1) / 2.0).alias("avg_rank"),
+    )
+    grp = ranked.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_g"),
+        F.sum((F.col("c") * F.col("avg_rank")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("r_g"),
+    )
+    ties = val_tot.agg(
+        F.sum(F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv"))
+        .cast("double")
+        .alias("tsum")
+    )
+    tot = grp.agg(F.sum("n_g").alias("n"), F.count(F.lit(1)).alias("k"))
+    h = (
+        grp.crossJoin(F.broadcast(tot))
+        .groupBy("k", "n")
+        .agg(
+            F.sum(
+                F.col("n_g")
+                * F.pow(F.col("r_g") / F.col("n_g") - (F.col("n") + 1) / 2.0, 2)
+            ).alias("ssr")
+        )
+        .select(
+            "k",
+            "n",
+            ((12.0 / (F.col("n") * (F.col("n") + 1.0))) * F.col("ssr")).alias("h_raw"),
+        )
+    )
+    return h.crossJoin(F.broadcast(ties)).select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_total"),
+        F.round("h_raw", 6).alias("h_uncorrected"),
+        F.round(
+            F.col("h_raw")
+            / (1 - F.col("tsum") / (F.pow(F.col("n"), 3) - F.col("n"))),
+            6,
+        ).alias("h_tie_corrected"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+    )
