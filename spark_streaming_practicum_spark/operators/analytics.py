@@ -2094,3 +2094,79 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h_tie_corrected"),
         (F.col("k") - 1).cast("long").alias("dof"),
     )
+
+
+def _spearman_rank_cte(col: str) -> str:
+    """Midrank CTE text for one variable (DuckDB side)."""
+    return f"""
+    pv_{col} AS (SELECT {col} AS v, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM pts GROUP BY {col}),
+    cum_{col} AS (
+        SELECT v, c, SUM(c) OVER (ORDER BY v) - c AS before FROM pv_{col}),
+    rk_{col} AS (SELECT v, (before + (c + 1) / 2.0) AS r FROM cum_{col})
+"""
+
+
+@query(
+    "spearman_rank_correlation",
+    oracle=f"""
+    WITH pts AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+    {_spearman_rank_cte("x")},
+    {_spearman_rank_cte("y")},
+    ranked AS (
+        SELECT rx.r AS rx, ry.r AS ry
+        FROM pts p JOIN rk_x rx ON p.x = rx.v JOIN rk_y ry ON p.y = ry.v),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(rx AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ry AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(rx * ry AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(rx * rx AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(ry * ry AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM ranked)
+    SELECT n,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+               AS spearman_rho
+    FROM s
+    """,
+)
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (price vs quantity) — Pearson on
+    MIDRANKS, the monotonic-association measure that survives outliers
+    and nonlinearity where regr_r2/corr assume linearity.
+
+    Each variable's midranks come from its per-distinct-value counts +
+    the two-pass distributed prefix scan (two independent rank passes,
+    each parallel); rank moments accumulate in DECIMAL, and the final
+    rho is closed-form. Joins key on the value domains — never a
+    row-by-rank global sort."""
+    from ..functions.ranks import global_cumulative_sums
+
+    pts = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    ).persist()
+
+    def ranks(col: str) -> DataFrame:
+        pv = pts.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        cum = global_cumulative_sums(pv, [F.col(col)], ["c"])
+        return cum.select(
+            F.col(col),
+            (F.col("cum_c") - F.col("c") + (F.col("c") + 1) / 2.0).alias(f"r_{col}"),
+        )
+
+    ranked = pts.join(ranks("x"), "x").join(ranks("y"), "y").select("r_x", "r_y")
+    d6 = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        d6(F.col("r_x")).alias("sx"),
+        d6(F.col("r_y")).alias("sy"),
+        d6(F.col("r_x") * F.col("r_y")).alias("sxy"),
+        d6(F.col("r_x") * F.col("r_x")).alias("sxx"),
+        d6(F.col("r_y") * F.col("r_y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select("n", F.round(num / den, 6).alias("spearman_rho"))
