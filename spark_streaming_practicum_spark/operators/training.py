@@ -841,3 +841,178 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _RSV_K)
         .drop("rn")
     )
+
+
+@query(
+    "fim_psm_transform",
+    oracle="""
+    WITH sel AS (
+        SELECT doc_id, text, LENGTH(text) AS L
+        FROM documents WHERE LENGTH(text) >= 30),
+    cuts AS (
+        SELECT doc_id, text, L,
+               1 + (doc_id * 37) % GREATEST(L // 3, 1) AS c1,
+               L // 3 + 1 + (doc_id * 91) % GREATEST(L // 3, 1) AS c2
+        FROM sel)
+    SELECT doc_id,
+           LENGTH(text[1:c1]) AS n_prefix,
+           LENGTH(text[c1+1:c2]) AS n_middle,
+           LENGTH(text[c2+1:L]) AS n_suffix,
+           '<PRE>' || text[1:c1] || '<SUF>' || text[c2+1:L]
+               || '<MID>' || text[c1+1:c2] AS psm_text
+    FROM cuts
+    """,
+)
+def fim_psm_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-Middle (FIM) training prep in PSM order: split each
+    document at two DETERMINISTIC hash-derived cut points and re-emit
+    as <PRE>prefix<SUF>suffix<MID>middle — the Bavarian et al.
+    transformation that teaches causal LMs to infill. Hash-derived cuts
+    make the corpus transform reproducible across runs and engines
+    (rand() would re-randomize every retry — poison for resumable
+    pipelines).
+
+    Pure per-row string/integer arithmetic: map-side only, zero
+    shuffles at any corpus size; the cut construction always leaves
+    non-empty prefix/middle/suffix for docs >= 30 chars."""
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 30)
+    L = F.length("text")
+    third = F.greatest(F.floor(L / 3).cast("long"), F.lit(1))
+    c1 = (1 + (F.col("doc_id") * 37) % third).cast("int")
+    c2 = (F.floor(L / 3).cast("long") + 1 + (F.col("doc_id") * 91) % third).cast(
+        "int"
+    )
+    pre = F.col("text").substr(F.lit(1), c1)
+    mid = F.col("text").substr(c1 + 1, c2 - c1)
+    suf = F.col("text").substr(c2 + 1, L - c2)
+    return d.select(
+        "doc_id",
+        F.length(pre).alias("n_prefix"),
+        F.length(mid).alias("n_middle"),
+        F.length(suf).alias("n_suffix"),
+        F.concat(
+            F.lit("<PRE>"), pre, F.lit("<SUF>"), suf, F.lit("<MID>"), mid
+        ).alias("psm_text"),
+    )
+
+
+@query(
+    "t5_span_corruption_prep",
+    oracle="""
+    WITH sel AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id % 20 = 0),
+    tok AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(w, 1) AS BIGINT) AS pos,
+               unnest(w) AS t
+        FROM sel),
+    tagged AS (
+        SELECT doc_id, pos, t, pos // 3 AS g,
+               ((doc_id * 2654435761 + (pos // 3) * 40503) % 100) < 15 AS masked
+        FROM tok),
+    spans AS (
+        SELECT doc_id, g, MIN(pos) AS p0,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY MIN(pos)) AS k
+        FROM tagged WHERE masked GROUP BY doc_id, g),
+    corrupt_pieces AS (
+        SELECT doc_id, pos * 2 AS ord, t AS piece FROM tagged WHERE NOT masked
+        UNION ALL
+        SELECT doc_id, p0 * 2, '<X' || k || '>' FROM spans),
+    target_pieces AS (
+        SELECT tg.doc_id, tg.pos * 2 + 1 AS ord, tg.t AS piece
+        FROM tagged tg JOIN spans s ON tg.doc_id = s.doc_id AND tg.g = s.g
+        WHERE tg.masked
+        UNION ALL
+        SELECT doc_id, p0 * 2, '<X' || k || '>' FROM spans),
+    c AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY ord) AS corrupted
+          FROM corrupt_pieces GROUP BY doc_id),
+    t AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY ord) AS target
+          FROM target_pieces GROUP BY doc_id),
+    ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+           FROM spans GROUP BY doc_id)
+    SELECT c.doc_id, COALESCE(ns.n_spans, 0) AS n_spans, c.corrupted, t.target
+    FROM c LEFT JOIN t USING (doc_id) LEFT JOIN ns USING (doc_id)
+    WHERE ns.n_spans > 0
+    """,
+)
+def t5_span_corruption_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2 span-corruption prep: ~15% of each document's 3-token
+    spans are masked by a DETERMINISTIC (doc, span) hash; the encoder
+    input replaces each masked span with a numbered sentinel <Xk>, and
+    the decoder target lists each sentinel followed by the span it
+    hides — the denoising-objective transform, reproducible across
+    engines and retries.
+
+    One tokenize+posexplode, one span table (per-doc window on the
+    masked-span frame), and two ordered string re-aggregations keyed
+    on doc_id — every shuffle is doc-keyed and linear; the interleave
+    uses integer order keys (pos*2 / pos*2+1) so sentinel-before-span
+    ordering needs no fractional hacks. Docs subsampled 1-in-20 to
+    bound the hash-compare payload."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "t"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
+    tagged = tok.select(
+        "doc_id",
+        "pos",
+        "t",
+        F.floor(F.col("pos") / 3).alias("g"),
+        (
+            ((F.col("doc_id") * 2654435761 + F.floor(F.col("pos") / 3) * 40503) % 100)
+            < 15
+        ).alias("masked"),
+    ).persist()
+    w_k = Window.partitionBy("doc_id").orderBy("p0")
+    spans = (
+        tagged.filter("masked")
+        .groupBy("doc_id", "g")
+        .agg(F.min("pos").alias("p0"))
+        .withColumn("k", F.row_number().over(w_k))
+    )
+    sentinel = F.concat(F.lit("<X"), F.col("k").cast("string"), F.lit(">"))
+    corrupt_pieces = (
+        tagged.filter(~F.col("masked"))
+        .select("doc_id", (F.col("pos") * 2).alias("ord"), F.col("t").alias("piece"))
+        .unionByName(
+            spans.select(
+                "doc_id", (F.col("p0") * 2).alias("ord"), sentinel.alias("piece")
+            )
+        )
+    )
+    target_pieces = (
+        tagged.filter("masked")
+        .join(spans.select("doc_id", "g"), ["doc_id", "g"])
+        .select(
+            "doc_id", (F.col("pos") * 2 + 1).alias("ord"), F.col("t").alias("piece")
+        )
+        .unionByName(
+            spans.select(
+                "doc_id", (F.col("p0") * 2).alias("ord"), sentinel.alias("piece")
+            )
+        )
+    )
+
+    def joined(pieces: DataFrame, out: str) -> DataFrame:
+        return pieces.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("ord"), F.col("piece")))
+                    ),
+                    lambda s: s["piece"],
+                ),
+                " ",
+            ).alias(out)
+        )
+
+    ns = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        joined(corrupt_pieces, "corrupted")
+        .join(joined(target_pieces, "target"), "doc_id")
+        .join(ns, "doc_id")
+        .filter(F.col("n_spans") > 0)
+        .select("doc_id", "n_spans", "corrupted", "target")
+    )
