@@ -2170,3 +2170,61 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     )
     return s.select("n", F.round(num / den, 6).alias("spearman_rho"))
+
+
+@query(
+    "ctr_empirical_bayes_shrinkage",
+    oracle="""
+    WITH item AS (
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 40 AS item,
+               CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END
+                   AS pos
+        FROM events),
+    per_item AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS clicks
+        FROM item GROUP BY item),
+    prior AS (
+        SELECT CAST(SUM(clicks) AS DOUBLE) / SUM(n) AS p0 FROM per_item)
+    SELECT i.item, i.n, i.clicks,
+           ROUND(i.clicks * 1.0 / i.n, 6) AS raw_ctr,
+           ROUND((i.clicks + 100 * p.p0) / (i.n + 100), 6) AS shrunk_ctr
+    FROM per_item i, prior p
+    ORDER BY i.item
+    """,
+)
+def ctr_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes CTR shrinkage (m-estimate, m=100): per-item click
+    rates shrunk toward the global prior in proportion to evidence —
+    the ranking-feature smoothing that stops 1-impression items from
+    dominating a CTR sort (the same beta-binomial idea behind
+    'weighted rating' charts).
+
+    One conditional-count aggregate per item, a 1-row global prior
+    broadcast back, closed-form shrinkage — a single collapsing pass
+    whose output is |items| rows at any traffic volume."""
+    e = table(spark, sf_dir, "events").select(
+        (
+            F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)") % 40
+        ).alias("item"),
+        F.col("event_type").isin("click", "purchase").cast("int").alias("pos"),
+    )
+    per_item = e.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").cast("long").alias("clicks")
+    )
+    prior = per_item.agg(
+        (F.sum("clicks").cast("double") / F.sum("n")).alias("p0")
+    )
+    return (
+        per_item.crossJoin(F.broadcast(prior))
+        .select(
+            "item",
+            "n",
+            "clicks",
+            F.round(F.col("clicks") * 1.0 / F.col("n"), 6).alias("raw_ctr"),
+            F.round(
+                (F.col("clicks") + 100 * F.col("p0")) / (F.col("n") + 100), 6
+            ).alias("shrunk_ctr"),
+        )
+        .orderBy("item")
+    )

@@ -1062,3 +1062,69 @@ def linkage_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("field")
+
+
+@query(
+    "lsh_parameter_planner",
+    oracle="""
+    WITH combos AS (
+        SELECT b, 128 // b AS r FROM unnest([2,4,8,16,32,64]) AS t(b)),
+    grid AS (
+        SELECT c.b, c.r, s.s * 0.01 AS sim
+        FROM combos c, unnest(generate_series(1, 99)) AS s(s)),
+    curves AS (
+        SELECT b, r, sim,
+               1 - POWER(1 - POWER(sim, r), b) AS p_candidate
+        FROM grid)
+    SELECT b, r,
+           ROUND(POWER(1.0 / b, 1.0 / r), 4) AS threshold,
+           ROUND(SUM(CASE WHEN sim < 0.8 THEN p_candidate ELSE 0 END) * 0.01, 4)
+               AS fp_area,
+           ROUND(SUM(CASE WHEN sim >= 0.8 THEN 1 - p_candidate ELSE 0 END) * 0.01, 4)
+               AS fn_area
+    FROM curves
+    GROUP BY b, r
+    ORDER BY b
+    """,
+)
+def lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter planner: for a 128-permutation signature,
+    sweep the (bands b, rows r) divisor pairs and report each setting's
+    implied threshold (1/b)^(1/r) plus false-positive / false-negative
+    AREAS of the S-curve against the 0.8 target — the design table you
+    consult BEFORE running dedup_minhash_lsh at corpus scale, where a
+    wrong b/r either floods verification with candidates (FP area) or
+    silently drops near-dups (FN area).
+
+    Pure generated relations (divisor frame x 99-point similarity
+    grid) — no input tables, constant size, yet the arithmetic is the
+    real Leskovec S-curve analysis. sf_dir is unused by design."""
+    combos = spark.createDataFrame(
+        [(b, 128 // b) for b in (2, 4, 8, 16, 32, 64)], "b int, r int"
+    )
+    grid = combos.crossJoin(
+        spark.range(1, 100).select((F.col("id") * 0.01).alias("sim"))
+    )
+    p_cand = 1 - F.pow(1 - F.pow(F.col("sim"), F.col("r")), F.col("b"))
+    curves = grid.select("b", "r", "sim", p_cand.alias("p_candidate"))
+    return (
+        curves.groupBy("b", "r")
+        .agg(
+            F.round(F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 4).alias("threshold"),
+            F.round(
+                F.sum(F.when(F.col("sim") < 0.8, F.col("p_candidate")).otherwise(0.0))
+                * 0.01,
+                4,
+            ).alias("fp_area"),
+            F.round(
+                F.sum(
+                    F.when(F.col("sim") >= 0.8, 1 - F.col("p_candidate")).otherwise(
+                        0.0
+                    )
+                )
+                * 0.01,
+                4,
+            ).alias("fn_area"),
+        )
+        .orderBy("b")
+    )
