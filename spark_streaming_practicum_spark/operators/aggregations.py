@@ -806,3 +806,44 @@ def distinct_methods_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.method", "r.estimate", "r.within_2pct").orderBy("method")
     return out
+
+
+@query(
+    "agg_partial_correlation",
+    oracle="""
+    WITH s AS (
+        SELECT corr(l_extendedprice, l_quantity) AS r_xy,
+               corr(l_extendedprice, l_discount) AS r_xz,
+               corr(l_quantity, l_discount) AS r_yz
+        FROM lineitem)
+    SELECT ROUND(r_xy, 6) AS corr_price_qty,
+           ROUND(r_xz, 6) AS corr_price_disc,
+           ROUND(r_yz, 6) AS corr_qty_disc,
+           ROUND((r_xy - r_xz * r_yz)
+                 / (SQRT(1 - r_xz * r_xz) * SQRT(1 - r_yz * r_yz)), 6)
+               AS partial_price_qty_given_disc
+    FROM s
+    """,
+)
+def agg_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix of three measures in ONE aggregate,
+    plus the partial correlation r(price, qty | discount) — 'does the
+    price-quantity relation survive controlling for discount?', the
+    confounder check that raw corr can't answer. All three corr slots
+    ride the same two-phase hash aggregate; the partial is closed-form
+    arithmetic on the 1-row result."""
+    s = table(spark, sf_dir, "lineitem").agg(
+        F.corr("l_extendedprice", "l_quantity").alias("r_xy"),
+        F.corr("l_extendedprice", "l_discount").alias("r_xz"),
+        F.corr("l_quantity", "l_discount").alias("r_yz"),
+    )
+    partial = (F.col("r_xy") - F.col("r_xz") * F.col("r_yz")) / (
+        F.sqrt(1 - F.col("r_xz") * F.col("r_xz"))
+        * F.sqrt(1 - F.col("r_yz") * F.col("r_yz"))
+    )
+    return s.select(
+        F.round("r_xy", 6).alias("corr_price_qty"),
+        F.round("r_xz", 6).alias("corr_price_disc"),
+        F.round("r_yz", 6).alias("corr_qty_disc"),
+        F.round(partial, 6).alias("partial_price_qty_given_disc"),
+    )

@@ -1128,3 +1128,43 @@ def lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("b")
     )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle="""
+    WITH clusters AS (
+        SELECT text, COUNT(*) AS sz FROM documents GROUP BY text)
+    SELECT CASE WHEN sz >= 5 THEN 5 ELSE sz END AS cluster_size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removable
+    FROM clusters
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram (bucket 5 = '5+'): how
+    much of the corpus sits in duplicate clusters of each size, and how
+    many documents dedup would remove — the duplication PROFILE that
+    decides whether exact dedup suffices or near-dup (MinHash/SimHash)
+    is worth its cost, published alongside the dataset card.
+
+    One hash aggregate on the text key (at 100 TB: on its fingerprint,
+    same plan), then a constant-size bucket rollup."""
+    clusters = (
+        table(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    bucket = F.when(F.col("sz") >= 5, 5).otherwise(F.col("sz"))
+    return (
+        clusters.groupBy(bucket.alias("cluster_size_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            (F.sum("sz") - F.count(F.lit(1))).cast("long").alias("n_removable"),
+        )
+        .orderBy("cluster_size_bucket")
+    )
