@@ -270,3 +270,52 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_customer"
         ),
     )
+
+
+@query(
+    "session_window_builtin",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN datediff('second',
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) > 1800
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WHERE user_id % 23 = 0),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_no
+        FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN ``session_window`` (30-min gap) in batch mode,
+    oracled against the hand-rolled gaps-and-islands SQL — proving the
+    native session operator and the classical LAG/SUM reconstruction
+    (window_sessionize) assign identical sessions. The built-in is the
+    form that also runs under Structured Streaming with state cleanup;
+    the plan is one shuffle on the session key's user component."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 23 == 0)
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "sum_value")
+    )

@@ -195,3 +195,39 @@ def test_parquet_aggregate_pushdown_stats_only_scan(spark):
             spark.conf.unset("spark.sql.sources.useV1SourceList")
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+
+
+def test_aqe_runtime_join_strategy_conversion(spark):
+    """AQE re-plans a SortMergeJoin into a BroadcastHashJoin at RUNTIME
+    once the build side's actual size is known (static threshold
+    disabled, adaptive threshold on) — the mechanism that rescues jobs
+    whose cardinality estimates were wrong, which at 100 TB is most of
+    them."""
+    prev_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_adapt = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    try:
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+        j = (
+            o.join(n, o.o_custkey % 25 == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n"))
+        )
+        rows = j.collect()  # execute so AQE can re-plan
+        assert len(rows) == 25
+        plan = formatted_plan(j)
+        assert "isFinalPlan=true" in plan, plan[:2000]
+        # initial plan: SMJ (static broadcast off); final plan: BHJ
+        assert "BroadcastHashJoin" in plan, plan[:4000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_static)
+        if prev_adapt is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_adapt
+            )
