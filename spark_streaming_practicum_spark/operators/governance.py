@@ -824,3 +824,86 @@ def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("t_dist"), 6).alias("worst_t"),
         (viol == 0).alias("t_close"),
     )
+
+
+@query(
+    "gdpr_erasure_audit",
+    oracle="""
+    WITH requests AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+    ev AS (
+        SELECT COUNT(*) AS total,
+               CAST(SUM(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS purged
+        FROM events e LEFT JOIN requests r USING (user_id)),
+    cu AS (
+        SELECT COUNT(*) AS total,
+               CAST(SUM(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS purged
+        FROM customer c LEFT JOIN requests r ON c.c_custkey = r.user_id),
+    od AS (
+        SELECT COUNT(*) AS total,
+               CAST(SUM(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS purged
+        FROM orders o LEFT JOIN requests r ON o.o_custkey = r.user_id)
+    SELECT 'events' AS tbl, total, purged, total - purged AS remaining,
+           (SELECT COUNT(*) FROM requests) AS n_requests
+    FROM ev
+    UNION ALL
+    SELECT 'customer', total, purged, total - purged,
+           (SELECT COUNT(*) FROM requests) FROM cu
+    UNION ALL
+    SELECT 'orders', total, purged, total - purged,
+           (SELECT COUNT(*) FROM requests) FROM od
+    ORDER BY tbl
+    """,
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure propagation audit: a deletion-request set (every
+    97th user here) swept across every table keyed by that subject —
+    per-table rows to purge, rows remaining, and the request count —
+    the compliance report a lake produces BEFORE running the actual
+    anti-join rewrite (and the same joins, flipped to left_anti, ARE
+    the rewrite).
+
+    The request set broadcasts into each fact scan (existence-tagged
+    left join, counted map-side); tables are swept in one pass each
+    and never shuffled on a per-row key."""
+    req = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 97 == 0)
+        .select("user_id")
+        .distinct()
+        .persist()
+    )
+    n_req = req.count()
+
+    def sweep(df: DataFrame, key: str, name: str) -> DataFrame:
+        tagged = df.join(
+            F.broadcast(req.withColumnRenamed("user_id", "_rq")),
+            df[key] == F.col("_rq"),
+            "left",
+        )
+        return tagged.agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("_rq").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("purged"),
+        ).select(
+            "tbl",
+            "total",
+            "purged",
+            (F.col("total") - F.col("purged")).alias("remaining"),
+            F.lit(n_req).cast("long").alias("n_requests"),
+        )
+
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        sweep(e, "user_id", "events")
+        .unionAll(sweep(c, "c_custkey", "customer"))
+        .unionAll(sweep(o, "o_custkey", "orders"))
+        .orderBy("tbl")
+    )
