@@ -2228,3 +2228,98 @@ def ctr_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("item")
     )
+
+
+_SCD2_CUT = "2024-01-25 00:00:00"
+_SCD2_CUT_END = "2024-01-26 00:00:00"
+
+
+@query(
+    "scd2_incremental_apply",
+    oracle=f"""
+    WITH sel AS (SELECT user_id, event_id, ts, event_type
+                 FROM events
+                 WHERE user_id % 13 = 0 AND ts < TIMESTAMP '{_SCD2_CUT_END}'),
+    numbered AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+        FROM sel),
+    islands AS (
+        SELECT user_id, event_type, MIN(ts) AS valid_from
+        FROM numbered GROUP BY user_id, event_type, grp)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to,
+           (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               IS NULL) AS is_current
+    FROM islands
+    """,
+)
+def scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SCD2 maintenance: apply one day of new events to the
+    existing dimension — closed versions pass through UNTOUCHED, each
+    affected user's open version is re-derived from a tiny tail (the
+    open version's anchor + that user's day-delta events), and
+    untouched users' open versions carry over. The oracle is the FULL
+    rebuild over all events up to the cutoff end, so the incremental
+    plan is proven equal to the recompute (the same contract as
+    incremental_agg_refresh) — version boundaries, is_current flags
+    and all.
+
+    At 100 TB this is the difference between touching |day-delta
+    users| x (open version + day events) and re-sorting the entire
+    event history nightly. Every stage keys on user_id — one logical
+    partitioning end to end."""
+    cut = F.lit(_SCD2_CUT).cast("timestamp")
+    cut_end = F.lit(_SCD2_CUT_END).cast("timestamp")
+    base = table(spark, sf_dir, "events").filter(F.col("user_id") % 13 == 0)
+    hist = base.filter(F.col("ts") < cut)
+    delta = base.filter((F.col("ts") >= cut) & (F.col("ts") < cut_end)).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+
+    def runs(events: DataFrame) -> DataFrame:
+        numbered = events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+        )
+        islands = numbered.groupBy("user_id", "event_type", "grp").agg(
+            F.min("ts").alias("valid_from")
+        )
+        w_ver = Window.partitionBy("user_id").orderBy("valid_from")
+        vto = F.lead("valid_from").over(w_ver)
+        return islands.select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            vto.alias("valid_to"),
+            vto.isNull().alias("is_current"),
+        )
+
+    dim = runs(hist.select("user_id", "event_id", "ts", "event_type")).persist()
+    closed = dim.filter(~F.col("is_current"))
+    open_v = dim.filter(F.col("is_current"))
+    touched = delta.select("user_id").distinct()
+
+    # untouched users: open version carries over verbatim
+    carry = open_v.join(touched, "user_id", "left_anti")
+    # affected users: synthetic anchor event (the open version) + delta tail
+    anchor = open_v.join(touched, "user_id").select(
+        "user_id",
+        F.lit(-1).alias("event_id"),
+        F.col("valid_from").alias("ts"),
+        "event_type",
+    )
+    # users first seen on the delta day have no anchor — union covers both
+    tail_runs = runs(anchor.unionByName(delta))
+    # closed versions pass through; re-derived tails replace open ones
+    return closed.unionByName(carry).unionByName(tail_runs)
