@@ -231,3 +231,41 @@ def test_aqe_runtime_join_strategy_conversion(spark):
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_adapt
             )
+
+
+def test_ignore_corrupt_files_scan_resilience(spark, tmp_path):
+    """A lake directory with one corrupt member must still be readable
+    with spark.sql.files.ignoreCorruptFiles=true — the multi-thousand-
+    file reality where one bad object cannot be allowed to kill a
+    100 TB scan (and, flipped off, the default loudly fails instead of
+    silently dropping data)."""
+    out = tmp_path / "lake"
+    out.mkdir()
+    df = table(spark, SF_DIR, "region")
+    df.coalesce(1).write.mode("append").parquet(str(out))
+    (out / "part-corrupt.parquet").write_bytes(b"PAR1 this is not a parquet file")
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        got = spark.read.parquet(str(out)).count()
+        assert got == df.count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+def test_merge_schema_on_read_unions_evolved_columns(spark, tmp_path):
+    """mergeSchema=true reconciles files written before and after a
+    column addition — the read-side half of schema evolution (the
+    write-side DDL planner is plan_schema_evolution); old rows surface
+    NULL for the new column instead of failing the scan."""
+    out = str(tmp_path / "evolving")
+    v1 = table(spark, SF_DIR, "region").select("r_regionkey", "r_name")
+    v1.write.mode("append").parquet(out)
+    v2 = table(spark, SF_DIR, "region").select(
+        "r_regionkey", "r_name", F.lit("v2").alias("ingest_tag")
+    )
+    v2.write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "ingest_tag" in merged.columns
+    assert merged.count() == 2 * v1.count()
+    assert merged.filter(F.col("ingest_tag").isNull()).count() == v1.count()
