@@ -712,63 +712,3 @@ def ts_forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(metrics("trailing_mean7", F.col("ma7")))
         .orderBy("method")
     )
-
-
-@query(
-    "ts_autocorrelation",
-    oracle="""
-    WITH daily AS (
-        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
-        FROM events GROUP BY day),
-    mu AS (SELECT AVG(n * 1.0) AS m, COUNT(*) AS nd FROM daily),
-    dev AS (SELECT day, n * 1.0 - mu.m AS d FROM daily, mu),
-    lagged AS (
-        SELECT l.lag, a.d AS da, b.d AS db
-        FROM dev a
-        JOIN unnest(generate_series(1, 7)) AS l(lag) ON TRUE
-        JOIN dev b ON b.day = a.day + CAST(l.lag AS INTEGER)),
-    denom AS (SELECT SUM(d * d) AS s0 FROM dev)
-    SELECT l.lag,
-           CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(SUM(l.da * l.db) / dn.s0, 6) AS acf
-    FROM lagged l, denom dn
-    GROUP BY l.lag, dn.s0
-    ORDER BY l.lag
-    """,
-)
-def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Autocorrelation function (lags 1-7) of the daily event-count
-    series — the seasonality fingerprint behind ts_seasonal_decompose's
-    day-of-week model (a weekly cycle shows as an ACF spike at lag 7).
-
-    The raw stream reduces to the calendar-bounded per-day frame
-    FIRST; every subsequent join/aggregate runs on <=366 rows x 7
-    lags, so the fact table is scanned exactly once at any scale. The
-    float sums run over that bounded frame in both engines (same
-    values, same small cardinality)."""
-    e = table(spark, sf_dir, "events")
-    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    mu = daily.agg(F.avg(F.col("n") * 1.0).alias("m"))
-    dev = daily.crossJoin(F.broadcast(mu)).select(
-        "day", (F.col("n") * 1.0 - F.col("m")).alias("d")
-    ).persist()
-    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
-    a = dev.select(F.col("day").alias("da_day"), F.col("d").alias("da"))
-    b = dev.select(F.col("day").alias("db_day"), F.col("d").alias("db"))
-    lagged = (
-        a.crossJoin(F.broadcast(lags))
-        .join(b, F.expr("db_day = date_add(da_day, lag)"))
-    )
-    denom = dev.agg(F.sum(F.col("d") * F.col("d")).alias("s0"))
-    return (
-        lagged.crossJoin(F.broadcast(denom))
-        .groupBy("lag", "s0")
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.sum(F.col("da") * F.col("db")) / F.col("s0"), 6).alias("acf"),
-        )
-        .select("lag", "n_pairs", "acf")
-        .orderBy("lag")
-    )
