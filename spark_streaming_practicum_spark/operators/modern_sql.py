@@ -439,3 +439,64 @@ def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "sql_pivot_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause (vs the DataFrame ``pivot()`` used by
+    pivot_event_counts): status counts spread into columns per
+    priority. Catalyst rewrites PIVOT into the same conditional
+    aggregate the oracle states manually, so the clause is purely
+    surface syntax — same two-phase hash aggregate underneath.
+    COALESCE pins empty cells to 0 like the CASE form."""
+    df = spark.sql(
+        f"""
+        SELECT * FROM (
+          SELECT o_orderstatus, o_orderpriority
+          FROM parquet.`{sf_dir}/orders.parquet`)
+        PIVOT (COUNT(*) FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p))
+        """
+    )
+    return df.select(
+        "o_orderpriority",
+        F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        F.coalesce(F.col("f"), F.lit(0)).alias("f"),
+        F.coalesce(F.col("p"), F.lit(0)).alias("p"),
+    )
+
+
+@query(
+    "sql_unpivot_clause",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL UNPIVOT clause (vs DataFrame ``unpivot()`` used by
+    unpivot_lineitem_metrics): three measure columns melt into
+    (metric, val) rows. Catalyst plans an Expand — one scan emitting
+    three rows per input, NOT three scans (the UNION ALL oracle is the
+    semantic statement; the physical plan is strictly better)."""
+    return spark.sql(
+        f"""
+        SELECT * FROM (
+          SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+          FROM parquet.`{sf_dir}/lineitem.parquet`)
+        UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
+        """
+    )
