@@ -72,6 +72,10 @@ HEADLINE = [
     "boilerplate_domain_segments",
     "pipeline_pretraining_prep",
     "eval_auc_exact",
+    "t5_span_corruption_prep",
+    "scd2_incremental_apply",
+    "spearman_rank_correlation",
+    "kruskal_wallis_h",
     # expensive families added round 2 so regressions stay visible
     "dedup_embedding_cosine",
     "sparse_cosine_pairs_topk",

@@ -500,3 +500,29 @@ def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
         """
     )
+
+
+@query(
+    "sql_parameterized_identifier",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+): named parameter markers for
+    VALUES and the IDENTIFIER() clause for table/column names — the
+    injection-safe templating that replaces f-string SQL assembly in
+    multi-tenant pipelines (a value parameter can never smuggle SQL;
+    an identifier parameter resolves through the catalog, not the
+    parser). Binding happens at analysis time, so the plan is
+    identical to the literal query the oracle states."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_param_v")
+    return spark.sql(
+        "SELECT o_orderpriority, COUNT(*) AS n "
+        "FROM IDENTIFIER(:tbl) WHERE o_totalprice > :floor "
+        "GROUP BY o_orderpriority",
+        args={"tbl": "orders_param_v", "floor": 100000},
+    )
