@@ -699,3 +699,82 @@ def eval_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "eval_macro_f1",
+    oracle="""
+    WITH scored AS (
+        SELECT (event_type = 'purchase') AS label,
+               (1.0 / (1.0 + EXP(-(value / 100.0 - 2.0)))) >= 0.5 AS pred
+        FROM events),
+    cells AS (
+        SELECT CAST(SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM scored),
+    per_class AS (
+        SELECT tp * 1.0 / (tp + fp) AS p_pos, tp * 1.0 / (tp + fn) AS r_pos,
+               tn * 1.0 / (tn + fn) AS p_neg, tn * 1.0 / (tn + fp) AS r_neg,
+               tp, fp, fn, tn
+        FROM cells)
+    SELECT tp, fp, fn, tn,
+           ROUND(2 * p_pos * r_pos / (p_pos + r_pos), 6) AS f1_pos,
+           ROUND(2 * p_neg * r_neg / (p_neg + r_neg), 6) AS f1_neg,
+           ROUND((2 * p_pos * r_pos / (p_pos + r_pos)
+                  + 2 * p_neg * r_neg / (p_neg + r_neg)) / 2, 6) AS macro_f1,
+           ROUND((tp + tn) * 1.0 / (tp + fp + fn + tn), 6) AS accuracy
+    FROM per_class
+    """,
+)
+def eval_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class F1 and macro-F1 (plus accuracy) from one confusion
+    aggregate — the class-imbalance-honest summary that accuracy alone
+    hides (a 95%-negative dataset scores 0.95 accuracy on the constant
+    classifier; macro-F1 exposes it). Completes the classification-eval
+    set next to the threshold sweep (eval_pr_curve_points), ranking
+    view (eval_auc_exact) and targeting view (eval_cumulative_gains).
+
+    The entire confusion matrix is FOUR integer slots in a single
+    two-phase aggregate; every downstream metric is closed-form on the
+    1-row result."""
+    e = table(spark, sf_dir, "events").select(
+        (F.col("event_type") == "purchase").alias("label"),
+        (1.0 / (1.0 + F.exp(-(F.col("value") / 100.0 - 2.0))) >= 0.5).alias("pred"),
+    )
+    cells = e.agg(
+        F.sum(F.when(F.col("pred") & F.col("label"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("label"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("label"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~F.col("pred") & ~F.col("label"), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    p_pos = F.col("tp") * 1.0 / (F.col("tp") + F.col("fp"))
+    r_pos = F.col("tp") * 1.0 / (F.col("tp") + F.col("fn"))
+    p_neg = F.col("tn") * 1.0 / (F.col("tn") + F.col("fn"))
+    r_neg = F.col("tn") * 1.0 / (F.col("tn") + F.col("fp"))
+    f1p = 2 * p_pos * r_pos / (p_pos + r_pos)
+    f1n = 2 * p_neg * r_neg / (p_neg + r_neg)
+    return cells.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(f1p, 6).alias("f1_pos"),
+        F.round(f1n, 6).alias("f1_neg"),
+        F.round((f1p + f1n) / 2, 6).alias("macro_f1"),
+        F.round(
+            (F.col("tp") + F.col("tn"))
+            * 1.0
+            / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
+            6,
+        ).alias("accuracy"),
+    )

@@ -907,3 +907,64 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(sweep(o, "o_custkey", "orders"))
         .orderBy("tbl")
     )
+
+
+@query(
+    "impute_group_median",
+    oracle="""
+    WITH holed AS (
+        SELECT event_id, event_type,
+               CASE WHEN (event_id * 2654435761) % 20 = 0 THEN NULL
+                    ELSE value END AS v
+        FROM events),
+    med AS (
+        SELECT event_type, quantile_cont(v, 0.5) AS m
+        FROM holed WHERE v IS NOT NULL GROUP BY event_type)
+    SELECT h.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN h.v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_imputed,
+           ROUND(MAX(m.m), 6) AS imputed_value,
+           ROUND(AVG(COALESCE(h.v, m.m)), 6) AS mean_after_impute
+    FROM holed h JOIN med m USING (event_type)
+    GROUP BY h.event_type
+    """,
+)
+def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median null imputation — the data-repair step after
+    dq_expectation_checks finds holes: nulls (synthesized here on a
+    deterministic 5% of rows so the repair is verifiable end-to-end)
+    are filled with their group's median, the robust choice that
+    survives the skewed distributions mean-imputation distorts.
+
+    One median pass per group (exact here; percentile_approx is the
+    sketch-state swap at 100 TB), the |groups|-row medians broadcast
+    back, COALESCE map-side. Reports imputation counts and the
+    post-repair mean per group — the audit trail a repair job must
+    emit."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when((F.col("event_id") * 2654435761) % 20 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    med = (
+        e.filter(F.col("v").isNotNull())
+        .groupBy("event_type")
+        .agg(F.expr("percentile(v, 0.5)").alias("m"))
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_imputed"),
+            F.round(F.max("m"), 6).alias("imputed_value"),
+            F.round(F.avg(F.coalesce(F.col("v"), F.col("m"))), 6).alias(
+                "mean_after_impute"
+            ),
+        )
+    )
