@@ -2323,3 +2323,61 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail_runs = runs(anchor.unionByName(delta))
     # closed versions pass through; re-derived tails replace open ones
     return closed.unionByName(carry).unionByName(tail_runs)
+
+
+@query(
+    "funnel_stage_latency",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS first_purchase
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+        GROUP BY e.user_id),
+    lat AS (
+        SELECT datediff('second', v.first_view, p.first_purchase) AS sec
+        FROM v JOIN p USING (user_id))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(sec, 0.5) / 60.0, 4) AS median_minutes,
+           ROUND(quantile_cont(sec, 0.9) / 60.0, 4) AS p90_minutes,
+           ROUND(AVG(sec) / 60.0, 4) AS mean_minutes
+    FROM lat
+    """,
+)
+def funnel_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion LATENCY through the funnel: time from a user's first
+    view to their first subsequent purchase — the 'how long does
+    conversion take' readout that the count-based funnel
+    (funnel_conversion) and the windowed variant
+    (window_funnel_within_time) don't surface.
+
+    Two user-keyed min aggregates and one join, all on the same
+    user_id partitioning; latency percentiles run on the
+    |converted users| frame. The ts > first_view guard keeps
+    pre-view purchases out in both engines."""
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = v.join(p, "user_id").select(
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+        ).alias("sec")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(sec, 0.5)") / 60.0, 4).alias("median_minutes"),
+        F.round(F.expr("percentile(sec, 0.9)") / 60.0, 4).alias("p90_minutes"),
+        F.round(F.avg("sec") / 60.0, 4).alias("mean_minutes"),
+    )

@@ -778,3 +778,61 @@ def eval_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+@query(
+    "eval_expected_calibration_error",
+    oracle="""
+    WITH scored AS (
+        SELECT (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y,
+               ROUND(1.0 / (1.0 + EXP(-(value / 100.0 - 2.0))), 9) AS p
+        FROM events),
+    bins AS (
+        SELECT LEAST(CAST(FLOOR(p * 20) AS BIGINT), 19) AS bin_id,
+               COUNT(*) AS n,
+               AVG(p) AS conf,
+               AVG(y * 1.0) AS acc
+        FROM scored GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM bins)
+    SELECT t.nt AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(SUM(b.n * ABS(b.acc - b.conf)) / t.nt, 6) AS ece,
+           ROUND(MAX(ABS(b.acc - b.conf)), 6) AS mce
+    FROM bins b, tot t
+    GROUP BY t.nt
+    """,
+)
+def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error (20 bins) + Maximum Calibration Error
+    — the single-number calibration summary distilled from the
+    reliability diagram (logreg_calibration_bins): bin the scores,
+    weight each bin's |observed - predicted| gap by its mass. One
+    binned aggregate + a 1-row rollup; scan-linear."""
+    e = table(spark, sf_dir, "events").select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.round(1.0 / (1.0 + F.exp(-(F.col("value") / 100.0 - 2.0))), 9).alias("p"),
+    )
+    bins = e.groupBy(
+        F.least(F.floor(F.col("p") * 20), F.lit(19)).cast("long").alias("bin_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("p").alias("conf"),
+        F.avg(F.col("y") * 1.0).alias("acc"),
+    )
+    tot = bins.agg(F.sum("n").cast("long").alias("nt"))
+    gap = F.abs(F.col("acc") - F.col("conf"))
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .groupBy("nt")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.round(F.sum(F.col("n") * gap) / F.col("nt"), 6).alias("ece"),
+            F.round(F.max(gap), 6).alias("mce"),
+        )
+        .select(
+            F.col("nt").alias("n_total"),
+            F.col("n_bins").cast("long").alias("n_bins"),
+            "ece",
+            "mce",
+        )
+    )
