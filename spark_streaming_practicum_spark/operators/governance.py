@@ -968,3 +968,69 @@ def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    WITH o_c AS (
+        SELECT COUNT(*) AS n_child,
+               CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+    l_o AS (
+        SELECT COUNT(*) AS n_child,
+               CAST(SUM(CASE WHEN oo.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+        FROM lineitem l LEFT JOIN orders oo ON l.l_orderkey = oo.o_orderkey),
+    l_s AS (
+        SELECT COUNT(*) AS n_child,
+               CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+        FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+    SELECT 'orders->customer' AS relation, n_child, n_orphans,
+           n_orphans = 0 AS ri_ok FROM o_c
+    UNION ALL
+    SELECT 'lineitem->orders', n_child, n_orphans, n_orphans = 0 FROM l_o
+    UNION ALL
+    SELECT 'lineitem->supplier', n_child, n_orphans, n_orphans = 0 FROM l_s
+    ORDER BY relation
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan
+    foreign keys per child->parent relation — the cross-TABLE data
+    quality dimension the single-table expectation suite
+    (dq_expectation_checks) can't see, and the first thing that breaks
+    when ingestion partially fails mid-batch.
+
+    Each relation is one existence-tagged left join counted map-side
+    (parent keys broadcast when dimension-sized; the orders side
+    shuffles on its natural key) — no row-level output, just the
+    |relations|-row report."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def audit(child: DataFrame, key, parent: DataFrame, pkey, name: str) -> DataFrame:
+        tagged = child.join(parent, child[key] == parent[pkey], "left")
+        return tagged.agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(parent[pkey].isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        ).select(
+            "relation",
+            "n_child",
+            "n_orphans",
+            (F.col("n_orphans") == 0).alias("ri_ok"),
+        )
+
+    return (
+        audit(o, "o_custkey", c, "c_custkey", "orders->customer")
+        .unionAll(audit(li, "l_orderkey", o.select("o_orderkey"), "o_orderkey", "lineitem->orders"))
+        .unionAll(audit(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier"))
+        .orderBy("relation")
+    )
