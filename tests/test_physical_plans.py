@@ -189,3 +189,8 @@ def test_runtime_bloom_filter_injected_on_fact_scan(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                # get(k, None) returns None even for confs with built-in
+                # defaults; unset restores the default instead of leaking
+                # the override into every later test in the session
+                spark.conf.unset(k)
