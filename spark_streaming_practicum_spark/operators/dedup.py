@@ -1168,3 +1168,74 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size_bucket")
     )
+
+
+@query(
+    "dedup_pair_explanation",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               ROUND(i * 1.0 / (ca.c + cb.c - i), 4) AS jaccard
+        FROM inter
+        JOIN cnt ca ON doc_a = ca.doc_id
+        JOIN cnt cb ON doc_b = cb.doc_id
+        WHERE ROUND(i * 1.0 / (ca.c + cb.c - i), 4) >= 0.8),
+    top_pairs AS (
+        SELECT doc_a, doc_b, jaccard FROM pairs
+        ORDER BY jaccard DESC, doc_a, doc_b LIMIT 5),
+    shared AS (
+        SELECT p.doc_a, p.doc_b, p.jaccard, a.shingle
+        FROM top_pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle)
+    SELECT doc_a, doc_b, jaccard,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           array_to_string(list_sort(list(shingle))[1:5], ' | ') AS evidence
+    FROM shared
+    GROUP BY doc_a, doc_b, jaccard
+    ORDER BY jaccard DESC, doc_a, doc_b
+    """,
+)
+def dedup_pair_explanation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup EXPLAINABILITY: for the top Jaccard pairs, surface the
+    shared shingles that drive the verdict — the evidence a human
+    reviewer (or an appeals process for takedown/dedup decisions)
+    needs, which a bare similarity score doesn't provide.
+
+    Reuses the shared shingle relation (one persisted build feeds
+    scoring AND evidence); evidence extraction joins only the <=5
+    selected pairs (broadcast) back to the inverted index, so the
+    explanation pass costs |top pairs| x shingles-per-doc, never
+    corpus-quadratic. Evidence is emitted as a sorted joined string
+    (first 5 shingles) so the result stays hashable."""
+    sh = _doc_shingles(spark, sf_dir)
+    pairs = _jaccard_pairs(sh, threshold=0.8)
+    top = pairs.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(5)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("b_shingle"))
+    shared = (
+        a.join(F.broadcast(top), "doc_a")
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b_doc"))
+            & (F.col("shingle") == F.col("b_shingle")),
+        )
+        .select("doc_a", "doc_b", "jaccard", "shingle")
+    )
+    return (
+        shared.groupBy("doc_a", "doc_b", "jaccard")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("shingle")), 1, 5), " | "
+            ).alias("evidence"),
+        )
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+    )
