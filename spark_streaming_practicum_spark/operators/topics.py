@@ -179,3 +179,147 @@ def plsa_em_step_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 plsa_em_step_topics.__doc__ = plsa_em_step_topics.__doc__.format(
     V=_V, K=_TOPK, Z=_Z
 )
+
+
+_TR_V = 40  # vocabulary (graph nodes)
+_TR_D = 0.85
+_TR_ITER = 2
+
+
+def _textrank_oracle() -> str:
+    """Unrolled TextRank iterations as chained CTEs (the PageRank
+    scheme from operators/graph.py, applied to the word graph)."""
+    head = f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    vocab AS (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS widx
+        FROM (SELECT tok, COUNT(*) AS n
+              FROM (SELECT unnest(w) AS tok FROM words)
+              GROUP BY tok ORDER BY n DESC, tok LIMIT {_TR_V})),
+    big AS (
+        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg
+        FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+    co AS (
+        SELECT va.widx AS src, vb.widx AS dst, COUNT(*) AS n
+        FROM big
+        JOIN vocab va ON string_split(bg, ' ')[1] = va.tok
+        JOIN vocab vb ON string_split(bg, ' ')[2] = vb.tok
+        WHERE va.widx <> vb.widx
+        GROUP BY 1, 2),
+    sym AS (
+        SELECT src, dst, SUM(n) AS w FROM (
+            SELECT src, dst, n FROM co
+            UNION ALL SELECT dst, src, n FROM co) GROUP BY 1, 2),
+    enorm AS (SELECT src, dst, w * 1.0 / SUM(w) OVER (PARTITION BY src) AS p
+              FROM sym),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+    pr0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS pr FROM nodes)
+"""
+    ctes = [head]
+    for i in range(_TR_ITER):
+        ctes.append(f"""
+    pr{i + 1} AS (
+        SELECT b.node,
+               (1 - {_TR_D}) / (SELECT cnt FROM nn)
+                   + {_TR_D} * COALESCE(inf.inflow, 0) AS pr
+        FROM pr0 b
+        LEFT JOIN (SELECT e.dst AS node, SUM(p.pr * e.p) AS inflow
+                   FROM enorm e JOIN pr{i} p ON e.src = p.node
+                   GROUP BY e.dst) inf ON b.node = inf.node)
+""")
+    return (
+        ",".join(ctes)
+        + f"""
+    SELECT v.tok AS keyword, ROUND(pr.pr, 6) AS textrank
+    FROM pr{_TR_ITER} pr JOIN vocab v ON pr.node = v.widx
+    ORDER BY pr.pr DESC, v.tok LIMIT 10
+    """
+    )
+
+
+@query("keyphrase_textrank", oracle=_textrank_oracle())
+def keyphrase_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: PageRank (d=0.85, 2 iterations) over
+    the word co-occurrence graph (adjacent-token edges within the
+    top-{V} vocabulary), top-10 keywords — Mihalcea & Tarau's
+    graph-based alternative to frequency ranking (a word is important
+    if important words co-occur with it, not merely if it is common).
+
+    The corpus reduces to a {V}-node weighted graph in one bigram
+    pass; iterations then cost O(E) on that tiny graph (same
+    loop-generated plan/oracle scheme as graph_pagerank_trade). At
+    100 TB only the bigram count scales — the graph stays
+    vocabulary-bounded."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(_TR_V)
+        .withColumn(
+            "widx",
+            F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("w").asc())),
+        )
+        .select(F.col("w").alias("tok"), "widx")
+    )
+    big = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> struct(split(text, ' ')[i - 1] AS t1, split(text, ' ')[i] AS t2))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+    va = vocab.select(F.col("tok").alias("t1"), F.col("widx").alias("src"))
+    vb = vocab.select(F.col("tok").alias("t2"), F.col("widx").alias("dst"))
+    co = (
+        big.join(F.broadcast(va), "t1")
+        .join(F.broadcast(vb), "t2")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sym = (
+        co.select("src", "dst", "n")
+        .unionAll(co.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "n"))
+        .groupBy("src", "dst")
+        .agg(F.sum("n").alias("w"))
+        .persist()
+    )
+    enorm = sym.withColumn(
+        "p", F.col("w") * 1.0 / F.sum("w").over(Window.partitionBy("src"))
+    ).select("src", "dst", "p").persist()
+    enorm.count()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    nn = nodes.count()
+    pr = nodes.withColumn("pr", F.lit(1.0 / nn))
+    for _ in range(_TR_ITER):
+        inflow = (
+            enorm.join(pr, enorm.src == pr.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("inflow"))
+            .withColumnRenamed("dst", "inode")
+        )
+        pr = (
+            nodes.join(inflow, nodes.node == inflow.inode, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - _TR_D) / nn)
+                    + _TR_D * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.join(F.broadcast(vocab), pr.node == vocab.widx)
+        .select(F.col("tok").alias("keyword"), F.round("pr", 6).alias("textrank"))
+        .orderBy(F.col("textrank").desc(), "keyword")
+        .limit(10)
+    )
+
+
+keyphrase_textrank.__doc__ = keyphrase_textrank.__doc__.replace("{V}", str(_TR_V))
