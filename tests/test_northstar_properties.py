@@ -260,3 +260,51 @@ def test_hbos_scores_sorted_and_nonnegative(spark):
     assert scores == sorted(scores, reverse=True)
     assert all(s >= 0 for s in scores)
     assert all(0 <= r["vbin"] <= 9 and 0 <= r["h"] <= 23 for r in rows)
+
+
+def test_statistics_family_mathematical_invariants(spark):
+    """Cheap but unforgiving bounds for the hypothesis-testing /
+    evaluation family: every statistic must respect its mathematical
+    range regardless of data. A violated bound means broken arithmetic
+    even when the oracle (which shares the formulas) agrees."""
+    auc = DEFS["eval_auc_exact"].fn(spark, SF_DIR).first()
+    assert 0.0 <= auc["auc"] <= 1.0
+    rho = DEFS["spearman_rank_correlation"].fn(spark, SF_DIR).first()
+    assert -1.0 <= rho["spearman_rho"] <= 1.0
+    kw = DEFS["kruskal_wallis_h"].fn(spark, SF_DIR).first()
+    assert kw["h_uncorrected"] >= 0 and kw["h_tie_corrected"] >= kw["h_uncorrected"]
+    f = DEFS["anova_oneway_f"].fn(spark, SF_DIR).first()
+    assert f["f_stat"] >= 0
+    ece = DEFS["eval_expected_calibration_error"].fn(spark, SF_DIR).first()
+    assert 0.0 <= ece["ece"] <= ece["mce"] <= 1.0
+    f1 = DEFS["eval_macro_f1"].fn(spark, SF_DIR).first()
+    assert 0.0 <= f1["macro_f1"] <= 1.0
+    assert abs(
+        f1["macro_f1"] - (f1["f1_pos"] + f1["f1_neg"]) / 2
+    ) < 1e-5
+    chi = DEFS["chi2_independence_test"].fn(spark, SF_DIR).first()
+    assert chi["chi2"] >= 0 and chi["dof"] >= 1
+
+
+def test_kcenter_radius_curve_monotone(spark):
+    """Greedy k-center: adding a center can never INCREASE the covering
+    radius — the radius curve must be non-increasing in k."""
+    rows = sorted(
+        DEFS["coreset_kcenter_greedy"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["k"],
+    )
+    radii = [r["covering_radius"] for r in rows]
+    assert len(radii) == 3
+    assert radii[0] >= radii[1] >= radii[2]
+
+
+def test_attrition_funnel_monotone(spark):
+    """Each curation gate can only remove documents: stage counts are
+    non-increasing down the funnel, and fractions start at 1."""
+    rows = sorted(
+        DEFS["curation_attrition_funnel"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert rows[0]["frac_of_raw"] == 1.0
+    docs = [r["n_docs"] for r in rows]
+    assert docs == sorted(docs, reverse=True)
