@@ -836,3 +836,77 @@ def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFra
             "mce",
         )
     )
+
+
+@query(
+    "eval_best_f1_threshold",
+    oracle="""
+    WITH scored AS (
+        SELECT (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y,
+               ROUND(1.0 / (1.0 + EXP(-(value / 100.0 - 2.0))), 9) AS p
+        FROM events),
+    hist AS (
+        SELECT LEAST(CAST(FLOOR(p * 20) AS BIGINT), 19) AS b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM scored GROUP BY 1),
+    tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS all_pos FROM hist),
+    sweep AS (
+        SELECT b AS thr_bin,
+               SUM(pos) OVER (ORDER BY b DESC) AS tp,
+               SUM(n - pos) OVER (ORDER BY b DESC) AS fp,
+               t.all_pos
+        FROM hist, tot t),
+    f1s AS (
+        SELECT thr_bin, tp, fp,
+               2.0 * tp / (tp + fp + all_pos) AS f1
+        FROM sweep WHERE tp > 0)
+    SELECT thr_bin,
+           ROUND(thr_bin / 20.0, 2) AS threshold,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           ROUND(f1, 6) AS best_f1
+    FROM f1s
+    ORDER BY f1 DESC, thr_bin DESC LIMIT 1
+    """,
+)
+def eval_best_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection: the decision threshold (of the 20
+    histogram bins) that maximizes F1 — the deployment step after the
+    curve diagnostics, computed from the SAME single-pass score
+    histogram as eval_pr_curve_points (using F1 = 2TP/(TP+FP+P), which
+    avoids dividing precision and recall separately). One histogram
+    aggregate + a 20-row reverse-cumulative sweep + an argmax; no
+    per-threshold rescans."""
+    e = table(spark, sf_dir, "events").select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.round(1.0 / (1.0 + F.exp(-(F.col("value") / 100.0 - 2.0))), 9).alias("p"),
+    )
+    hist = e.groupBy(
+        F.least(F.floor(F.col("p") * 20), F.lit(19)).cast("long").alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("pos")
+    )
+    tot = hist.agg(F.sum("pos").cast("long").alias("all_pos"))
+    w = Window.orderBy(F.col("b").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    sweep = hist.crossJoin(F.broadcast(tot)).select(
+        F.col("b").alias("thr_bin"),
+        F.sum("pos").over(w).alias("tp"),
+        F.sum(F.col("n") - F.col("pos")).over(w).alias("fp"),
+        "all_pos",
+    )
+    f1 = 2.0 * F.col("tp") / (F.col("tp") + F.col("fp") + F.col("all_pos"))
+    return (
+        sweep.filter(F.col("tp") > 0)
+        .select(
+            "thr_bin",
+            F.round(F.col("thr_bin") / 20.0, 2).alias("threshold"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            F.round(f1, 6).alias("best_f1"),
+            f1.alias("_f1_raw"),
+        )
+        .orderBy(F.col("_f1_raw").desc(), F.col("thr_bin").desc())
+        .limit(1)
+        .drop("_f1_raw")
+    )

@@ -289,3 +289,37 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(sink_name)
+
+
+@query(
+    "stream_update_mode_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode: the sink receives only the keys whose
+    aggregate CHANGED in each micro-batch — the incremental-dashboard
+    mode between append (no updates allowed) and complete (full resend
+    every batch). Drained with a single availableNow batch, the set of
+    updated rows equals the complete result, which is what the batch
+    oracle certifies; under multi-batch operation the same query emits
+    deltas only."""
+    stream = stream_table(spark, sf_dir, "events")
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sink_name = f"updmode_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    # last update per key wins (single batch -> one row per key already)
+    return spark.table(sink_name).groupBy("event_type").agg(F.max("n").alias("n"))
