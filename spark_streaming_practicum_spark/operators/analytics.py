@@ -2381,3 +2381,93 @@ def funnel_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(sec, 0.9)") / 60.0, 4).alias("p90_minutes"),
         F.round(F.avg("sec") / 60.0, 4).alias("mean_minutes"),
     )
+
+
+@query(
+    "elasticity_loglog_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           regr_count(LN(l.l_quantity), LN(l.l_extendedprice)) AS n,
+           ROUND(regr_slope(LN(l.l_quantity), LN(l.l_extendedprice)), 6)
+               AS elasticity,
+           ROUND(regr_r2(LN(l.l_quantity), LN(l.l_extendedprice)), 6) AS r2
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def elasticity_loglog_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity per market segment: the log-log regression
+    slope d ln(qty) / d ln(price) — the econometric reading of the
+    regr_* aggregates (elasticity = the slope of logs, constant across
+    price levels by construction).
+
+    The two joins ride the usual star topology (customer broadcast
+    through orders onto lineitem); the per-segment OLS is the same
+    one-pass aggregate as agg_regression_fns on transformed columns —
+    no extra scan for the log transform."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        c, o.o_custkey == c.c_custkey
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.expr("regr_count(LN(l_quantity), LN(l_extendedprice))").alias("n"),
+        F.round(
+            F.expr("regr_slope(LN(l_quantity), LN(l_extendedprice))"), 6
+        ).alias("elasticity"),
+        F.round(F.expr("regr_r2(LN(l_quantity), LN(l_extendedprice))"), 6).alias(
+            "r2"
+        ),
+    )
+
+
+@query(
+    "user_event_streaks",
+    oracle="""
+    WITH sel AS (SELECT user_id, event_id, ts, event_type
+                 FROM events WHERE user_id % 19 = 0),
+    numbered AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+        FROM sel),
+    runs AS (
+        SELECT user_id, event_type, COUNT(*) AS run_len
+        FROM numbered GROUP BY user_id, event_type, grp)
+    SELECT user_id,
+           MAX(run_len) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           ROUND(AVG(run_len * 1.0), 4) AS mean_run_len
+    FROM runs GROUP BY user_id
+    """,
+)
+def user_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral streaks: each user's longest run of consecutive
+    same-type events plus run-count statistics — the engagement-pattern
+    feature (binge depth, habit strength) built on the same
+    gaps-and-islands difference-of-row_numbers as the SCD2 family, but
+    rolled up to run-length statistics instead of versions. One
+    shuffle on user_id end to end."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 19 == 0)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        e.select(
+            "user_id",
+            "event_type",
+            (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.round(F.avg(F.col("run_len") * 1.0), 4).alias("mean_run_len"),
+    )
