@@ -102,20 +102,30 @@ def global_cumulative_sums(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    partials = {
-        r["_pid"]: r
-        for r in d.groupBy("_pid")
-        .agg(*[F.sum(c).alias(c) for c in sum_cols])
-        .collect()
-    }
-    offsets, acc = [], {c: 0 for c in sum_cols}
+    from decimal import Decimal
+
+    partial_df = d.groupBy("_pid").agg(*[F.sum(c).alias(c) for c in sum_cols])
+    # offsets carry each summed column's OWN result type (long for ints,
+    # decimal for decimal sums, double for floats)
+    sum_types = dict(partial_df.dtypes)
+    partials = {r["_pid"]: r for r in partial_df.collect()}
+
+    def _zero(c: str):
+        t = sum_types[c]
+        if t.startswith("decimal"):
+            return Decimal(0)
+        return 0.0 if t == "double" else 0
+
+    offsets, acc = [], {c: _zero(c) for c in sum_cols}
     for pid in sorted(partials):
         offsets.append((pid, *[acc[c] for c in sum_cols]))
         for c in sum_cols:
-            acc[c] += partials[pid][c] or 0
-    schema = "_pid int, " + ", ".join(f"_off_{c} long" for c in sum_cols)
+            acc[c] += partials[pid][c] or _zero(c)
+    schema = "_pid int, " + ", ".join(
+        f"_off_{c} {sum_types[c]}" for c in sum_cols
+    )
     off = spark.createDataFrame(
-        offsets or [(0, *[0] * len(sum_cols))], schema
+        offsets or [(0, *[_zero(c) for c in sum_cols])], schema
     )
     w = (
         Window.partitionBy("_pid")

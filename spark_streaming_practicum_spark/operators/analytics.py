@@ -2471,3 +2471,134 @@ def user_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_runs"),
         F.round(F.avg(F.col("run_len") * 1.0), 4).alias("mean_run_len"),
     )
+
+
+@query(
+    "abc_classification_parts",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM(CAST(revenue AS DECIMAL(38,6))) AS t FROM rev),
+    ranked AS (
+        SELECT l_partkey, revenue,
+               SUM(CAST(revenue AS DECIMAL(38,6)))
+                   OVER (ORDER BY revenue DESC, l_partkey)
+                   / t.t AS cum_share
+        FROM rev, tot t),
+    classed AS (
+        SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                    WHEN cum_share <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               revenue
+        FROM ranked)
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(ROUND(SUM(CAST(revenue AS DECIMAL(38,6))), 2) AS DOUBLE)
+               AS class_revenue
+    FROM classed GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+)
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, classed A
+    (first 80% of cumulative revenue), B (to 95%), C (tail) — the
+    Pareto working-capital split every supply chain runs, and a direct
+    application of the distributed prefix scan (the cumulative share
+    must be a GLOBAL running sum over the revenue ordering — computed
+    with the two-pass range-partition scheme, not a single-partition
+    window; a collapsed sibling of revenue_gini_lorenz).
+
+    Revenue sums and the running total accumulate in DECIMAL, so class
+    boundaries are engine-exact; the output is the 3-row class
+    summary."""
+    from ..functions.ranks import global_cumulative_sums
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    ).withColumn("rev_dec", F.col("revenue").cast("decimal(38,6)"))
+    tot = rev.agg(F.sum("rev_dec").alias("t"))
+    cum = global_cumulative_sums(
+        rev, [F.col("revenue").desc(), F.col("l_partkey")], ["rev_dec"]
+    )
+    classed = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("cum_share", F.col("cum_rev_dec") / F.col("t"))
+        .select(
+            F.when(F.col("cum_share") <= 0.8, "A")
+            .when(F.col("cum_share") <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            "rev_dec",
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev_dec"), 2).cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@query(
+    "duplicate_payment_screen",
+    oracle="""
+    WITH pay AS (
+        SELECT user_id, event_id, ts, value
+        FROM events WHERE event_type = 'purchase'),
+    seq AS (
+        SELECT user_id, event_id, ts, value,
+               LAG(ts) OVER (PARTITION BY user_id, value
+                             ORDER BY ts, event_id) AS prev_ts,
+               LAG(event_id) OVER (PARTITION BY user_id, value
+                                   ORDER BY ts, event_id) AS prev_id
+        FROM pay)
+    SELECT user_id, prev_id AS first_event, event_id AS dup_event,
+           ROUND(value, 2) AS amount,
+           datediff('second', prev_ts, ts) AS gap_seconds
+    FROM seq
+    WHERE prev_ts IS NOT NULL
+      AND datediff('second', prev_ts, ts) <= 600
+    """,
+)
+def duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: purchases by the same user for the
+    SAME amount within 10 minutes — the double-charge / double-click
+    fraud-ops check. Consecutive-pair semantics via LAG over
+    (user, amount): a burst of k duplicates yields k-1 flagged pairs,
+    and the partitioning key makes unrelated amounts invisible to each
+    other — one shuffle on (user_id, value), no time-range self-join."""
+    pay = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id", "value").orderBy("ts", "event_id")
+    seq = pay.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lag("event_id").over(w).alias("prev_id"),
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+    return (
+        seq.filter(F.col("prev_ts").isNotNull() & (gap <= 600))
+        .select(
+            "user_id",
+            F.col("prev_id").alias("first_event"),
+            F.col("event_id").alias("dup_event"),
+            F.round("value", 2).alias("amount"),
+            gap.alias("gap_seconds"),
+        )
+    )
