@@ -2602,3 +2602,54 @@ def duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             gap.alias("gap_seconds"),
         )
     )
+
+
+@query(
+    "reorder_cycle_by_segment",
+    oracle="""
+    WITH seq AS (
+        SELECT c.c_mktsegment, o.o_custkey,
+               datediff('day',
+                        LAG(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                                 ORDER BY o.o_orderdate, o.o_orderkey),
+                        o.o_orderdate) AS gap_days
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT c_mktsegment,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_reorders,
+           ROUND(quantile_cont(gap_days, 0.5), 4) AS median_gap_days,
+           ROUND(AVG(gap_days), 4) AS mean_gap_days
+    FROM seq
+    WHERE gap_days IS NOT NULL
+    GROUP BY c_mktsegment
+    """,
+)
+def reorder_cycle_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repurchase cycle per market segment: the gap between each
+    customer's consecutive orders (LAG over the customer's order
+    sequence), rolled up to median/mean days — the replenishment-rhythm
+    metric behind inventory planning and churn-risk timing ('customer
+    is 2x their median gap overdue').
+
+    One shuffle on o_custkey for the sequence window; the segment
+    rollup rides the broadcast customer dim. Gap percentiles run per
+    segment on the reorder frame."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return seq.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_reorders"),
+        F.round(F.expr("percentile(gap_days, 0.5)"), 4).alias("median_gap_days"),
+        F.round(F.avg("gap_days"), 4).alias("mean_gap_days"),
+    )

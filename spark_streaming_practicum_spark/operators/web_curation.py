@@ -454,3 +454,44 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "vocab_hapax_rate",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS hapax_rate,
+           CAST(SUM(c) AS BIGINT) AS n_tokens
+    FROM wc GROUP BY source
+    """,
+)
+def vocab_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena rate per source: the share of vocabulary that
+    occurs exactly once — the corpus-health probe that reads opposite
+    to duplication (heavily templated/duplicated sources show LOW
+    hapax rates; scraped junk with OCR noise shows pathologically HIGH
+    ones). Complements the growth (vocab_growth_heaps) and spectrum
+    (token_zipf_fit) views with a single-number screen.
+
+    One (source, word) count + one per-source rollup — the same
+    two-level aggregation shape as the Gopher gates, keyed to stay
+    linear in corpus tokens."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+    )
+    wc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return wc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        hapax.cast("long").alias("n_hapax"),
+        F.round(hapax * 1.0 / F.count(F.lit(1)), 6).alias("hapax_rate"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
