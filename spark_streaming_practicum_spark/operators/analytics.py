@@ -2653,3 +2653,76 @@ def reorder_cycle_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_days, 0.5)"), 4).alias("median_gap_days"),
         F.round(F.avg("gap_days"), 4).alias("mean_gap_days"),
     )
+
+
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(38,6))) AS r
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey),
+    tot AS (
+        SELECT s_nationkey, SUM(r) AS t, COUNT(*) AS n_suppliers
+        FROM rev GROUP BY s_nationkey)
+    SELECT n.n_name AS nation,
+           CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+           ROUND(SUM(POWER(CAST(r.r AS DOUBLE) / CAST(t.t AS DOUBLE), 2)) * 10000, 2)
+               AS hhi,
+           SUM(POWER(CAST(r.r AS DOUBLE) / CAST(t.t AS DOUBLE), 2)) * 10000 > 2500
+               AS concentrated
+    FROM rev r
+    JOIN tot t USING (s_nationkey)
+    JOIN nation n ON r.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name, t.n_suppliers
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supply concentration per nation: the sum of
+    squared supplier revenue shares (x10000, the antitrust scale; >2500
+    = highly concentrated) — the supply-risk reading that complements
+    the distributional view (revenue_gini_lorenz) with the regulator's
+    single number.
+
+    Two keyed aggregations (supplier rollup -> nation totals) and a
+    broadcast of the per-nation totals; revenue accumulates in DECIMAL
+    so shares are exact before the squared-sum collapses to
+    |nations| rows."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("r")
+        )
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("r").alias("t"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share = F.col("r").cast("double") / F.col("t").cast("double")
+    hhi = F.sum(F.pow(share, 2)) * 10000
+    return (
+        rev.join(F.broadcast(tot), "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "n_suppliers")
+        .agg(
+            F.round(hhi, 2).alias("hhi"),
+            (hhi > 2500).alias("concentrated"),
+        )
+        .select(
+            "nation",
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+            "hhi",
+            "concentrated",
+        )
+    )

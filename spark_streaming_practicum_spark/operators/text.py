@@ -672,3 +672,37 @@ def text_distinct_ngram_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("uniq1") * 1.0 / F.col("total1"), 6).alias("distinct_1"),
         F.round(F.col("uniq2") * 1.0 / F.col("total2"), 6).alias("distinct_2"),
     )
+
+
+@query(
+    "text_numeric_density",
+    oracle="""
+    SELECT doc_id, lang,
+           LENGTH(text) AS n_chars,
+           LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+           ROUND(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                 / LENGTH(text), 6) AS digit_density,
+           LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+               / LENGTH(text) <= 0.3 AS passes_density_gate
+    FROM documents
+    WHERE LENGTH(text) > 0
+    """,
+)
+def text_numeric_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit-density gate: the share of characters that are digits —
+    high values flag tables, logs, serial dumps and price lists that
+    pollute prose corpora (a standard C4/Gopher-family heuristic the
+    word-stat gates don't capture, since digit runs often tokenize as
+    'words'). Pure per-row regex arithmetic, map-side only; gate at
+    30% like the published pipelines."""
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_digits = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    density = n_digits * 1.0 / F.length("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        n_digits.alias("n_digits"),
+        F.round(density, 6).alias("digit_density"),
+        (density <= 0.3).alias("passes_density_gate"),
+    )
