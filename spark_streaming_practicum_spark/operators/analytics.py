@@ -2726,3 +2726,44 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "concentrated",
         )
     )
+
+
+@query(
+    "revenue_wow_growth",
+    oracle="""
+    WITH weekly AS (
+        SELECT date_trunc('week', o_orderdate) AS week,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY 1)
+    SELECT week, ROUND(revenue, 2) AS revenue,
+           ROUND(LAG(revenue) OVER (ORDER BY week), 2) AS prev_revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY week))
+                 / LAG(revenue) OVER (ORDER BY week), 6) AS wow_growth
+    FROM weekly
+    ORDER BY week
+    """,
+)
+def revenue_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth: the reporting staple, computed
+    the scale-correct way — the fact table collapses to the weekly
+    frame FIRST (one hash aggregate, DECIMAL-accumulated), and the LAG
+    window runs on that calendar-bounded frame, never the raw orders.
+    Same discipline as every ts_* operator: window cardinality is
+    weeks, not rows."""
+    o = table(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_trunc("week", "o_orderdate").alias("week")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(prev, 2).alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("wow_growth"),
+    ).orderBy("week")
