@@ -2753,7 +2753,7 @@ def revenue_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     weeks, not rows."""
     o = table(spark, sf_dir, "orders")
     weekly = o.groupBy(
-        F.date_trunc("week", "o_orderdate").alias("week")
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week")
     ).agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
         .cast("double")
