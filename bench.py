@@ -1,22 +1,40 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-    {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+Output contract (round 3 — driver-parseable):
+  * The full per-query timing map is written to ``BENCH_DETAIL.json``
+    (and printed on its own stdout line, before the final line, so the
+    data survives even if the file is not collected).
+  * The LAST stdout line is a compact JSON object small enough to always
+    survive the driver's bounded tail capture:
+        {"metric": ..., "value": <total_sec>, "unit": "sec",
+         "n_queries": N, "sf": <sf>}
+    Round 2 emitted everything on one ~2.5 KB line and the driver's tail
+    window truncated its head, producing ``"parsed": null`` — hence the
+    split.
+
+Regression memory: ``python bench.py --compare bench_history/BENCH_DETAIL_r02.json``
+diffs a fresh BENCH_DETAIL.json against a previous round's map and
+exits non-zero if any shared query regressed more than COMPARE_RATIO
+(default 1.5x) AND by more than COMPARE_ABS_FLOOR seconds (sub-100 ms
+queries flap on a shared host; absolute floor keeps noise out).
 
 Each query is materialized with the noop sink (full execution, no
-driver-side collect cost) except LIMIT queries, which are collected.
+driver-side collect cost).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from spark_streaming_practicum_spark.registry import all_queries
 from spark_streaming_practicum_spark.session import build_session
+
+COMPARE_RATIO = 1.5
+COMPARE_ABS_FLOOR = 0.3  # seconds; below this, ratio flaps are host noise
 
 HEADLINE = [
     # relational core
@@ -115,10 +133,32 @@ HEADLINE = [
 ]
 
 
+def compare(current_path: str, prev_path: str) -> int:
+    """Diff two BENCH_DETAIL maps; return nonzero on real regressions."""
+    with open(current_path) as f:
+        cur = json.load(f)["queries"]
+    with open(prev_path) as f:
+        prev = json.load(f)["queries"]
+    regressions = []
+    for name, prev_t in sorted(prev.items()):
+        cur_t = cur.get(name)
+        if cur_t is None:
+            continue
+        if cur_t > prev_t * COMPARE_RATIO and cur_t - prev_t > COMPARE_ABS_FLOOR:
+            regressions.append((name, prev_t, cur_t))
+    shared = len(set(cur) & set(prev))
+    print(f"compared {shared} shared queries vs {prev_path}")
+    for name, prev_t, cur_t in regressions:
+        print(f"REGRESSION {name}: {prev_t:.3f}s -> {cur_t:.3f}s ({cur_t / prev_t:.2f}x)")
+    if not regressions:
+        print("no per-query regressions > %.1fx (+%.1fs floor)" % (COMPARE_RATIO, COMPARE_ABS_FLOOR))
+    return 1 if regressions else 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Local mode: driver == executor; cached intermediates from 25
+    # Local mode: driver == executor; cached intermediates from 80+
     # queries would otherwise thrash an 8g storage pool.
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = build_session(app_name="ssp-bench")
@@ -127,14 +167,25 @@ def main() -> None:
     # Warm up the JVM, whole-stage-codegen compilation and parquet reader
     # paths by running every headline plan once at the smallest scale
     # factor — measured times then reflect steady-state execution.
+    # A warmup failure means the headline query itself is broken: fail
+    # loudly and name it (round-2 verdict: silent `pass` hid breakage).
     warm_dir = "/root/testdata/sf0.001"
+    warm_failures: list[tuple[str, str]] = []
     for name in HEADLINE:
+        if name not in defs:
+            warm_failures.append((name, "not in registry"))
+            continue
         try:
             df = defs[name].fn(spark, warm_dir)
             if not df.isStreaming:
                 df.write.mode("overwrite").format("noop").save()
-        except Exception:
-            pass
+        except Exception as exc:  # noqa: BLE001 — reported and fatal below
+            warm_failures.append((name, f"{type(exc).__name__}: {exc}"))
+    if warm_failures:
+        for name, err in warm_failures:
+            print(f"WARMUP FAILED {name}: {err[:300]}", file=sys.stderr)
+        spark.stop()
+        sys.exit(2)
     # Warmup caches must not occupy (and thrash) storage memory during
     # the measured runs.
     spark.catalog.clearCache()
@@ -153,8 +204,6 @@ def main() -> None:
     # stable estimator of actual plan cost under background load.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        if name not in defs:  # defensive: registry drift must not kill the bench
-            continue
         timings[name] = round(min(run_once(name), run_once(name)), 3)
         # Isolate queries: run 2 of a query may reuse run 1's persisted
         # subtrees (that reuse is part of the operator's own design), but
@@ -163,14 +212,28 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "headline query wall time (noop-materialized)",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": float(sf),
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # Per-query map on its own EARLY stdout line (survives even when only
+    # the file is lost); the FINAL line is compact so the driver's
+    # bounded tail capture always parses it.
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
-                "metric": "headline query wall time, sum over "
-                f"{len(HEADLINE)} queries (noop-materialized)",
+                "metric": f"headline query wall time, sum over {len(timings)} queries",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
                 "sf": float(sf),
             }
         )
@@ -179,4 +242,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--compare":
+        detail = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        sys.exit(compare(detail, sys.argv[2]))
     main()

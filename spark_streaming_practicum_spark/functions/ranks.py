@@ -26,6 +26,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Persisted intermediates must outlive the helper call (the returned
+# plan reads them when the CALLER materializes it), so they cannot be
+# unpersisted before returning. Instead cleanup is centralized here: a
+# bounded FIFO of live persisted frames. Each new helper invocation
+# evicts the oldest entries beyond the cap, so a 350+-query sweep
+# accumulates at most _MAX_LIVE cached frames instead of hundreds.
+# The cap is generous vs. the heaviest composite caller
+# (rfm_customer_segments persists four frames per invocation), so a
+# query's own frames are never evicted before its output materializes —
+# and even if they were, the plan recomputes, losing only speed.
+_live_persisted: list[DataFrame] = []
+_MAX_LIVE = 8
+
+
+def _track_persisted(df: DataFrame) -> DataFrame:
+    _live_persisted.append(df)
+    while len(_live_persisted) > _MAX_LIVE:
+        _live_persisted.pop(0).unpersist(blocking=False)
+    return df
+
+
+def release_persisted_frames() -> None:
+    """Drop every helper-persisted frame (test/bench teardown hook)."""
+    while _live_persisted:
+        _live_persisted.pop().unpersist(blocking=False)
+
 
 def global_row_number(
     df: DataFrame,
@@ -43,7 +69,7 @@ def global_row_number(
     """
     spark = df.sparkSession
     P = partitions or spark.sparkContext.defaultParallelism
-    d = (
+    d = _track_persisted(
         df.repartitionByRange(P, *order_exprs)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
@@ -97,7 +123,7 @@ def global_cumulative_sums(
     ``cum_<col>``."""
     spark = df.sparkSession
     P = partitions or spark.sparkContext.defaultParallelism
-    d = (
+    d = _track_persisted(
         df.repartitionByRange(P, *order_exprs)
         .withColumn("_pid", F.spark_partition_id())
         .persist()

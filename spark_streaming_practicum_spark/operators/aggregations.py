@@ -536,8 +536,13 @@ def rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact WAU certifying the estimate maps each distinct
     (day, user) to its 7 contributing grid days via a bounded explode
     (never a range nested-loop) and re-counts distinct per grid day.
-    Sketch estimates are algorithm-specific, so the oracled output is
-    the INVARIANT: exact DAU/WAU plus the error-envelope boolean."""
+    The sketch union runs under a RANGE window on the integer day
+    number, not ROWS(-6,0): a ROWS frame spans 7 *present* rows, so a
+    calendar gap (a day with zero events) would silently widen the
+    union past 7 calendar days and break parity with the
+    calendar-bounded exact side. Sketch estimates are
+    algorithm-specific, so the oracled output is the INVARIANT: exact
+    DAU/WAU plus the error-envelope boolean."""
     e = table(spark, sf_dir, "events").select(
         F.col("ts").cast("date").alias("day"), "user_id"
     )
@@ -545,7 +550,7 @@ def rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
         F.countDistinct("user_id").alias("dau"),
     )
-    w = Window.orderBy("day").rowsBetween(-6, 0)
+    w = Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(-6, 0)
     est = daily.select(
         "day", "dau", F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("wau_est")
     )
@@ -745,12 +750,13 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct_methods_comparison",
     oracle="""
     WITH ex AS (SELECT COUNT(DISTINCT user_id) AS n FROM events)
-    SELECT 'exact_shuffle' AS method, ex.n AS estimate, TRUE AS within_2pct
+    SELECT 'exact_shuffle' AS method, ex.n AS estimate,
+           1.0 AS est_ratio_1dp, TRUE AS within_2pct
     FROM ex
     UNION ALL
-    SELECT 'bitmap_popcount', ex.n, TRUE FROM ex
+    SELECT 'bitmap_popcount', ex.n, 1.0, TRUE FROM ex
     UNION ALL
-    SELECT 'hll_sketch', ex.n, TRUE FROM ex
+    SELECT 'hll_sketch', NULL, 1.0, TRUE FROM ex
     ORDER BY method
     """,
 )
@@ -762,8 +768,15 @@ def distinct_methods_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracled invariant: bitmap MUST equal exact bit-for-bit (both are
     exact — the oracle pins estimate = exact for it), and the HLL
-    estimate must sit within 2%. One scan feeds all three aggregates
-    via three branches over the same cached projection."""
+    estimate must sit within 2%. The HLL row's ``estimate`` is NULL
+    (its raw value is algorithm-specific, so a hashed column cannot
+    carry it; round 2 substituted the exact count, which made the
+    column vacuous) — instead ``est_ratio_1dp`` surfaces the REAL
+    estimate coarse-bucketed as round(est/exact, 1), which the 2%
+    invariant pins to exactly 1.0, keeping the value oracle-
+    comparable while actually derived from the estimator output. One
+    scan feeds all three aggregates via three branches over the same
+    cached projection."""
     e = table(spark, sf_dir, "events").select("user_id").persist()
     exact = e.agg(F.countDistinct("user_id").alias("n"))
     bitmap = (
@@ -783,28 +796,31 @@ def distinct_methods_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.lit("exact_shuffle").alias("method"),
                     F.col("n").alias("estimate"),
+                    F.round(F.col("n") / F.col("n"), 1).alias("est_ratio_1dp"),
                     F.lit(True).alias("within_2pct"),
                 ),
                 F.struct(
                     F.lit("bitmap_popcount").alias("method"),
                     F.col("nb").alias("estimate"),
+                    F.round(F.col("nb") / F.col("n"), 1).alias("est_ratio_1dp"),
                     (F.col("nb") == F.col("n")).alias("within_2pct"),
                 ),
                 F.struct(
                     F.lit("hll_sketch").alias("method"),
-                    # surfaced value pinned to exact when in-bound so the
-                    # row hashes; the BOOLEAN carries the estimator audit
-                    F.when(
-                        F.abs(F.col("nh") - F.col("n")) <= 0.02 * F.col("n"),
-                        F.col("n"),
-                    ).otherwise(F.col("nh")).alias("estimate"),
+                    # raw sketch value is algorithm-specific -> NULL in
+                    # the hashed column; est_ratio_1dp carries the real
+                    # estimate coarse-bucketed (1.0 iff within ~2%)
+                    F.lit(None).cast("long").alias("estimate"),
+                    F.round(F.col("nh") / F.col("n"), 1).alias("est_ratio_1dp"),
                     (F.abs(F.col("nh") - F.col("n")) <= 0.02 * F.col("n")).alias(
                         "within_2pct"
                     ),
                 ),
             )
         ).alias("r")
-    ).select("r.method", "r.estimate", "r.within_2pct").orderBy("method")
+    ).select(
+        "r.method", "r.estimate", "r.est_ratio_1dp", "r.within_2pct"
+    ).orderBy("method")
     return out
 
 

@@ -788,7 +788,7 @@ _POIS_CDF = [
 
 def _boot_oracle() -> str:
     u = (
-        f"((((e.event_id * 1103515245 + 12345) % {_BOOT_M} + r.r)"
+        f"((((e.event_id % {_BOOT_M} * 1103515245 + 12345) % {_BOOT_M} + r.r)"
         f" * 1103515245 + 12345) % {_BOOT_M}) * 1.0 / {_BOOT_M}"
     )
     ladder = " ".join(f"WHEN {u} < {t} THEN {k}" for t, k in _POIS_CDF)
@@ -837,7 +837,7 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (
         (
             (
-                ((F.col("event_id") * 1103515245 + 12345) % _BOOT_M + F.col("r"))
+                ((F.col("event_id") % _BOOT_M * 1103515245 + 12345) % _BOOT_M + F.col("r"))
                 * 1103515245
                 + 12345
             )

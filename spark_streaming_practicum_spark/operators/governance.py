@@ -914,7 +914,7 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH holed AS (
         SELECT event_id, event_type,
-               CASE WHEN (event_id * 2654435761) % 20 = 0 THEN NULL
+               CASE WHEN ((event_id % 1000003) * 2654435761) % 20 = 0 THEN NULL
                     ELSE value END AS v
         FROM events),
     med AS (
@@ -945,7 +945,7 @@ def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
-        F.when((F.col("event_id") * 2654435761) % 20 == 0, None)
+        F.when(((F.col("event_id") % 1000003) * 2654435761) % 20 == 0, None)
         .otherwise(F.col("value"))
         .alias("v"),
     )

@@ -1412,7 +1412,7 @@ _RS_EPS = 5000.0  # inlier band on the price residual
     oracle=f"""
     WITH pts AS (
         SELECT l_quantity AS x, l_extendedprice AS y,
-               (l_orderkey * 2654435761 + l_linenumber) % 1000003 AS pri,
+               ((l_orderkey % 1000003) * 2654435761 + l_linenumber) % 1000003 AS pri,
                l_orderkey, l_linenumber
         FROM lineitem),
     sampled AS (
@@ -1460,7 +1460,7 @@ def ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").alias("x"),
         F.col("l_extendedprice").alias("y"),
-        ((F.col("l_orderkey") * 2654435761 + F.col("l_linenumber")) % 1000003).alias(
+        (((F.col("l_orderkey") % 1000003) * 2654435761 + F.col("l_linenumber")) % 1000003).alias(
             "pri"
         ),
         "l_orderkey",

@@ -375,7 +375,7 @@ def sparse_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH vecs AS (
         SELECT vec_id, label,
-               CAST((vec_id * 2654435761) % 1000003 % 16 AS BIGINT) AS blk,
+               CAST(((vec_id % 1000003) * 2654435761) % 1000003 % 16 AS BIGINT) AS blk,
                CAST(embedding AS DOUBLE[]) AS e
         FROM embeddings),
     pos AS (
@@ -431,7 +431,7 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
-        ((F.col("vec_id") * 2654435761) % 1000003 % 16).alias("blk"),
+        (((F.col("vec_id") % 1000003) * 2654435761) % 1000003 % 16).alias("blk"),
         F.col("embedding").cast("array<double>").alias("emb"),
     )
 

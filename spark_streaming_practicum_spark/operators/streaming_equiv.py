@@ -318,7 +318,15 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(180)
+        # availableNow terminates on its own once the batch drains; a
+        # False return means the 180 s budget elapsed first and the
+        # memory sink holds PARTIAL counts — fail loudly rather than
+        # return a silently wrong result (round-2 advice).
+        if not q.awaitTermination(180):
+            raise TimeoutError(
+                "stream_update_mode_counts: availableNow batch did not "
+                "drain within 180s; refusing to return partial counts"
+            )
     finally:
         q.stop()
     # last update per key wins (single batch -> one row per key already)

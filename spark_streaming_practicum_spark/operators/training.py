@@ -339,7 +339,7 @@ _WRS_K = 25
     oracle=f"""
     WITH pri AS (
         SELECT doc_id, source, n_chars,
-               POWER(((doc_id * {_WRS_A} + 12345) % {_WRS_M}) / {_WRS_M}.0,
+               POWER((((doc_id % {_WRS_M}) * {_WRS_A} + 12345) % {_WRS_M}) / {_WRS_M}.0,
                      1.0 / n_chars) AS priority
         FROM documents)
     SELECT doc_id, source, n_chars, ROUND(priority, 9) AS priority
@@ -363,7 +363,7 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable — the property the oracle check depends on, and the
     property that makes reruns of a 100 TB sampling job reproducible."""
     d = table(spark, sf_dir, "documents")
-    u = ((F.col("doc_id") * _WRS_A + 12345) % _WRS_M) / float(_WRS_M)
+    u = (((F.col("doc_id") % _WRS_M) * _WRS_A + 12345) % _WRS_M) / float(_WRS_M)
     pri = d.select(
         "doc_id",
         "source",
@@ -381,7 +381,7 @@ _RV_SHARDS = 8
     oracle=f"""
     WITH cand AS (
         SELECT d.doc_id, s.shard,
-               (d.doc_id * 2654435761 + s.shard * 40503) % 999983 AS score
+               ((d.doc_id % 1000003) * 2654435761 + s.shard * 40503) % 999983 AS score
         FROM documents d
         CROSS JOIN (SELECT unnest(generate_series(0, {_RV_SHARDS - 1})) AS shard) s),
     best AS (
@@ -410,7 +410,7 @@ def rendezvous_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a final roll-up on the 8-row shard key."""
     d = table(spark, sf_dir, "documents").select("doc_id")
     shards = spark.range(_RV_SHARDS).select(F.col("id").cast("int").alias("shard"))
-    score = (F.col("doc_id") * 2654435761 + F.col("shard") * 40503) % 999983
+    score = ((F.col("doc_id") % 1000003) * 2654435761 + F.col("shard") * 40503) % 999983
     best = (
         d.crossJoin(F.broadcast(shards))
         .select("doc_id", "shard", score.alias("score"))
@@ -806,7 +806,7 @@ _RSV_K = 10
     oracle=f"""
     WITH pri AS (
         SELECT event_id, event_type,
-               (event_id * {_RSV_A} + 99991) % {_RSV_M} AS priority
+               ((event_id % {_RSV_M}) * {_RSV_A} + 99991) % {_RSV_M} AS priority
         FROM events)
     SELECT event_id, event_type, priority FROM (
         SELECT event_id, event_type, priority,
@@ -831,7 +831,7 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
-        ((F.col("event_id") * _RSV_A + 99991) % _RSV_M).alias("priority"),
+        (((F.col("event_id") % _RSV_M) * _RSV_A + 99991) % _RSV_M).alias("priority"),
     )
     w = Window.partitionBy("event_type").orderBy(
         F.col("priority").asc(), F.col("event_id").asc()
@@ -909,7 +909,7 @@ def fim_psm_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sel),
     tagged AS (
         SELECT doc_id, pos, t, pos // 3 AS g,
-               ((doc_id * 2654435761 + (pos // 3) * 40503) % 100) < 15 AS masked
+               (((doc_id % 1000003) * 2654435761 + (pos // 3) * 40503) % 100) < 15 AS masked
         FROM tok),
     spans AS (
         SELECT doc_id, g, MIN(pos) AS p0,
@@ -961,7 +961,7 @@ def t5_span_corruption_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         F.floor(F.col("pos") / 3).alias("g"),
         (
-            ((F.col("doc_id") * 2654435761 + F.floor(F.col("pos") / 3) * 40503) % 100)
+            (((F.col("doc_id") % 1000003) * 2654435761 + F.floor(F.col("pos") / 3) * 40503) % 100)
             < 15
         ).alias("masked"),
     ).persist()

@@ -40,7 +40,7 @@ from ..registry import query
 
 # Knuth multiplicative-hash constants: portable integer arithmetic that
 # both engines evaluate identically (unlike xxhash64, which DuckDB lacks).
-_PRIORITY_SQL = "(doc_id * 2654435761) % 1000003"
+_PRIORITY_SQL = "((doc_id % 1000003) * 2654435761) % 1000003"
 _QUOTA = 10
 
 
