@@ -130,6 +130,13 @@ HEADLINE = [
     "lm_kneser_ney_bigrams",
     "linkage_fellegi_sunter_em",
     "rm3_query_expansion",
+    # round-3 additions: new plan topologies stay visible to regressions
+    "xicor_correlation",
+    "bradley_terry_one_step",
+    "ngram_draft_acceptance_rate",
+    "intra_doc_segment_dedup",
+    "grpo_group_advantage",
+    "benjamini_hochberg_fdr",
 ]
 
 

@@ -2767,3 +2767,464 @@ def revenue_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prev, 2).alias("prev_revenue"),
         F.round((F.col("revenue") - prev) / prev, 6).alias("wow_growth"),
     ).orderBy("week")
+
+
+@query(
+    "xicor_correlation",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag AS grp, l_quantity AS x, l_extendedprice AS y,
+               l_orderkey, l_linenumber
+        FROM lineitem),
+    sized AS (SELECT grp, COUNT(*) AS n FROM base GROUP BY grp),
+    ranked AS (
+        SELECT b.grp, b.x, b.y, b.l_orderkey, b.l_linenumber, s.n,
+               COUNT(*) OVER (PARTITION BY b.grp ORDER BY b.y
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS r,
+               COUNT(*) OVER (PARTITION BY b.grp ORDER BY b.y DESC
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS l
+        FROM base b JOIN sized s USING (grp)),
+    seq AS (
+        SELECT grp, n, r, l,
+               LEAD(r) OVER (PARTITION BY grp
+                             ORDER BY x, l_orderkey, l_linenumber, y) AS r_next
+        FROM ranked)
+    SELECT grp AS l_returnflag, MAX(n) AS n,
+           ROUND(1.0 - (MAX(n) * SUM(CASE WHEN r_next IS NULL THEN 0
+                                          ELSE ABS(r_next - r) END))
+                       * 1.0 / (2.0 * SUM(l * (n - l))), 6) AS xi
+    FROM seq GROUP BY grp ORDER BY l_returnflag
+    """,
+)
+def xicor_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's xi coefficient (xicor, JASA 2021) of
+    quantity -> extendedprice per return flag — the rank correlation
+    that detects ARBITRARY functional dependence (monotone or not),
+    unlike Spearman/Pearson. Tie-robust form:
+    xi = 1 - n*SUM|r_{i+1}-r_i| / (2*SUM l_i(n-l_i)), rows ordered by
+    x with a deterministic (orderkey, linenumber, y) tie-break so both
+    engines walk the identical sequence (Chatterjee randomizes x-ties;
+    a fixed tie-break keeps the estimator within the same guarantees
+    and makes it reproducible — y closes the order because the
+    synthetic lineitem duplicates (orderkey, linenumber) keys, and
+    rows tied on all four columns share the same rank r, making the
+    sum permutation-invariant).
+
+    Every term is INTEGER arithmetic over ranks (r_i = #{y_j <= y_i},
+    l_i = #{y_j >= y_i} — both RANGE-frame counts), so the result is
+    exact; only the final ratio is floating. Windows partition on the
+    group key — parallelism is #groups, state per partition is the
+    group's rows, and there is no global single-partition window."""
+    base = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    n_w = Window.partitionBy("grp")
+    r_w = (
+        Window.partitionBy("grp")
+        .orderBy("y")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    l_w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("y").desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq_w = Window.partitionBy("grp").orderBy("x", "l_orderkey", "l_linenumber", "y")
+    ranked = base.select(
+        "grp",
+        "x",
+        "y",
+        "l_orderkey",
+        "l_linenumber",
+        F.count(F.lit(1)).over(n_w).alias("n"),
+        F.count(F.lit(1)).over(r_w).alias("r"),
+        F.count(F.lit(1)).over(l_w).alias("l"),
+    ).withColumn("r_next", F.lead("r").over(seq_w))
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(
+                F.when(F.col("r_next").isNull(), 0).otherwise(
+                    F.abs(F.col("r_next") - F.col("r"))
+                )
+            ).alias("sd"),
+            F.sum(F.col("l") * (F.col("n") - F.col("l"))).alias("den"),
+        )
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            "n",
+            F.round(
+                1.0 - (F.col("n") * F.col("sd")) / (2.0 * F.col("den")), 6
+            ).alias("xi"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "mann_kendall_trend",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6))
+                   AS rev
+        FROM orders GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM monthly),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                             WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM monthly a JOIN monthly b ON a.m < b.m)
+    SELECT n.n AS n_periods, s.s AS s_stat,
+           CAST(n.n * (n.n - 1) * (2 * n.n + 5) AS BIGINT) / 18.0 AS var_s,
+           ROUND((s.s - CASE WHEN s.s > 0 THEN 1 WHEN s.s < 0 THEN -1 ELSE 0 END)
+                 / SQRT(n.n * (n.n - 1) * (2 * n.n + 5) / 18.0), 6) AS z,
+           CASE WHEN ABS((s.s - CASE WHEN s.s > 0 THEN 1 WHEN s.s < 0 THEN -1
+                                     ELSE 0 END)
+                         / SQRT(n.n * (n.n - 1) * (2 * n.n + 5) / 18.0)) > 1.96
+                THEN CASE WHEN s.s > 0 THEN 'increasing' ELSE 'decreasing' END
+                ELSE 'no_trend' END AS verdict
+    FROM n, s
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on the monthly revenue series:
+    S = sum over period pairs of sign(rev_j - rev_i), normal
+    approximation z = (S - sign(S)) / sqrt(n(n-1)(2n+5)/18), verdict at
+    the 5% two-sided level. The non-parametric standard for 'is this
+    KPI actually drifting' — no linearity or distribution assumption
+    (complements ts_theil_sen_trend, which estimates the slope MK
+    tests).
+
+    Scale shape: the raw table reduces to one row per month FIRST
+    (decimal-exact revenue so both engines compare identical values);
+    the pairwise sign sum is a self-join of that bounded period frame
+    (~n^2/2 pairs for n months — thousands, not billions — and
+    driver-free). Tie correction is omitted: revenues are continuous
+    sums, exact ties across months are measure-zero, and sign() already
+    scores them 0."""
+    monthly = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias("rev")
+        )
+    )
+    a = monthly.select(F.col("m").alias("ma"), F.col("rev").alias("ra"))
+    b = monthly.select(F.col("m").alias("mb"), F.col("rev").alias("rb"))
+    s = (
+        a.join(F.broadcast(b), F.col("ma") < F.col("mb"))
+        .agg(
+            F.sum(
+                F.when(F.col("rb") > F.col("ra"), 1)
+                .when(F.col("rb") < F.col("ra"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    n = monthly.agg(F.count(F.lit(1)).alias("n"))
+    j = n.crossJoin(F.broadcast(s))
+    var_s = (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)).cast(
+        "bigint"
+    ) / F.lit(18.0)
+    sgn = (
+        F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    )
+    z = (F.col("s") - sgn) / F.sqrt(
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18.0
+    )
+    return j.select(
+        F.col("n").alias("n_periods"),
+        F.col("s").alias("s_stat"),
+        var_s.alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.when(
+            F.abs(z) > 1.96,
+            F.when(F.col("s") > 0, "increasing").otherwise("decreasing"),
+        )
+        .otherwise("no_trend")
+        .alias("verdict"),
+    )
+
+
+_CRAMER_PAIRS_SQL = """
+        SELECT 'orders:status_x_priority' AS pair,
+               o_orderstatus AS a, o_orderpriority AS b FROM orders
+        UNION ALL
+        SELECT 'lineitem:returnflag_x_linestatus',
+               l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+@query(
+    "cramers_v_matrix",
+    oracle=f"""
+    WITH obs AS (
+        SELECT pair, a, b, COUNT(*) AS o
+        FROM ({_CRAMER_PAIRS_SQL}) GROUP BY pair, a, b),
+    tot AS (SELECT pair, SUM(o) AS n,
+                   COUNT(DISTINCT a) AS ra, COUNT(DISTINCT b) AS cb
+            FROM obs GROUP BY pair),
+    rt AS (SELECT pair, a, SUM(o) AS rt FROM obs GROUP BY pair, a),
+    ct AS (SELECT pair, b, SUM(o) AS ct FROM obs GROUP BY pair, b),
+    cells AS (
+        SELECT obs.pair,
+               CAST(POWER(obs.o - rt.rt * ct.ct * 1.0 / tot.n, 2)
+                    / (rt.rt * ct.ct * 1.0 / tot.n) AS DECIMAL(38,12)) AS term
+        FROM obs JOIN rt USING (pair, a) JOIN ct USING (pair, b)
+        JOIN tot USING (pair)),
+    chi AS (SELECT pair, CAST(SUM(term) AS DOUBLE) AS chi2
+            FROM cells GROUP BY pair)
+    SELECT chi.pair, CAST(tot.n AS BIGINT) AS n, ROUND(chi.chi2, 6) AS chi2,
+           ROUND(SQRT(chi.chi2 / (tot.n * (LEAST(tot.ra, tot.cb) - 1))), 6)
+               AS cramers_v
+    FROM chi JOIN tot USING (pair) ORDER BY pair
+    """,
+)
+def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength for categorical column pairs —
+    the [0,1]-normalized chi-square that answers 'how strongly do these
+    two dimensions co-vary' across tables in one pass (here
+    orders.status x priority and lineitem.returnflag x linestatus, the
+    profiling sweep a data catalog runs over every categorical pair).
+
+    Each pair reduces to its contingency table first (counts only —
+    one shuffle per table keyed on the pair's values); chi2 terms are
+    computed identically per CELL in both engines and summed in
+    DECIMAL so the <=15-cell addition is order-independent. V =
+    sqrt(chi2 / (n * (min(r,c) - 1)))."""
+    o = table(spark, sf_dir, "orders").select(
+        F.lit("orders:status_x_priority").alias("pair"),
+        F.col("o_orderstatus").alias("a"),
+        F.col("o_orderpriority").alias("b"),
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem:returnflag_x_linestatus").alias("pair"),
+        F.col("l_returnflag").alias("a"),
+        F.col("l_linestatus").alias("b"),
+    )
+    obs = o.unionAll(li).groupBy("pair", "a", "b").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    tot = obs.groupBy("pair").agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("a").alias("ra"),
+        F.countDistinct("b").alias("cb"),
+    )
+    rt = obs.groupBy("pair", "a").agg(F.sum("o").alias("rt"))
+    ct = obs.groupBy("pair", "b").agg(F.sum("o").alias("ct"))
+    e = F.col("rt") * F.col("ct") * F.lit(1.0) / F.col("n")
+    cells = (
+        obs.join(rt, ["pair", "a"])
+        .join(ct, ["pair", "b"])
+        .join(F.broadcast(tot), "pair")
+        .select(
+            "pair",
+            F.pow(F.col("o") - e, 2).__div__(e).cast("decimal(38,12)").alias("term"),
+        )
+    )
+    chi = cells.groupBy("pair").agg(F.sum("term").cast("double").alias("chi2"))
+    return (
+        chi.join(F.broadcast(tot), "pair")
+        .select(
+            "pair",
+            "n",
+            F.round("chi2", 6).alias("chi2"),
+            F.round(
+                F.sqrt(F.col("chi2") / (F.col("n") * (F.least("ra", "cb") - 1))), 6
+            ).alias("cramers_v"),
+        )
+        .orderBy("pair")
+    )
+
+
+@query(
+    "benjamini_hochberg_fdr",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS ng,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sg
+        FROM orders GROUP BY 1, 2),
+    allrows AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(o_totalprice * o_totalprice
+                             AS DECIMAL(38,6))) AS DOUBLE) AS ss
+        FROM orders),
+    z AS (
+        SELECT g.o_orderpriority, g.o_orderstatus, g.ng,
+               POWER(g.sg / g.ng - allrows.s / allrows.n, 2)
+               / ((allrows.ss / allrows.n - POWER(allrows.s / allrows.n, 2))
+                  / g.ng) AS z2
+        FROM g, allrows),
+    p AS (
+        SELECT *, LEAST(1.0, 1.0 / z2) AS pval,
+               COUNT(*) OVER () AS m,
+               ROW_NUMBER() OVER (ORDER BY LEAST(1.0, 1.0 / z2) ASC,
+                                  o_orderpriority ASC, o_orderstatus ASC)
+                   AS rk
+        FROM z),
+    cut AS (
+        SELECT COALESCE(MAX(CASE WHEN pval <= rk * 0.10 / m THEN rk END), 0)
+                   AS k
+        FROM p)
+    SELECT p.o_orderpriority, p.o_orderstatus, p.ng AS n,
+           ROUND(p.z2, 6) AS z2, ROUND(p.pval, 6) AS p_chebyshev,
+           CAST(p.rk AS BIGINT) AS bh_rank, p.rk <= cut.k AS discovered
+    FROM p, cut
+    ORDER BY bh_rank
+    """,
+)
+def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the m = |priority x status|
+    family of 'does this segment's mean order value differ from
+    global?' hypotheses — the multiple-testing correction any metrics
+    platform needs once it tests every segment every day (15 segments
+    here; thousands at scale, same plan).
+
+    P-values are CONSERVATIVE Chebyshev bounds p = min(1, 1/z^2) with
+    z^2 = (mean_g - mean)^2 / (var/n_g): distribution-free, valid for
+    any mean test, and — unlike normal-tail erfc p-values — exactly
+    computable in both engines (neither SQL dialect has erfc; a bound
+    that is reproducible beats an approximation that isn't, and BH
+    keeps its FDR guarantee under conservative p-values). The BH step
+    function runs as a window over the m-row hypothesis frame (bounded
+    by the segment count, never by data size); all moment sums are
+    DECIMAL-exact off one scan."""
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("sg"),
+    )
+    glob = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("s"),
+        F.sum((F.col("o_totalprice") * F.col("o_totalprice")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    z2 = F.pow(F.col("sg") / F.col("ng") - F.col("s") / F.col("n"), 2) / (
+        (F.col("ss") / F.col("n") - F.pow(F.col("s") / F.col("n"), 2)) / F.col("ng")
+    )
+    z = g.crossJoin(F.broadcast(glob)).select(
+        "o_orderpriority", "o_orderstatus", "ng", z2.alias("z2")
+    )
+    pval = F.least(F.lit(1.0), 1.0 / F.col("z2"))
+    p = z.select(
+        "*",
+        pval.alias("pval"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                pval.asc(), F.col("o_orderpriority").asc(), F.col("o_orderstatus").asc()
+            )
+        )
+        .alias("rk"),
+    )
+    cut = p.agg(
+        F.coalesce(
+            F.max(F.when(F.col("pval") <= F.col("rk") * 0.10 / F.col("m"), F.col("rk"))),
+            F.lit(0),
+        ).alias("k")
+    )
+    return (
+        p.crossJoin(F.broadcast(cut))
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.col("ng").alias("n"),
+            F.round("z2", 6).alias("z2"),
+            F.round("pval", 6).alias("p_chebyshev"),
+            F.col("rk").cast("bigint").alias("bh_rank"),
+            (F.col("rk") <= F.col("k")).alias("discovered"),
+        )
+        .orderBy("bh_rank")
+    )
+
+
+@query(
+    "propensity_strata_att",
+    oracle="""
+    WITH base AS (
+        SELECT CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS treated,
+               CAST(p.p_size // 10 AS BIGINT) AS stratum,
+               l.l_extendedprice * (1 - l.l_discount) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    cell AS (
+        SELECT stratum, treated, COUNT(*) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS s
+        FROM base GROUP BY stratum, treated),
+    wide AS (
+        SELECT t.stratum, t.n AS n1, t.s / t.n AS m1, c.s / c.n AS m0
+        FROM cell t JOIN cell c
+          ON t.stratum = c.stratum AND t.treated = 1 AND c.treated = 0),
+    tot AS (SELECT CAST(SUM(n1) AS BIGINT) AS n_treated FROM wide)
+    SELECT wide.stratum, CAST(wide.n1 AS BIGINT) AS n_treated,
+           ROUND(wide.m1, 4) AS mean_treated,
+           ROUND(wide.m0, 4) AS mean_control,
+           ROUND(wide.m1 - wide.m0, 4) AS stratum_effect,
+           ROUND(SUM(w2.n1 * (w2.m1 - w2.m0)) OVER () / tot.n_treated, 4)
+               AS att
+    FROM wide, tot, wide w2
+    WHERE w2.stratum = wide.stratum
+    ORDER BY wide.stratum
+    """,
+)
+def propensity_strata_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average-treatment-effect-on-the-treated: does PROMO
+    part pricing lift net revenue per line item, controlling for part
+    size? Strata are p_size deciles (the observed confounder standing
+    in for a propensity score bin — identical plan shape once the
+    score is a model output); per-stratum effect = treated mean minus
+    control mean; ATT = treated-count-weighted average across strata —
+    the textbook subclassification estimator (Cochran 1968,
+    Rosenbaum-Rubin 1983/4).
+
+    One fact-dim broadcast join, one groupBy (stratum, treated) —
+    everything after operates on the bounded stratum frame. Means are
+    decimal-exact sums divided once; the ATT rides a window over the
+    <=10-row stratum frame."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_type") == "PROMO", 1).otherwise(0).alias("treated"),
+        F.floor(F.col("p_size") / 10).cast("bigint").alias("stratum"),
+    )
+    base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "treated",
+        "stratum",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"),
+    )
+    cell = base.groupBy("stratum", "treated").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,6)")).cast("double").alias("s"),
+    )
+    t = cell.filter(F.col("treated") == 1).select(
+        "stratum", F.col("n").alias("n1"), (F.col("s") / F.col("n")).alias("m1")
+    )
+    c = cell.filter(F.col("treated") == 0).select(
+        "stratum", (F.col("s") / F.col("n")).alias("m0")
+    )
+    wide = t.join(c, "stratum")
+    att = F.sum(F.col("n1") * (F.col("m1") - F.col("m0"))).over(
+        Window.partitionBy()
+    ) / F.sum("n1").over(Window.partitionBy())
+    return wide.select(
+        "stratum",
+        F.col("n1").cast("bigint").alias("n_treated"),
+        F.round("m1", 4).alias("mean_treated"),
+        F.round("m0", 4).alias("mean_control"),
+        F.round(F.col("m1") - F.col("m0"), 4).alias("stratum_effect"),
+        F.round(att, 4).alias("att"),
+    ).orderBy("stratum")

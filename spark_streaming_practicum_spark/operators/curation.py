@@ -917,3 +917,76 @@ def curation_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+@query(
+    "intra_doc_segment_dedup",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    segs AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS seg_idx,
+               array_to_string(w[(t.i * 2 + 1):(t.i * 2 + 2)], ' ') AS seg
+        FROM words,
+             unnest(generate_series(0, CAST(CEIL(len(w) / 2.0) AS BIGINT) - 1))
+                 AS t(i)),
+    first_pos AS (
+        SELECT doc_id, seg, MIN(seg_idx) AS keep_idx, COUNT(*) AS occs
+        FROM segs GROUP BY doc_id, seg)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS kept_segments,
+           CAST(SUM(occs - 1) AS BIGINT) AS removed_segments,
+           CAST(SUM(len(string_split(seg, ' '))) AS BIGINT) AS kept_words
+    FROM first_pos
+    GROUP BY doc_id
+    HAVING SUM(occs - 1) > 0
+    ORDER BY doc_id
+    """,
+)
+def intra_doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-segment removal — the C4/MassiveText
+    cleanup that deletes internally duplicated lines (nav bars, cookie
+    banners repeated mid-page) while dedup_paragraph_exact handles the
+    CROSS-document case. A 'line' in this newline-free, ~30-word-
+    vocabulary corpus is a fixed 2-word segment (wider segments never
+    repeat within a synthetic doc; at web scale the segment is a real
+    newline-delimited line and the plan is unchanged); each doc keeps
+    a segment's first occurrence
+    and drops the rest. Output: per affected doc, kept/removed segment
+    counts and surviving word count.
+
+    Entirely map-side until the final per-doc aggregate: segmentation
+    is an in-row HOF (no explode shuffle feeds another shuffle — the
+    groupBy key is (doc_id, seg), partition-local combining absorbs
+    intra-doc repeats before anything moves), so at 100 TB the shuffle
+    carries one row per DISTINCT (doc, segment)."""
+    w = F.split(F.col("text"), " ")
+    nseg = F.ceil(F.size(w) / F.lit(2.0)).cast("bigint")
+    segs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), nseg - 1),
+                    lambda i: F.struct(
+                        i.cast("bigint").alias("seg_idx"),
+                        F.concat_ws(" ", F.slice(w, i * 2 + 1, 2)).alias("seg"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.seg_idx", "s.seg")
+    )
+    first_pos = segs.groupBy("doc_id", "seg").agg(
+        F.min("seg_idx").alias("keep_idx"), F.count(F.lit(1)).alias("occs")
+    )
+    return (
+        first_pos.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kept_segments"),
+            F.sum(F.col("occs") - 1).cast("bigint").alias("removed_segments"),
+            F.sum(F.size(F.split(F.col("seg"), " "))).cast("bigint").alias("kept_words"),
+        )
+        .filter(F.col("removed_segments") > 0)
+        .orderBy("doc_id")
+    )

@@ -211,41 +211,98 @@ def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_theta_distinct", oracle=None)  # sketch estimates are impl-specific -> rows-only
+@query(
+    "sketch_theta_distinct",
+    oracle="""
+    WITH per AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS n
+        FROM events GROUP BY event_type),
+    u AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+    i AS (SELECT COUNT(*) AS n FROM
+          (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') v
+          JOIN (SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'purchase') p USING (user_id))
+    SELECT event_type, n AS approx_users, n AS exact_users,
+           TRUE AS within_bound
+    FROM per
+    UNION ALL SELECT '__union_all__', n, n, TRUE FROM u
+    UNION ALL SELECT '__view_and_purchase__', n, n, TRUE FROM i
+    """,
+)
 def sketch_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta sketches (Spark 4.1 DataSketches bindings): per-event-type
     distinct-user sketches, merged two ways — UNION across all types
     (the mergeable-rollup path, same topology as our HLL query) and
     INTERSECTION of 'view' and 'purchase' audiences. Intersection is the
     theta feature HLL lacks: audience overlap at 100 TB from KB-size
-    sketches, no distinct-join of raw ids. Estimates are
-    implementation-defined -> rows-only; tests/test_modern_sql.py bounds
-    them against exact cardinalities."""
+    sketches, no distinct-join of raw ids.
+
+    Invariant-oracle form (round-2 rows-only): ``approx_users`` is the
+    REAL theta estimate (rounded to bigint), ``exact_users`` the exact
+    distinct count, ``within_bound`` the error envelope
+    (|est−exact| <= max(3, 3.5% exact)). The oracle pins
+    approx == exact: below the sketch's nominal-entry capacity (4096 at
+    the default lgK=12) a theta sketch retains every hash and theta=1,
+    so estimate and intersection are integer-EXACT — the driver SFs
+    (<=150 distinct users, and ~1.5k at sf0.1) sit deep inside exact
+    mode and the equality is deterministic, not luck. Above ~4k
+    distinct per key the oracle would switch to the envelope-boolean
+    form alone (as rolling_wau_hll does)."""
     e = table(spark, sf_dir, "events")
-    sk = e.groupBy("event_type").agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    sk = e.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
     sk = sk.persist()
     per_type = sk.select(
-        "event_type", F.expr("theta_sketch_estimate(sk)").alias("approx_users")
+        "event_type",
+        F.expr("theta_sketch_estimate(sk)").alias("est"),
+        "exact_users",
     )
-    union_all = sk.agg(F.expr("theta_union_agg(sk)").alias("u")).select(
-        F.lit("__union_all__").alias("event_type"),
-        F.expr("theta_sketch_estimate(u)").alias("approx_users"),
+    union_all = (
+        sk.agg(F.expr("theta_union_agg(sk)").alias("u"))
+        .crossJoin(
+            F.broadcast(e.agg(F.countDistinct("user_id").alias("exact_users")))
+        )
+        .select(
+            F.lit("__union_all__").alias("event_type"),
+            F.expr("theta_sketch_estimate(u)").alias("est"),
+            "exact_users",
+        )
+    )
+    view_users = e.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buy_users = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    overlap_exact = view_users.join(buy_users, "user_id").agg(
+        F.count(F.lit(1)).alias("exact_users")
     )
     overlap = (
         sk.filter(F.col("event_type") == "view")
+        .select("sk")
         .crossJoin(
             sk.filter(F.col("event_type") == "purchase").select(
                 F.col("sk").alias("sk2")
             )
         )
+        .crossJoin(F.broadcast(overlap_exact))
         .select(
             F.lit("__view_and_purchase__").alias("event_type"),
-            F.expr("theta_sketch_estimate(theta_intersection(sk, sk2))").alias(
-                "approx_users"
-            ),
+            F.expr("theta_sketch_estimate(theta_intersection(sk, sk2))").alias("est"),
+            "exact_users",
         )
     )
-    return per_type.unionAll(union_all).unionAll(overlap)
+    return (
+        per_type.unionAll(union_all)
+        .unionAll(overlap)
+        .select(
+            "event_type",
+            F.round("est").cast("bigint").alias("approx_users"),
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= F.greatest(F.lit(3.0), 0.035 * F.col("exact_users"))
+            ).alias("within_bound"),
+        )
+    )
 
 
 @query(

@@ -331,3 +331,84 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     # last update per key wins (single batch -> one row per key already)
     return spark.table(sink_name).groupBy("event_type").agg(F.max("n").alias("n"))
+
+
+@query(
+    "stream_join_then_window",
+    oracle="""
+    WITH conv AS (
+        SELECT b.event_id AS purchase_id, b.ts AS p_ts
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 MINUTE),
+    mx AS (SELECT MAX(ts) AS mt FROM events)
+    SELECT date_trunc('hour', conv.p_ts) AS window_start,
+           COUNT(*) AS n_conversions
+    FROM conv, mx
+    WHERE date_trunc('hour', conv.p_ts) + INTERVAL 1 HOUR
+          <= mx.mt - INTERVAL 1 HOUR
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming operators (Spark >= 3.4 watermark
+    propagation): a watermarked stream-stream join (click -> purchase
+    within 2 minutes) feeding a tumbling 1-hour windowed count of
+    conversions — the attribution-dashboard topology that previously
+    required two jobs with an intermediate sink.
+
+    Both operators keep watermark-bounded state (join: 1 h + 2 min
+    range; window: in-flight hours), so state is O(recent data) at any
+    scale. A join-fed aggregation must run in APPEND mode, which emits
+    only FINALIZED windows — with the 1-hour delay the final watermark
+    rests at max(ts) - 1 h, so the oracle pins exactly the windows
+    whose end <= max(ts) - 1 h: the non-emission of in-flight tail
+    windows is watermark SEMANTICS, asserted rather than worked
+    around."""
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    conv = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 MINUTES")),
+        "inner",
+    ).select("purchase_id", "p_ts")
+    agg = conv.groupBy(F.window("p_ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )
+    sink_name = f"jtw_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(sink_name)
+        .select(F.col("w.start").alias("window_start"), "n_conversions")
+        .orderBy("window_start")
+    )

@@ -126,9 +126,12 @@ def text_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.substr(F.col("text"), i, F.lit(3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # Distinct trigrams per doc via map-side array_distinct BEFORE the
+    # explode — doc_id is unique per row, so this equals the row-level
+    # distinct() it replaces, minus that distinct's full shuffle of the
+    # exploded frame (the round-2 bench's highest-variance step).
     tri = (
-        d.select("doc_id", "lang", F.explode(tg_arr).alias("tg"))
-        .distinct()
+        d.select("doc_id", "lang", F.explode(F.array_distinct(tg_arr)).alias("tg"))
         .persist()
     )
     tri.count()  # shared by profile training, scoring and the nt count
@@ -705,4 +708,94 @@ def text_numeric_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_digits.alias("n_digits"),
         F.round(density, 6).alias("digit_density"),
         (density <= 0.3).alias("passes_density_gate"),
+    )
+
+
+@query(
+    "ngram_draft_acceptance_rate",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+        SELECT doc_id, w[i] AS prev, w[i + 1] AS nxt
+        FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+    counts AS (SELECT prev, nxt, COUNT(*) AS c FROM bg GROUP BY prev, nxt),
+    draft AS (
+        SELECT prev, nxt AS draft_token FROM (
+            SELECT prev, nxt,
+                   ROW_NUMBER() OVER (PARTITION BY prev
+                                      ORDER BY c DESC, nxt ASC) AS rk
+            FROM counts)
+        WHERE rk = 1)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_positions,
+           CAST(SUM(CASE WHEN bg.nxt = d.draft_token THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_accepted,
+           ROUND(SUM(CASE WHEN bg.nxt = d.draft_token THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS acceptance_rate
+    FROM bg JOIN draft d ON bg.prev = d.prev
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+)
+def ngram_draft_acceptance_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speculative-decoding draft-model audit: train the cheapest draft
+    model there is — the corpus bigram argmax (most frequent next
+    token per token, deterministic count-then-alpha tie-break) — and
+    score, per document, the fraction of positions where the draft's
+    greedy prediction matches the actual next token. This acceptance
+    rate is exactly the quantity that decides whether a draft model
+    speeds up or slows down speculative decoding (Leviathan et al.
+    2023), and the same corpus-scan shape estimates it for any n-gram
+    draft.
+
+    The draft table is one groupBy over exploded bigrams + a rank
+    window on the per-prev frame; scoring joins each bigram to its
+    prev's single draft row — a broadcast-size table (<= |vocab|
+    rows), so the corpus is scanned twice and never self-joined."""
+    w = tokens("text")
+    bg = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(w) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - 1),
+                        lambda i: F.struct(
+                            F.element_at(w, i).alias("prev"),
+                            F.element_at(w, i + 1).alias("nxt"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<prev:string,nxt:string>>"))
+            ).alias("b"),
+        )
+        .select("doc_id", "b.prev", "b.nxt")
+    )
+    bg = bg.persist()
+    counts = bg.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    rk = Window.partitionBy("prev").orderBy(F.col("c").desc(), F.col("nxt").asc())
+    draft = (
+        counts.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("prev", F.col("nxt").alias("draft_token"))
+    )
+    return (
+        bg.join(F.broadcast(draft), "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_positions"),
+            F.sum(F.when(F.col("nxt") == F.col("draft_token"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_accepted"),
+        )
+        .select(
+            "doc_id",
+            "n_positions",
+            "n_accepted",
+            F.round(F.col("n_accepted") * 1.0 / F.col("n_positions"), 6).alias(
+                "acceptance_rate"
+            ),
+        )
+        .orderBy("doc_id")
     )

@@ -1016,3 +1016,144 @@ def t5_span_corruption_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_spans") > 0)
         .select("doc_id", "n_spans", "corrupted", "target")
     )
+
+
+@query(
+    "grpo_group_advantage",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_id, value,
+               COUNT(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                    OVER (PARTITION BY user_id, CAST(ts AS DATE))
+                    AS DOUBLE) AS s,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
+                    OVER (PARTITION BY user_id, CAST(ts AS DATE))
+                    AS DOUBLE) AS ss
+        FROM events)
+    SELECT user_id, day, event_id, value,
+           CAST(n AS BIGINT) AS group_n,
+           ROUND(CASE WHEN n < 2 OR ss / n - POWER(s / n, 2) <= 0 THEN 0.0
+                      ELSE (value - s / n)
+                           / SQRT(ss / n - POWER(s / n, 2)) END, 6)
+               AS advantage
+    FROM g
+    ORDER BY user_id, day, event_id
+    """,
+)
+def grpo_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage normalization (the GRPO estimator,
+    DeepSeekMath 2024): rewards sampled for the same prompt — here the
+    (user, day) group stands in for 'rollouts of one prompt' — are
+    centered and scaled by the GROUP's own mean/std instead of a
+    learned value baseline: A_i = (r_i - mean_g) / std_g, 0 for
+    degenerate groups (singleton or zero variance).
+
+    This is the advantage computation an RLHF data pipeline runs over
+    billions of rollouts: one window partitioning on the prompt key
+    carries count, sum and sum-of-squares together (population
+    variance from moments — no second pass), so the whole op is one
+    shuffle. Moment sums ride DECIMAL so both engines normalize by the
+    identical statistics."""
+    w = Window.partitionBy("user_id", "day")
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_id", "value"
+    )
+    g = e.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("ss"),
+    )
+    var = F.col("ss") / F.col("n") - F.pow(F.col("s") / F.col("n"), 2)
+    adv = F.when((F.col("n") < 2) | (var <= 0), F.lit(0.0)).otherwise(
+        (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var)
+    )
+    return g.select(
+        "user_id",
+        "day",
+        "event_id",
+        "value",
+        F.col("n").cast("bigint").alias("group_n"),
+        F.round(adv, 6).alias("advantage"),
+    ).orderBy("user_id", "day", "event_id")
+
+
+@query(
+    "bradley_terry_one_step",
+    oracle="""
+    WITH day_ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type, event_id, value
+        FROM events),
+    duel AS (
+        SELECT a.event_type AS winner, b.event_type AS loser
+        FROM day_ev a JOIN day_ev b
+          ON a.user_id = b.user_id AND a.day = b.day
+         AND a.event_type <> b.event_type
+         AND (a.value > b.value
+              OR (a.value = b.value AND a.event_id < b.event_id))),
+    wins AS (SELECT winner AS item, COUNT(*) AS w FROM duel GROUP BY winner),
+    games AS (
+        SELECT item, CAST(SUM(c) AS BIGINT) AS n FROM (
+            SELECT winner AS item, COUNT(*) AS c FROM duel GROUP BY winner
+            UNION ALL
+            SELECT loser, COUNT(*) FROM duel GROUP BY loser)
+        GROUP BY item)
+    SELECT g.item AS event_type, CAST(COALESCE(wins.w, 0) AS BIGINT) AS wins,
+           g.n AS comparisons,
+           ROUND(2.0 * COALESCE(wins.w, 0) / g.n, 6) AS bt_strength
+    FROM games g LEFT JOIN wins ON g.item = wins.item
+    ORDER BY event_type
+    """,
+)
+def bradley_terry_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One minorization-maximization step of Bradley-Terry preference
+    strengths (Hunter 2004 — the fitting loop inside reward-model and
+    arena-leaderboard pipelines): pairwise duels between event types
+    within each (user, day) context (higher value wins, deterministic
+    id tie-break), then from the uniform initialization s=1 the MM
+    update collapses to s_i' = w_i / (n_i/2) = 2*w_i/n_i — exactly
+    what the closed-form oracle pins. Further iterations reuse the
+    same duel aggregate (w_i and the pair counts), never the raw data.
+
+    The duel join is keyed on the bounded (user, day) context — at
+    100 TB the context is the prompt id and group sizes are the
+    rollout count, so the pair fanout is k^2 per prompt, not corpus-
+    quadratic. Everything after the duel table is counting."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type", "event_id", "value"
+    )
+    a = e.select("user_id", "day", F.col("event_type").alias("wt"),
+                 F.col("event_id").alias("wid"), F.col("value").alias("wv"))
+    b = e.select("user_id", "day", F.col("event_type").alias("lt"),
+                 F.col("event_id").alias("lid"), F.col("value").alias("lv"))
+    duel = a.join(b, ["user_id", "day"]).filter(
+        (F.col("wt") != F.col("lt"))
+        & (
+            (F.col("wv") > F.col("lv"))
+            | ((F.col("wv") == F.col("lv")) & (F.col("wid") < F.col("lid")))
+        )
+    ).select(F.col("wt").alias("winner"), F.col("lt").alias("loser"))
+    duel = duel.persist()
+    wins = duel.groupBy(F.col("winner").alias("item")).agg(F.count(F.lit(1)).alias("w"))
+    games = (
+        duel.select(F.col("winner").alias("item"))
+        .unionAll(duel.select(F.col("loser").alias("item")))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        games.join(wins, "item", "left")
+        .select(
+            F.col("item").alias("event_type"),
+            F.coalesce(F.col("w"), F.lit(0)).cast("bigint").alias("wins"),
+            F.col("n").cast("bigint").alias("comparisons"),
+            F.round(2.0 * F.coalesce(F.col("w"), F.lit(0)) / F.col("n"), 6).alias(
+                "bt_strength"
+            ),
+        )
+        .orderBy("event_type")
+    )

