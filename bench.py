@@ -137,6 +137,8 @@ HEADLINE = [
     "intra_doc_segment_dedup",
     "grpo_group_advantage",
     "benjamini_hochberg_fdr",
+    "curriculum_perplexity_stages",
+    "crosslingual_margin_mining",
 ]
 
 

@@ -467,3 +467,118 @@ def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rm_weight").desc(), "expansion_term")
         .limit(_RM3_EXP_TERMS)
     )
+
+
+@query(
+    "curriculum_perplexity_stages",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    docbg AS (
+        SELECT doc_id, w[i:i] [1] AS w1, w[i+1:i+1] [1] AS w2
+        FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+    bg AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM docbg GROUP BY 1, 2),
+    uni AS (SELECT w1, SUM(c) AS cw1 FROM bg GROUP BY w1),
+    fanout AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS n_types FROM bg GROUP BY w1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS DOUBLE) AS n_left FROM bg GROUP BY w2),
+    totals AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_bigram_types FROM bg),
+    pkn AS (
+        SELECT b.w1, b.w2,
+               GREATEST(b.c - {_KN_D}, 0) / u.cw1
+                 + ({_KN_D} * f.n_types / u.cw1)
+                   * (ct.n_left / t.n_bigram_types) AS p
+        FROM bg b
+        JOIN uni u ON u.w1 = b.w1
+        JOIN fanout f ON f.w1 = b.w1
+        JOIN cont ct ON ct.w2 = b.w2
+        CROSS JOIN totals t),
+    perdoc AS (
+        SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(-CAST(SUM(CAST(LN(p.p) AS DECIMAL(38,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS xent
+        FROM docbg d JOIN pkn p ON d.w1 = p.w1 AND d.w2 = p.w2
+        GROUP BY d.doc_id)
+    SELECT doc_id, n_bigrams, xent, ROUND(EXP(xent), 4) AS ppl,
+           CAST(NTILE(4) OVER (ORDER BY xent ASC, doc_id ASC) AS INT) AS stage
+    FROM perdoc
+    ORDER BY doc_id
+    """,
+)
+def curriculum_perplexity_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-ordered curriculum staging: score every document's
+    cross-entropy under the corpus's own Kneser-Ney bigram LM, then
+    split the corpus into 4 curriculum stages (easy -> hard quartiles)
+    — the 'train on low-perplexity data first' schedule used by
+    curriculum pretraining, and the same scoring that powers
+    perplexity-based quality filtering (CCNet uses a KenLM exactly this
+    way).
+
+    Plan: the KN model is vocabulary-bounded frames joined once into
+    the exploded doc-bigram relation (every doc bigram hits the model
+    — it was trained on this corpus, no OOV path). Per-term log-probs
+    are identical doubles in both engines, summed in DECIMAL so the
+    per-doc entropy is order-independent. The quartile assignment uses
+    the distributed range-partition ranking (global_row_number +
+    ntile_from_rank) instead of a single-partition NTILE window, keyed
+    on the rounded entropy with a doc_id tie-break so both engines
+    rank the identical total order."""
+    from ..functions.ranks import global_row_number, ntile_from_rank
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    count = F.size("w") - 1
+    docbg = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                count >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), count),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("w1"),
+                        F.element_at("w", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bg = docbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    uni = bg.groupBy("w1").agg(F.sum("c").alias("cw1"))
+    fanout = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    cont = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("n_left"))
+    totals = bg.agg(F.count(F.lit(1)).cast("double").alias("n_bigram_types"))
+    p = (
+        F.greatest(F.col("c") - _KN_D, F.lit(0.0)) / F.col("cw1")
+        + (_KN_D * F.col("n_types") / F.col("cw1"))
+        * (F.col("n_left") / F.col("n_bigram_types"))
+    )
+    pkn = (
+        bg.join(uni, "w1")
+        .join(fanout, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", p.alias("p"))
+    )
+    perdoc = (
+        docbg.join(F.broadcast(pkn), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.log(F.col("p")).cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("xent"),
+        )
+    )
+    ranked, n = global_row_number(
+        perdoc, [F.col("xent").asc(), F.col("doc_id").asc()], rn_name="rn"
+    )
+    return ranked.select(
+        "doc_id",
+        "n_bigrams",
+        "xent",
+        F.round(F.exp("xent"), 4).alias("ppl"),
+        ntile_from_rank(F.col("rn"), n, 4).alias("stage"),
+    ).orderBy("doc_id")

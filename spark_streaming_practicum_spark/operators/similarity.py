@@ -851,3 +851,105 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("maxsim").desc(), "vec_id")
         .limit(_LI_TOPN)
     )
+
+
+_MINE_K = 4
+_MINE_TOPN = 20
+
+
+@query(
+    "crosslingual_margin_mining",
+    oracle=f"""
+    WITH src AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings WHERE label = 0),
+    tgt AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE label = 1),
+    pairs AS (
+        SELECT s.src_id, t.tgt_id,
+               list_cosine_similarity(s.e, t.e) AS cos
+        FROM src s, tgt t),
+    rs AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                        ORDER BY cos DESC, tgt_id ASC) AS rk
+           FROM pairs),
+    rt AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                        ORDER BY cos DESC, src_id ASC) AS rk
+           FROM pairs),
+    ks AS (SELECT src_id,
+                  CAST(SUM(CAST(cos AS DECIMAL(38,12))) AS DOUBLE)
+                      / {_MINE_K} AS knn_s
+           FROM rs WHERE rk <= {_MINE_K} GROUP BY src_id),
+    kt AS (SELECT tgt_id,
+                  CAST(SUM(CAST(cos AS DECIMAL(38,12))) AS DOUBLE)
+                      / {_MINE_K} AS knn_t
+           FROM rt WHERE rk <= {_MINE_K} GROUP BY tgt_id)
+    SELECT p.src_id, p.tgt_id, ROUND(p.cos, 6) AS cosine,
+           ROUND(p.cos / ((ks.knn_s + kt.knn_t) / 2.0), 6) AS margin
+    FROM pairs p JOIN ks USING (src_id) JOIN kt USING (tgt_id)
+    ORDER BY margin DESC, p.src_id ASC, p.tgt_id ASC
+    LIMIT {_MINE_TOPN}
+    """,
+)
+def crosslingual_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 — the method
+    behind CCMatrix/LASER parallel-corpus construction): candidate
+    pairs between two embedding spaces (label 0 = source 'language',
+    label 1 = target) scored by cosine NORMALIZED by both sides'
+    k-NN neighborhood density — margin = cos(x,y) / ((knn_k(x) +
+    knn_k(y))/2) — which suppresses hub vectors that are close to
+    everything. Top-20 mined pairs.
+
+    The two label slices are each a small fraction of the corpus, so
+    the pair frame is a broadcast fan-out (never corpus x corpus); at
+    100 TB the same margin is computed over ANN candidate lists
+    (sim_ann_* / dedup_embedding_cosine's blocked GEMM) instead of the
+    exhaustive slice product — the normalization arithmetic and the
+    k-NN window are unchanged. Per-pair cosines are identical doubles
+    in both engines (same fold order); k-NN means sum in DECIMAL."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    src = e.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("src_id"), F.col("e").alias("es")
+    )
+    tgt = e.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("e").alias("et")
+    )
+    cos = dot("es", F.col("et")) / (l2_norm("es") * l2_norm(F.col("et")))
+    pairs = (
+        src.crossJoin(F.broadcast(tgt)).select("src_id", "tgt_id", cos.alias("cos"))
+    ).persist()
+    rs = Window.partitionBy("src_id").orderBy(F.col("cos").desc(), F.col("tgt_id").asc())
+    rt = Window.partitionBy("tgt_id").orderBy(F.col("cos").desc(), F.col("src_id").asc())
+    ks = (
+        pairs.withColumn("rk", F.row_number().over(rs))
+        .filter(F.col("rk") <= _MINE_K)
+        .groupBy("src_id")
+        .agg(
+            (F.sum(F.col("cos").cast("decimal(38,12)")).cast("double") / _MINE_K).alias(
+                "knn_s"
+            )
+        )
+    )
+    kt = (
+        pairs.withColumn("rk", F.row_number().over(rt))
+        .filter(F.col("rk") <= _MINE_K)
+        .groupBy("tgt_id")
+        .agg(
+            (F.sum(F.col("cos").cast("decimal(38,12)")).cast("double") / _MINE_K).alias(
+                "knn_t"
+            )
+        )
+    )
+    margin = F.col("cos") / ((F.col("knn_s") + F.col("knn_t")) / 2.0)
+    return (
+        pairs.join(F.broadcast(ks), "src_id")
+        .join(F.broadcast(kt), "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round("cos", 6).alias("cosine"),
+            F.round(margin, 6).alias("margin"),
+        )
+        .orderBy(F.col("margin").desc(), F.col("src_id").asc(), F.col("tgt_id").asc())
+        .limit(_MINE_TOPN)
+    )

@@ -130,3 +130,36 @@ def test_intra_doc_dedup_conservation(spark):
     for doc_id, r in rows.items():
         assert r["kept_segments"] + r["removed_segments"] == total[doc_id]
         assert r["removed_segments"] > 0
+
+
+def test_curriculum_stages_balanced_and_no_global_window(spark):
+    """NTILE(4) via the two-pass ranking: stage sizes differ by at most
+    1, and no window in the plan runs unpartitioned (the single-
+    partition NTILE this op exists to avoid)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    df = DEFS["curriculum_perplexity_stages"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in m.group(1), m.group(0)
+    sizes = [
+        r["n"]
+        for r in df.groupBy("stage").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert len(sizes) == 4
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_crosslingual_margin_suppresses_hubs(spark):
+    """Margin scores are finite and positive; the pair frame joins its
+    k-NN normalizers as broadcasts; and the mined list is exactly the
+    requested top-N."""
+    df = DEFS["crosslingual_margin_mining"].fn(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 2, formatted_plan(df)[:3000]
+    rows = df.collect()
+    assert len(rows) == 20
+    margins = [r["margin"] for r in rows]
+    assert margins == sorted(margins, reverse=True)
+    assert all(m > 0 for m in margins)
