@@ -2813,10 +2813,14 @@ def xicor_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum permutation-invariant).
 
     Every term is INTEGER arithmetic over ranks (r_i = #{y_j <= y_i},
-    l_i = #{y_j >= y_i} — both RANGE-frame counts), so the result is
-    exact; only the final ratio is floating. Windows partition on the
-    group key — parallelism is #groups, state per partition is the
-    group's rows, and there is no global single-partition window."""
+    l_i = #{y_j >= y_i}), so the result is exact; only the final ratio
+    is floating. Both total orders the estimator needs come from the
+    two-pass range-partition ranking (ranks.global_row_number) with
+    the group as the leading range key — per-group windows would sort
+    whole groups in single tasks (parallelism = #groups, a scale
+    killer for few large groups); this shape is fully parallel at any
+    group size, and the consecutive-pair walk is an equi-join on
+    (group, position) instead of a lag window."""
     base = table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"),
         F.col("l_quantity").alias("x"),
@@ -2824,30 +2828,68 @@ def xicor_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    n_w = Window.partitionBy("grp")
-    r_w = (
-        Window.partitionBy("grp")
-        .orderBy("y")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    from ..functions.ranks import global_row_number
+
+    # A per-group window would sort each ENTIRE group in one task —
+    # with 3 groups that is 3 tasks regardless of data size, the same
+    # failure class as the single-partition window. Both total orders
+    # xicor needs (y-order for ranks, x-order for the sequence walk)
+    # instead come from the two-pass range-partition ranking, with the
+    # group as the LEADING range key; per-group quantities are then
+    # recovered by subtracting each group's global-rank offset (one
+    # #groups-row broadcast). Identical integer arithmetic, fully
+    # parallel at any group size.
+    ry, _ = global_row_number(
+        base,
+        [
+            F.col("grp").asc(),
+            F.col("y").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        rn_name="rny",
     )
-    l_w = (
-        Window.partitionBy("grp")
-        .orderBy(F.col("y").desc())
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    gstats = ry.groupBy("grp").agg(
+        (F.min("rny") - 1).alias("off"), F.count(F.lit(1)).alias("n")
     )
-    seq_w = Window.partitionBy("grp").orderBy("x", "l_orderkey", "l_linenumber", "y")
-    ranked = base.select(
-        "grp",
-        "x",
-        "y",
-        "l_orderkey",
-        "l_linenumber",
-        F.count(F.lit(1)).over(n_w).alias("n"),
-        F.count(F.lit(1)).over(r_w).alias("r"),
-        F.count(F.lit(1)).over(l_w).alias("l"),
-    ).withColumn("r_next", F.lead("r").over(seq_w))
+    # tie bounds per distinct (grp, y): rows tied on y are consecutive
+    # in the (grp, y, ...) total order, so r = max(rn) - off counts all
+    # y_j <= y_i and l = n - (min(rn) - off) + 1 counts all y_j >= y_i.
+    ybounds = ry.groupBy("grp", "y").agg(
+        F.max("rny").alias("mx"), F.min("rny").alias("mn")
+    )
+    ranked = (
+        ry.join(ybounds, ["grp", "y"])
+        .join(F.broadcast(gstats), "grp")
+        .select(
+            "grp",
+            "x",
+            "y",
+            "l_orderkey",
+            "l_linenumber",
+            "n",
+            (F.col("mx") - F.col("off")).alias("r"),
+            (F.col("n") - (F.col("mn") - F.col("off")) + 1).alias("l"),
+        )
+    )
+    rx, _ = global_row_number(
+        ranked,
+        [
+            F.col("grp").asc(),
+            F.col("x").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+            F.col("y").asc(),
+        ],
+        rn_name="rnx",
+    )
+    # consecutive-pair walk as an equi-join on (grp, position): fully
+    # parallel, and group boundaries drop out naturally because rnx is
+    # group-contiguous in the (grp, x, ...) total order.
+    nxt = rx.select("grp", (F.col("rnx") - 1).alias("rnx"), F.col("r").alias("r_next"))
+    seq = rx.select("grp", "rnx", "r", "l", "n").join(nxt, ["grp", "rnx"], "left")
     return (
-        ranked.groupBy("grp")
+        seq.groupBy("grp")
         .agg(
             F.max("n").alias("n"),
             F.sum(

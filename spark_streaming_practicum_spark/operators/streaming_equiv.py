@@ -412,3 +412,92 @@ def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n_conversions")
         .orderBy("window_start")
     )
+
+
+@query(
+    "stream_outer_join_watermark",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+        WHERE event_type = 'click'),
+    purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+        WHERE event_type = 'purchase'),
+    mx AS (
+        SELECT LEAST(
+            (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+        ) AS mt),
+    matched AS (
+        SELECT c.click_id, c.user_id, p.purchase_id
+        FROM clicks c JOIN purchases p
+          ON c.user_id = p.user_id
+         AND p.p_ts > c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 2 MINUTE),
+    expired_unmatched AS (
+        SELECT c.click_id, c.user_id, CAST(NULL AS BIGINT) AS purchase_id
+        FROM clicks c, mx
+        WHERE NOT EXISTS (
+            SELECT 1 FROM purchases p
+            WHERE p.user_id = c.user_id
+              AND p.p_ts > c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 2 MINUTE)
+          AND c.c_ts + INTERVAL 2 MINUTE <= mx.mt - INTERVAL 1 HOUR)
+    SELECT * FROM matched
+    UNION ALL
+    SELECT * FROM expired_unmatched
+    ORDER BY click_id, purchase_id
+    """,
+)
+def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click emits — immediately
+    when a purchase lands in its 2-minute window, or with a NULL
+    purchase once the watermark proves no match can arrive. The
+    streaming semantics the oracle pins are the subtle part: the
+    null-side row for a click materializes only when its join state
+    EXPIRES (watermark passes c_ts + 2 min), and the query's GLOBAL
+    watermark is the MIN over both inputs' (max event time - delay) —
+    a slow side holds back expiry for the whole join, which this
+    dataset exhibits (clicks stop 4 h before purchases, so the last
+    click never expires). Clicks younger than that watermark stay in
+    state and emit NOTHING — at 100 TB exactly the bounded-state
+    guarantee: unmatched rows cost memory only until the watermark,
+    never forever. Batch outer join + the min-watermark expiry
+    predicate reproduces it exactly."""
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 MINUTES")),
+        "left_outer",
+    ).select("click_id", F.col("c_user").alias("user_id"), "purchase_id")
+    sink_name = f"soj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink_name).orderBy("click_id", "purchase_id")

@@ -17,15 +17,14 @@ DEFS = all_queries()
 
 
 def test_xicor_no_global_window_and_bounds(spark):
-    """Every window partitions on the group key (no single-partition
-    WindowExec over the raw table), and xi lands in its [-0.5, 1]
-    theoretical range with near-zero values for independent columns."""
+    """Every window partitions on the range-partition id (the two-pass
+    distributed ranking — no per-group or single-partition WindowExec
+    over the raw table), and xi lands in its [-0.5, 1] theoretical
+    range with near-zero values for independent columns."""
     df = DEFS["xicor_correlation"].fn(spark, SF_DIR)
     plan = formatted_plan(df)
-    # Spark prints an empty partition spec as "windowspecdefinition(x ASC"
-    # with no partition columns; every window here must carry grp.
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-        assert "grp" in m.group(1), m.group(0)
+        assert "_pid" in m.group(1), m.group(0)
     rows = df.collect()
     assert len(rows) == 3
     for r in rows:
