@@ -139,6 +139,8 @@ HEADLINE = [
     "benjamini_hochberg_fdr",
     "curriculum_perplexity_stages",
     "crosslingual_margin_mining",
+    "ul2_denoiser_mix",
+    "agg_group_logsumexp",
 ]
 
 

@@ -863,3 +863,64 @@ def agg_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r_yz", 6).alias("corr_qty_disc"),
         F.round(partial, 6).alias("partial_price_qty_given_disc"),
     )
+
+
+@query(
+    "agg_group_logsumexp",
+    oracle="""
+    WITH mx AS (
+        SELECT event_type, MAX(value) AS vmax, COUNT(*) AS n
+        FROM events GROUP BY event_type),
+    s AS (
+        SELECT e.event_type,
+               CAST(SUM(CAST(EXP(e.value - m.vmax) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS sexp
+        FROM events e JOIN mx m USING (event_type)
+        GROUP BY e.event_type)
+    SELECT mx.event_type, CAST(mx.n AS BIGINT) AS n,
+           ROUND(mx.vmax, 6) AS vmax,
+           ROUND(mx.vmax + LN(s.sexp), 6) AS logsumexp,
+           ROUND(mx.vmax + LN(s.sexp) - LN(mx.n), 6) AS log_mean_exp
+    FROM mx JOIN s USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def agg_group_logsumexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numerically-stable distributed LOGSUMEXP per group — the
+    normalization constant behind every softmax / attention /
+    log-likelihood aggregation: lse = max + log(sum(exp(x - max))).
+    Naive sum(exp(x)) overflows once logits exceed ~709; subtracting
+    the group max first keeps every exponent <= 0, which is why this
+    is THE way scores aggregate in LLM eval pipelines
+    (log_mean_exp additionally gives the log of the mean likelihood).
+
+    Two passes, both parallel: a max/count aggregate, broadcast back
+    onto the rows, then one sum aggregate. exp(x - max) lands in
+    (0, 1], so the DECIMAL(38,12) accumulation is exact and
+    order-independent — both engines produce the identical constant,
+    which a raw double sum would not guarantee."""
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    mx = e.groupBy("event_type").agg(
+        F.max("value").alias("vmax"), F.count(F.lit(1)).alias("n")
+    )
+    s = (
+        e.join(F.broadcast(mx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.exp(F.col("value") - F.col("vmax")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("sexp")
+        )
+    )
+    lse = F.col("vmax") + F.log(F.col("sexp"))
+    return (
+        mx.join(s, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("vmax", 6).alias("vmax"),
+            F.round(lse, 6).alias("logsumexp"),
+            F.round(lse - F.log(F.col("n")), 6).alias("log_mean_exp"),
+        )
+        .orderBy("event_type")
+    )

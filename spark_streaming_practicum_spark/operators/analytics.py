@@ -1682,7 +1682,15 @@ def ab_test_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per_v.agg(
         F.sum("c0").alias("n0"),
         F.sum(F.col("c") - F.col("c0")).alias("n1"),
-        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        # c^3 summed in DECIMAL: a value tied across t rows contributes
+        # t^3, which blows through BIGINT once a hot value passes ~2M
+        # occurrences (same overflow class the xicor scale probe hit)
+        F.sum(
+            F.col("c").cast("decimal(12,0)")
+            * F.col("c").cast("decimal(12,0)")
+            * F.col("c").cast("decimal(12,0)")
+            - F.col("c")
+        )
         .cast("double")
         .alias("tie_term"),
     )
@@ -2063,7 +2071,14 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r_g"),
     )
     ties = val_tot.agg(
-        F.sum(F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv"))
+        # same DECIMAL guard as the Mann-Whitney tie term: t^3 per tied
+        # value overflows BIGINT for hot values at scale
+        F.sum(
+            F.col("cv").cast("decimal(12,0)")
+            * F.col("cv").cast("decimal(12,0)")
+            * F.col("cv").cast("decimal(12,0)")
+            - F.col("cv")
+        )
         .cast("double")
         .alias("tsum")
     )
@@ -2888,22 +2903,34 @@ def xicor_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group-contiguous in the (grp, x, ...) total order.
     nxt = rx.select("grp", (F.col("rnx") - 1).alias("rnx"), F.col("r").alias("r_next"))
     seq = rx.select("grp", "rnx", "r", "l", "n").join(nxt, ["grp", "rnx"], "left")
+    # Accumulate in DECIMAL(38,0): with g rows per group, den sums g
+    # products of size ~g^2 (~g^3 total) and sd can reach g^2 — both
+    # blow through BIGINT once groups pass ~2M rows (the 20x scale
+    # probe caught exactly this as an ANSI ARITHMETIC_OVERFLOW). The
+    # decimal sums stay exact to 1e38; the final ratio converts each
+    # exact integer to double identically in both engines.
+    dec = "decimal(19,0)"
     return (
         seq.groupBy("grp")
         .agg(
             F.max("n").alias("n"),
             F.sum(
-                F.when(F.col("r_next").isNull(), 0).otherwise(
-                    F.abs(F.col("r_next") - F.col("r"))
-                )
+                F.when(F.col("r_next").isNull(), F.lit(0))
+                .otherwise(F.abs(F.col("r_next") - F.col("r")))
+                .cast(dec)
             ).alias("sd"),
-            F.sum(F.col("l") * (F.col("n") - F.col("l"))).alias("den"),
+            F.sum(
+                F.col("l").cast(dec) * (F.col("n") - F.col("l")).cast(dec)
+            ).alias("den"),
         )
         .select(
             F.col("grp").alias("l_returnflag"),
             "n",
             F.round(
-                1.0 - (F.col("n") * F.col("sd")) / (2.0 * F.col("den")), 6
+                1.0
+                - (F.col("n").cast("double") * F.col("sd").cast("double"))
+                / (2.0 * F.col("den").cast("double")),
+                6,
             ).alias("xi"),
         )
         .orderBy("l_returnflag")

@@ -1157,3 +1157,89 @@ def bradley_terry_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ul2_denoiser_mix",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+               ((doc_id % 1000003) * 2654435761) % 4 AS h
+        FROM documents),
+    routed AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CASE WHEN h <= 1 THEN 'R' WHEN h = 2 THEN 'S' ELSE 'X' END
+                   AS denoiser
+        FROM base)
+    SELECT doc_id, denoiser, n_tokens,
+           CAST(CASE denoiser
+                WHEN 'R' THEN GREATEST(n_tokens * 15 // 100 // 3, 1)
+                WHEN 'X' THEN GREATEST(n_tokens * 30 // 100 // 8, 1)
+                ELSE 0 END AS BIGINT) AS n_spans,
+           CAST(CASE denoiser WHEN 'S' THEN n_tokens * 3 // 4 ELSE 0 END
+                AS BIGINT) AS prefix_len,
+           ROUND(CASE denoiser
+                 WHEN 'R' THEN GREATEST(n_tokens * 15 // 100 // 3, 1) * 3.0
+                               / n_tokens
+                 WHEN 'X' THEN GREATEST(n_tokens * 30 // 100 // 8, 1) * 8.0
+                               / n_tokens
+                 ELSE (n_tokens - n_tokens * 3 // 4) * 1.0 / n_tokens
+                 END, 4) AS corrupt_frac
+    FROM routed
+    ORDER BY doc_id
+    """,
+)
+def ul2_denoiser_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UL2 mixture-of-denoisers routing (Tay et al. 2022): every
+    document is deterministically assigned one of the three denoising
+    objectives — R (regular T5-style: 3-token spans, ~15% corruption),
+    S (sequential / prefix-LM: predict the last quarter from the first
+    three), X (extreme: 8-token spans, ~30% corruption) at the 2:1:1
+    paper mixture — and the per-objective span/prefix geometry is
+    computed so the downstream packer knows each example's
+    input/target shape. Complements t5_span_corruption_prep (which
+    materializes one objective's actual spans); this op is the
+    ROUTING + geometry layer that makes the mixture reproducible:
+    assignment is a pure hash of doc_id (pre-modded so the product
+    stays in BIGINT at any scale), so re-runs, engines and shards
+    agree without coordination.
+
+    Map-only: one projection over the corpus, no shuffle at all —
+    the ideal 100 TB shape."""
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    h = ((F.col("doc_id") % 1000003) * 2654435761) % 4
+    den = (
+        F.when(h <= 1, "R").when(h == 2, "S").otherwise("X")
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", n_tok.alias("n_tokens"), den.alias("denoiser")
+    )
+    r_spans = F.greatest(
+        F.floor(F.floor(F.col("n_tokens") * 15 / 100) / 3), F.lit(1)
+    )
+    x_spans = F.greatest(
+        F.floor(F.floor(F.col("n_tokens") * 30 / 100) / 8), F.lit(1)
+    )
+    prefix = F.floor(F.col("n_tokens") * 3 / 4)
+    n_spans = (
+        F.when(F.col("denoiser") == "R", r_spans)
+        .when(F.col("denoiser") == "X", x_spans)
+        .otherwise(0)
+        .cast("bigint")
+    )
+    prefix_len = (
+        F.when(F.col("denoiser") == "S", prefix).otherwise(0).cast("bigint")
+    )
+    frac = (
+        F.when(F.col("denoiser") == "R", r_spans * 3.0 / F.col("n_tokens"))
+        .when(F.col("denoiser") == "X", x_spans * 8.0 / F.col("n_tokens"))
+        .otherwise((F.col("n_tokens") - prefix) * 1.0 / F.col("n_tokens"))
+    )
+    return d.select(
+        "doc_id",
+        "denoiser",
+        "n_tokens",
+        n_spans.alias("n_spans"),
+        prefix_len.alias("prefix_len"),
+        F.round(frac, 4).alias("corrupt_frac"),
+    ).orderBy("doc_id")

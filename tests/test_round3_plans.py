@@ -162,3 +162,46 @@ def test_crosslingual_margin_suppresses_hubs(spark):
     margins = [r["margin"] for r in rows]
     assert margins == sorted(margins, reverse=True)
     assert all(m > 0 for m in margins)
+
+
+def test_logsumexp_matches_naive_and_exceeds_max(spark):
+    """Where the naive form is safe (values < 10), stable logsumexp must
+    equal log(sum(exp(x))) and always sit in (vmax, vmax + log(n)]."""
+    import math
+
+    rows = DEFS["agg_group_logsumexp"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # values reach ~330, where naive exp() would overflow float64 —
+        # and the lse collapses onto vmax at 6dp (the stable regime)
+        assert r["vmax"] <= r["logsumexp"] <= r["vmax"] + math.log(r["n"]) + 1e-9
+        assert r["log_mean_exp"] <= r["vmax"] + 1e-9
+
+
+def test_ul2_mixture_shares_and_geometry(spark):
+    """Hash routing approximates the 2:1:1 R/S/X paper mixture, and the
+    per-objective geometry is internally consistent."""
+    rows = DEFS["ul2_denoiser_mix"].fn(spark, SF_DIR).collect()
+    n = len(rows)
+    shares = {d: sum(1 for r in rows if r["denoiser"] == d) / n for d in "RSX"}
+    assert 0.35 <= shares["R"] <= 0.65
+    assert 0.10 <= shares["S"] <= 0.40
+    assert 0.10 <= shares["X"] <= 0.40
+    for r in rows:
+        if r["denoiser"] == "S":
+            assert r["n_spans"] == 0 and 0 < r["prefix_len"] < r["n_tokens"]
+            assert abs(r["corrupt_frac"] - (r["n_tokens"] - r["prefix_len"]) / r["n_tokens"]) < 1e-3
+        else:
+            assert r["prefix_len"] == 0 and r["n_spans"] >= 1
+            span = 3 if r["denoiser"] == "R" else 8
+            assert abs(r["corrupt_frac"] - r["n_spans"] * span / r["n_tokens"]) < 1e-3
+
+
+def test_crosslingual_gemm_never_shuffles_pair_matrix(spark):
+    """The mined result must come from the two applyInPandas passes —
+    the plan carries FlatMapGroupsInPandas and no BroadcastNestedLoopJoin
+    pair product."""
+    df = DEFS["crosslingual_margin_mining"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("FlatMapGroupsInPandas") >= 2, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
