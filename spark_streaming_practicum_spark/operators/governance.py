@@ -1034,3 +1034,71 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(audit(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier"))
         .orderBy("relation")
     )
+
+
+_DP_EPS = 1.0
+_DP_M = 1000003
+
+
+@query(
+    "dp_laplace_noisy_counts",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    nz AS (
+        SELECT *,
+               ((('0x' || substr(md5(event_type || '|' || day), 1, 8))::BIGINT
+                 % {_DP_M}) + 0.5) / {_DP_M} AS u
+        FROM g)
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           {_DP_EPS} AS epsilon,
+           ROUND(n + (-1.0 / {_DP_EPS})
+                     * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+                     * LN(1.0 - 2.0 * ABS(u - 0.5)), 3) AS noisy_count
+    FROM nz
+    ORDER BY event_type, day
+    """,
+)
+def dp_laplace_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of per-(event_type, day) counts
+    via the Laplace mechanism: noise ~ Laplace(b = sensitivity/eps)
+    with sensitivity 1 (one event touches one cell) and eps = 1.0 —
+    the standard histogram release for usage dashboards over sensitive
+    event data. Noise is drawn by inverse-CDF transform of a uniform:
+    x = -b * sign(u - 1/2) * ln(1 - 2|u - 1/2|).
+
+    Determinism caveat, stated honestly: real DP requires FRESH
+    randomness per release; here the uniform comes from a portable
+    md5-derived hash of the cell key ('0x'||substr(md5,1,8) parses
+    identically in Spark's conv() and DuckDB's hex cast), which keeps
+    the mechanism's arithmetic — scale calibration, two-sided
+    exponential shape, unbiasedness — oracle-checkable end to end. A
+    production run swaps the hash for a secure RNG and drops the raw
+    ``n`` column; the plan (one count aggregate + map-side noise, no
+    extra shuffle) is unchanged at any scale."""
+    g = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "event_type", "day")), 1, 8), 16, 10
+    ).cast("long")
+    u = ((h % _DP_M) + 0.5) / _DP_M
+    noise = (
+        (-1.0 / _DP_EPS)
+        * F.when(u >= 0.5, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return g.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(_DP_EPS).alias("epsilon"),
+        F.round(F.col("n") + noise, 3).alias("noisy_count"),
+    ).orderBy("event_type", "day")

@@ -412,3 +412,95 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@query(
+    "interval_overlap_join_bucketized",
+    oracle="""
+    WITH sessions AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    peaks AS (
+        SELECT CAST(ts AS DATE) AS day, ts AS peak_ts FROM (
+            SELECT ts, value, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                                      ORDER BY value DESC, event_id ASC) AS rk
+            FROM events)
+        WHERE rk = 1),
+    incidents AS (
+        SELECT day AS incident_day,
+               peak_ts - INTERVAL 30 MINUTE AS i_start,
+               peak_ts + INTERVAL 30 MINUTE AS i_end
+        FROM peaks)
+    SELECT s.user_id, s.day, i.incident_day,
+           CAST(date_diff('second', GREATEST(s.s_start, i.i_start),
+                          LEAST(s.s_end, i.i_end)) AS BIGINT)
+               AS overlap_seconds
+    FROM sessions s JOIN incidents i
+      ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+    ORDER BY s.user_id, s.day, i.incident_day
+    """,
+)
+def interval_overlap_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT an equi key — per-user daily
+    activity spans vs plant-wide incident windows (±30 min around each
+    day's peak-value event): which users were active during an
+    incident, and for how long. The naive plan is a nested-loop over
+    |sessions| x |incidents|; the scalable shape BUCKETIZES time into
+    1-hour grid cells, explodes each interval to the cells it covers
+    (bounded: a daily span covers <= 25 cells, an incident <= 2), hash-
+    joins on the cell, dedups pairs that share several cells, and only
+    then evaluates the exact overlap predicate — the standard
+    interval-join decomposition (same cell-grid trick as
+    geo_grid_knn_join, applied to time).
+
+    At 100 TB: the cell join is an equi shuffle whose fanout is
+    interval-length/cell-width, incidents are typically broadcast-
+    size, and no row pair outside a shared hour is ever materialized."""
+    e = table(spark, sf_dir, "events")
+    sessions = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    from pyspark.sql import Window as W
+
+    rk = W.partitionBy(F.col("ts").cast("date")).orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    incidents = (
+        e.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("ts").cast("date").alias("incident_day"),
+            (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("i_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("i_end"),
+        )
+    )
+
+    def cells(start, end):
+        return F.sequence(
+            F.floor(F.unix_timestamp(start) / 3600).cast("long"),
+            F.floor(F.unix_timestamp(end) / 3600).cast("long"),
+        )
+
+    s_cells = sessions.select(
+        "*", F.explode(cells(F.col("s_start"), F.col("s_end"))).alias("cell")
+    )
+    i_cells = incidents.select(
+        "*", F.explode(cells(F.col("i_start"), F.col("i_end"))).alias("cell")
+    )
+    pairs = (
+        s_cells.join(F.broadcast(i_cells), "cell")
+        .select("user_id", "day", "incident_day", "s_start", "s_end", "i_start", "i_end")
+        .distinct()
+        .filter(
+            (F.col("s_start") <= F.col("i_end")) & (F.col("i_start") <= F.col("s_end"))
+        )
+    )
+    overlap = (
+        F.unix_timestamp(F.least("s_end", "i_end"))
+        - F.unix_timestamp(F.greatest("s_start", "i_start"))
+    ).cast("bigint")
+    return pairs.select(
+        "user_id", "day", "incident_day", overlap.alias("overlap_seconds")
+    ).orderBy("user_id", "day", "incident_day")
