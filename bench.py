@@ -141,6 +141,10 @@ HEADLINE = [
     "crosslingual_margin_mining",
     "ul2_denoiser_mix",
     "agg_group_logsumexp",
+    "interval_overlap_join_bucketized",
+    "dp_laplace_noisy_counts",
+    "linkage_sorted_neighborhood",
+    "eval_interrater_agreement",
 ]
 
 

@@ -1327,3 +1327,70 @@ def dedup_pair_explanation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
     )
+
+
+_SN_WINDOW = 5  # sorted-neighborhood sliding window size
+_SN_TOL = 0.50  # balance tolerance for the verify step
+
+
+@query(
+    "linkage_sorted_neighborhood",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS rn
+        FROM customer)
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           ROUND(b.c_acctbal - a.c_acctbal, 2) AS bal_diff
+    FROM ranked a JOIN ranked b
+      ON b.rn BETWEEN a.rn + 1 AND a.rn + {_SN_WINDOW - 1}
+    WHERE b.c_acctbal - a.c_acctbal <= {_SN_TOL}
+    ORDER BY cust_a, cust_b
+    """,
+)
+def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo 1995) — the THIRD
+    blocking strategy in the linkage family, complementing
+    attribute-equality blocks (linkage_fellegi_sunter_em's nation
+    blocks) and LSH buckets: sort all records by a fuzzy key (account
+    balance, custkey tie-break), slide a w=5 window over the sorted
+    order, and emit only window-mate pairs that pass the verify
+    predicate (balance within 0.50) — near-identical balances under
+    different keys, the classic duplicate-account screen. Catches
+    matches that straddle attribute-block boundaries, which
+    equality-blocking structurally misses.
+
+    Distributed shape: the global sort rank comes from the two-pass
+    range-partition ranking (no single-partition window); the sliding
+    window becomes a BOUNDED explode (each record targets ranks
+    rn+1..rn+4) plus an equi-join on rank — fanout w-1 per record,
+    never a range nested-loop. At 100 TB this is two range shuffles
+    plus a hash join whose build side is the same relation."""
+    from ..functions.ranks import global_row_number
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked, _ = global_row_number(
+        c, [F.col("c_acctbal").asc(), F.col("c_custkey").asc()], rn_name="rn"
+    )
+    a = ranked.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_acctbal").alias("bal_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + (_SN_WINDOW - 1))
+        ).alias("rn_b"),
+    )
+    b = ranked.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_acctbal").alias("bal_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    return (
+        a.join(b, "rn_b")
+        .filter(F.col("bal_b") - F.col("bal_a") <= _SN_TOL)
+        .select(
+            "cust_a",
+            "cust_b",
+            F.round(F.col("bal_b") - F.col("bal_a"), 2).alias("bal_diff"),
+        )
+        .orderBy("cust_a", "cust_b")
+    )

@@ -910,3 +910,85 @@ def eval_best_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .drop("_f1_raw")
     )
+
+
+@query(
+    "eval_interrater_agreement",
+    oracle="""
+    WITH votes AS (
+        SELECT doc_id,
+               (CASE WHEN LENGTH(text) >= 200 THEN 1 ELSE 0 END
+                + CASE WHEN LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))
+                            * 1.0 / LENGTH(text) < 0.2 THEN 1 ELSE 0 END
+                + CASE WHEN len(list_distinct(string_split(text, ' ')))
+                            * 1.0 / len(string_split(text, ' ')) > 0.3
+                       THEN 1 ELSE 0 END) AS a
+        FROM documents),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a) AS BIGINT) AS tot1,
+               CAST(SUM(a * (3 - a)) AS BIGINT) AS dis,
+               CAST(SUM(a * a + (3 - a) * (3 - a)) AS BIGINT) AS sq
+        FROM votes)
+    SELECT n AS n_units,
+           ROUND(1.0 - (dis * 1.0 / (3 * n))
+                 / (2.0 * tot1 * (3 * n - tot1)
+                    / (3.0 * n * (3 * n - 1))), 6) AS krippendorff_alpha,
+           ROUND(((sq - 3.0 * n) / (6.0 * n)
+                  - (POWER(tot1 * 1.0 / (3 * n), 2)
+                     + POWER(1 - tot1 * 1.0 / (3 * n), 2)))
+                 / (1 - (POWER(tot1 * 1.0 / (3 * n), 2)
+                         + POWER(1 - tot1 * 1.0 / (3 * n), 2))), 6)
+               AS fleiss_kappa,
+           ROUND((sq - 3.0 * n) / (6.0 * n), 6) AS mean_pairwise_agreement
+    FROM s
+    """,
+)
+def eval_interrater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement between three heuristic quality
+    'raters' (length >= 200 chars; digit ratio < 0.2; distinct-token
+    ratio > 0.3 — each voting keep/drop per document): Krippendorff's
+    alpha (binary, no missing data) and Fleiss' kappa from the SAME
+    per-unit vote counts — the agreement audit run before trusting an
+    ensemble of cheap filters (or LLM judges) as a training-data gate.
+    Chance-corrected agreement is the difference between the two
+    headline numbers and raw percent agreement, which is why percent
+    agreement alone overstates ensemble reliability.
+
+    With binary votes everything reduces to ONE aggregate over per-doc
+    1-vote counts a: disagreeing pairs = a(3-a), agreement pairs from
+    a^2+(3-a)^2, marginals from total 1s — integer sums, closed-form
+    alpha/kappa, zero joins. Map-side heuristics, one reduce."""
+    txt = F.col("text")
+    toks = F.split(txt, " ")
+    digit_ratio = (
+        F.length(F.regexp_replace(txt, "[^0-9]", "")) * F.lit(1.0) / F.length(txt)
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)
+    a = (
+        F.when(F.length(txt) >= 200, 1).otherwise(0)
+        + F.when(digit_ratio < 0.2, 1).otherwise(0)
+        + F.when(distinct_ratio > 0.3, 1).otherwise(0)
+    )
+    s = (
+        table(spark, sf_dir, "documents")
+        .select(a.alias("a"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("a").cast("bigint").alias("tot1"),
+            F.sum(F.col("a") * (3 - F.col("a"))).cast("bigint").alias("dis"),
+            F.sum(F.col("a") * F.col("a") + (3 - F.col("a")) * (3 - F.col("a")))
+            .cast("bigint")
+            .alias("sq"),
+        )
+    )
+    n, tot1, dis, sq = F.col("n"), F.col("tot1"), F.col("dis"), F.col("sq")
+    de = 2.0 * tot1 * (3 * n - tot1) / (3.0 * n * (3 * n - 1))
+    pbar = (sq - 3.0 * n) / (6.0 * n)
+    pe = F.pow(tot1 * 1.0 / (3 * n), 2) + F.pow(1 - tot1 * 1.0 / (3 * n), 2)
+    return s.select(
+        n.alias("n_units"),
+        F.round(1.0 - (dis * 1.0 / (3 * n)) / de, 6).alias("krippendorff_alpha"),
+        F.round((pbar - pe) / (1 - pe), 6).alias("fleiss_kappa"),
+        F.round(pbar, 6).alias("mean_pairwise_agreement"),
+    )
