@@ -166,22 +166,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(_doc_shingles(spark, sf_dir), threshold=0.8)
 
 
-@query("dedup_jaccard_prefix_filter", oracle=_NGRAM_JACCARD_ORACLE)
-def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard pairs (threshold 0.8) via AllPairs/PPJoin-style
-    PREFIX FILTERING — same answer as dedup_ngram_jaccard, but the
-    candidate join only touches each document's rarest shingles.
-
-    For J(a,b) >= t the overlap must be >= ceil(t*|a|) and >= ceil(t*|b|),
-    so with shingles globally ordered by (frequency, shingle) any
-    qualifying pair shares a shingle in its first |x| - ceil(t*|x|) + 1
-    elements (prefix-filter lemma, Bayardo et al. WWW'07; public
-    algorithm). At t=0.8 the join input shrinks ~5x AND the join keys are
-    the rarest shingles, so bucket sizes (the quadratic term) collapse —
-    this is the exact-dedup path that survives 100 TB. A size filter
-    (min >= t*max) prunes further before verification."""
-    t = 0.8
-    sh = _doc_shingles(spark, sf_dir)
+def _jaccard_pairs_ppjoin(sh: DataFrame, t: float = 0.8) -> DataFrame:
+    """Exact Jaccard pairs via AllPairs/PPJoin prefix filtering over a
+    (doc_id, shingle) relation — same answer as ``_jaccard_pairs``,
+    several times cheaper (see dedup_jaccard_prefix_filter docstring
+    for the lemma)."""
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("gf"))
     w = Window.partitionBy("doc_id").orderBy(F.col("gf").asc(), F.col("shingle").asc())
     # Set size |x| rides the SAME doc_id window partitioning as the
@@ -219,6 +208,23 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidates.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
 
 
+@query("dedup_jaccard_prefix_filter", oracle=_NGRAM_JACCARD_ORACLE)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs (threshold 0.8) via AllPairs/PPJoin-style
+    PREFIX FILTERING — same answer as dedup_ngram_jaccard, but the
+    candidate join only touches each document's rarest shingles.
+
+    For J(a,b) >= t the overlap must be >= ceil(t*|a|) and >= ceil(t*|b|),
+    so with shingles globally ordered by (frequency, shingle) any
+    qualifying pair shares a shingle in its first |x| - ceil(t*|x|) + 1
+    elements (prefix-filter lemma, Bayardo et al. WWW'07; public
+    algorithm). At t=0.8 the join input shrinks ~5x AND the join keys are
+    the rarest shingles, so bucket sizes (the quadratic term) collapse —
+    this is the exact-dedup path that survives 100 TB. A size filter
+    (min >= t*max) prunes further before verification."""
+    return _jaccard_pairs_ppjoin(_doc_shingles(spark, sf_dir), t=0.8)
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 
 N_MINHASH = 16
@@ -254,11 +260,16 @@ _LSH_INVARIANT_ORACLE = """
     """
 
 
-def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """The LSH candidate→verify pipeline; returns exact-Jaccard-verified
     pairs (doc_a, doc_b, jaccard). Split out so the oracled query can
-    certify this leg against the exhaustive exact set."""
-    sh = _doc_shingles(spark, sf_dir)
+    certify this leg against the exhaustive exact set; callers that
+    also need the shingle relation pass it in so the persisted build
+    happens once."""
+    if sh is None:
+        sh = _doc_shingles(spark, sf_dir)
     # 16 minhash signatures per doc: min over shingles of seeded xxhash64.
     sigs = sh.groupBy("doc_id").agg(
         *[
@@ -347,8 +358,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both certificates are distributed aggregates (an anti-join count
     and an avg over a membership flag) broadcast back onto the pair
     rows — no driver-side pair materialization."""
-    lsh = _minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
-    exact = _jaccard_pairs(_doc_shingles(spark, sf_dir), threshold=0.8).persist()
+    sh = _doc_shingles(spark, sf_dir)  # ONE persisted build feeds both legs
+    lsh = _minhash_lsh_pairs(spark, sf_dir, sh).select("doc_a", "doc_b").persist()
+    # exhaustive exact set via the plain inverted-index join: at bench
+    # scale it beats the prefix-filter path (whose global-frequency join
+    # + rank windows only pay off once shingle buckets actually grow)
+    exact = _jaccard_pairs(sh, threshold=0.8).persist()
     # precision: LSH pairs outside the exact set (must be zero)
     n_extra = lsh.join(exact, ["doc_a", "doc_b"], "left_anti").agg(
         F.count(F.lit(1)).alias("n_extra")
