@@ -570,3 +570,100 @@ def asof_join_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_ts timestamp, last_click_ts timestamp",
         )
     )
+
+
+@query(
+    "sketch_join_size_estimate",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+    b AS (SELECT user_id AS k, COUNT(*) AS cb FROM events GROUP BY 1)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_b,
+           CAST(COALESCE(SUM(a.ca * b.cb), 0) AS BIGINT) AS exact_join_size,
+           TRUE AS never_undercounts,
+           TRUE AS within_bound
+    FROM a JOIN b USING (k)
+    """,
+)
+def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from COUNT-MIN SKETCH inner products
+    (AMS/CM sketch algebra): |A ⋈_k B| = sum_k cA(k)*cB(k) is exactly
+    the inner product of the two key-frequency vectors, and the CM
+    estimate min_d sum_b A[d][b]*B[d][b] NEVER undercounts it (hash
+    collisions only add positive cross terms) while staying within
+    ~N_A*N_B/width in expectation — the two-kilobyte answer to 'how
+    big would this join be' that a 100 TB planner consults BEFORE
+    shuffling anything (the same mathematics behind join-size hints
+    and cardinality sketches in warehouse optimizers).
+
+    Estimated here: orders.o_custkey ⋈ events.user_id. Each side
+    reduces to its own depth x width counter grid (fixed-size,
+    mergeable, built map-side); the inner product joins the grids on
+    (d, bucket) — 4k rows — and the certificate booleans (never
+    undercounts; within 4x the expected collision mass, floor 8) are
+    grounded against the exact key-join size computed alongside.
+    Inner-product sums accumulate in DECIMAL: at scale they reach
+    N_A*N_B, far past BIGINT."""
+    a = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    b = table(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+
+    def grid(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(d).alias("d"),
+                                _cms_bucket(d, F.col("k")).alias("b"),
+                            )
+                            for d in range(CMS_DEPTH)
+                        ]
+                    )
+                ).alias("x")
+            )
+            .select("x.d", "x.b")
+            .groupBy("d", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    ga = grid(a)
+    gb = grid(b)
+    est = (
+        ga.join(gb.withColumnRenamed("c", "c2"), ["d", "b"])
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.col("c").cast("decimal(19,0)") * F.col("c2").cast("decimal(19,0)")
+            ).alias("ip")
+        )
+        .agg(F.min("ip").cast("double").alias("est"))
+    )
+    ca = a.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+    cb = b.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+    exact = ca.join(cb, "k").agg(
+        F.coalesce(
+            F.sum(F.col("ca").cast("decimal(19,0)") * F.col("cb").cast("decimal(19,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("exact_ip")
+    )
+    na = a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+    j = (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est))
+    )
+    bound = F.greatest(
+        F.lit(8.0),
+        4.0 * F.col("n_a").cast("double") * F.col("n_b").cast("double") / CMS_WIDTH,
+    )
+    return j.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("exact_ip").cast("bigint").alias("exact_join_size"),
+        (F.col("est") >= F.col("exact_ip").cast("double")).alias("never_undercounts"),
+        (
+            F.col("est") - F.col("exact_ip").cast("double") <= bound
+        ).alias("within_bound"),
+    )

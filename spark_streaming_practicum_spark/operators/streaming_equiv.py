@@ -501,3 +501,67 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(sink_name).orderBy("click_id", "purchase_id")
+
+
+@query(
+    "stream_session_window_true",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                              + INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM flagged)
+    SELECT user_id,
+           MIN(ts)                          AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE     AS session_end,
+           COUNT(*)                         AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session_window_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming session windows: ``session_window(ts, 30 min)``
+    running inside a Structured Streaming query with a watermark and a
+    complete-mode memory sink — the stateful operator whose state is
+    one open session per (user, gap) rather than per event, MERGED as
+    late rows extend or bridge sessions. The batch variant
+    (stream_session_window) proves window semantics; this one proves
+    the STREAMING execution path: dynamic gap state, session merge on
+    arrival, and watermark-driven finalization all run for real, and
+    the result still matches the gaps-and-islands SQL oracle row for
+    row."""
+    stream = stream_table(spark, sf_dir, "events")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    sink_name = f"sesstrue_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink_name).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n",
+        "sum_value",
+    )
