@@ -145,6 +145,9 @@ HEADLINE = [
     "dp_laplace_noisy_counts",
     "linkage_sorted_neighborhood",
     "eval_interrater_agreement",
+    "sketch_join_size_estimate",
+    "incremental_join_refresh",
+    "dedup_cluster_quality_representative",
 ]
 
 

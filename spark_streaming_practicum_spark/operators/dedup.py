@@ -1409,3 +1409,61 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_a", "cust_b")
     )
+
+
+@query(
+    "dedup_cluster_quality_representative",
+    oracle=_PAIRS_CTE
+    + """
+    , cc AS (SELECT a AS doc_id, MIN(b) AS root FROM reach GROUP BY a),
+    scored AS (
+        SELECT cc.root, d.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY cc.root
+                                  ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY cc.root) AS csize
+        FROM cc JOIN documents d ON cc.doc_id = d.doc_id)
+    SELECT root AS cluster_root, doc_id AS kept_doc_id,
+           n_chars AS kept_n_chars,
+           CAST(csize AS BIGINT) AS cluster_size,
+           CAST(csize - 1 AS BIGINT) AS n_dropped
+    FROM scored WHERE rk = 1 AND csize > 1
+    ORDER BY cluster_root
+    """,
+)
+def dedup_cluster_quality_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE representative selection over the near-duplicate
+    clusters: instead of keeping the minimum doc_id (what
+    dedup_cluster_representatives does — cheap but arbitrary), keep
+    the LONGEST member of each multi-doc cluster (n_chars, doc_id
+    tie-break) — the policy real corpus pipelines use, since the
+    longest near-duplicate usually subsumes its truncated copies.
+    Output: one row per non-trivial cluster with the survivor and the
+    drop count.
+
+    Composes the connected-components labeling (frontier label
+    propagation, one keyed shuffle per round) with a metadata join and
+    one per-cluster argmax window — near-dup clusters are small, so
+    the window partitions are bounded; the quality column could be any
+    score (model-based, Gopher gates) without changing the plan."""
+    labels = dedup_cluster_representatives(spark, sf_dir).select(
+        "doc_id", "cluster_root"
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = labels.join(d, "doc_id")
+    w = Window.partitionBy("cluster_root").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    sz = Window.partitionBy("cluster_root")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("csize", F.count(F.lit(1)).over(sz))
+        .filter((F.col("rk") == 1) & (F.col("csize") > 1))
+        .select(
+            "cluster_root",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_n_chars"),
+            F.col("csize").cast("bigint").alias("cluster_size"),
+            (F.col("csize") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("cluster_root")
+    )

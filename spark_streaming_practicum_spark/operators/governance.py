@@ -1102,3 +1102,72 @@ def dp_laplace_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_DP_EPS).alias("epsilon"),
         F.round(F.col("n") + noise, 3).alias("noisy_count"),
     ).orderBy("event_type", "day")
+
+
+_IJR_CUT = "1995-06-01"
+
+
+@query(
+    "incremental_join_refresh",
+    oracle=f"""
+    WITH full_join AS (
+        SELECT o.o_orderpriority,
+               l.l_extendedprice * (1 - l.l_discount) AS rev
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM full_join
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN: the materialized
+    orders ⋈ lineitem revenue rollup is refreshed with the classic
+    delta algebra   Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    — here both tables gain their post-{_IJR_CUT} rows as deltas over a
+    pre-{_IJR_CUT} base, and the refreshed aggregate must equal the
+    full-join recompute EXACTLY (the oracle recomputes from scratch;
+    DECIMAL accumulation makes incremental == recompute an equality,
+    not an approximation).
+
+    This is the join-side companion to incremental_agg_refresh's
+    aggregate-side CDC: at 100 TB the three delta joins each shuffle
+    only a day's changes against the (bucketed) base — never base ⋈
+    base again. The three terms and the base aggregate combine as one
+    unionByName + final rollup, so the whole refresh is one job."""
+    dec = "decimal(38,6)"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_orderdate") < F.lit(_IJR_CUT).cast("timestamp")).alias("is_base"),
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec).alias("rev"),
+        (F.col("l_shipdate") < F.lit(_IJR_CUT).cast("timestamp")).alias("is_base"),
+    )
+    o_base, o_delta = o.filter("is_base"), o.filter("NOT is_base")
+    l_base, l_delta = li.filter("is_base"), li.filter("NOT is_base")
+
+    def term(lhs, rhs):
+        return lhs.join(rhs, lhs.o_orderkey == rhs.l_orderkey).select(
+            "o_orderpriority", "rev"
+        )
+
+    # previous MV state (in real life: stored, not rescanned)
+    base_state = term(o_base, l_base)
+    refreshed = (
+        base_state.unionByName(term(o_delta, l_base))
+        .unionByName(term(o_base, l_delta))
+        .unionByName(term(o_delta, l_delta))
+    )
+    return (
+        refreshed.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
