@@ -637,7 +637,12 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c").cast("decimal(19,0)") * F.col("c2").cast("decimal(19,0)")
             ).alias("ip")
         )
-        .agg(F.min("ip").cast("double").alias("est"))
+        .agg(
+            # empty grid intersection can only happen when the true join
+            # is empty (any shared key populates its (d, bucket) row in
+            # every depth) — estimate 0 then, not NULL
+            F.coalesce(F.min("ip").cast("double"), F.lit(0.0)).alias("est")
+        )
     )
     ca = a.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
     cb = b.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
