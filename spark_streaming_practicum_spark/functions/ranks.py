@@ -47,6 +47,22 @@ def _track_persisted(df: DataFrame) -> DataFrame:
     return df
 
 
+def persisted(df: DataFrame) -> DataFrame:
+    """Chain-friendly ``df.persist()`` routed through the bounded FIFO —
+    ``df.transform(persisted)`` instead of ``df.persist()``.
+
+    Operator-level persists used to rely on the bench/driver clearing
+    caches between queries; in a LONG-LIVED session a multi-query sweep
+    would accumulate storage memory without bound (round-3 advice).
+    Routing every operator persist here caps live cached frames at
+    ``_MAX_LIVE``; evicting a frame an un-materialized plan still
+    references merely recomputes it (speed, not correctness). Frames a
+    query unpersists itself (iterative loops) may be evicted again —
+    ``unpersist`` on a cold frame is a no-op, so double release is
+    harmless."""
+    return _track_persisted(df.persist())
+
+
 def release_persisted_frames() -> None:
     """Drop every helper-persisted frame (test/bench teardown hook)."""
     while _live_persisted:

@@ -629,7 +629,7 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ga = grid(a)
     gb = grid(b)
-    est = (
+    per_depth = (
         ga.join(gb.withColumnRenamed("c", "c2"), ["d", "b"])
         .groupBy("d")
         .agg(
@@ -637,11 +637,21 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c").cast("decimal(19,0)") * F.col("c2").cast("decimal(19,0)")
             ).alias("ip")
         )
+    )
+    # A depth whose (d, bucket) intersection is EMPTY has inner product
+    # 0 and must participate in the min — taking min over only the
+    # depths the join produced would let collision-populated depths
+    # dominate and the estimate exceed the true CM minimum. Left-join
+    # against the full depth range and coalesce the gaps to 0 (which
+    # also covers the all-depths-empty ⇒ true-join-empty case).
+    est = (
+        spark.range(CMS_DEPTH)
+        .select(F.col("id").cast("int").alias("d"))
+        .join(per_depth, "d", "left")
         .agg(
-            # empty grid intersection can only happen when the true join
-            # is empty (any shared key populates its (d, bucket) row in
-            # every depth) — estimate 0 then, not NULL
-            F.coalesce(F.min("ip").cast("double"), F.lit(0.0)).alias("est")
+            F.min(F.coalesce(F.col("ip"), F.lit(0).cast("decimal(38,0)")))
+            .cast("double")
+            .alias("est")
         )
     )
     ca = a.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
+from ..functions.ranks import persisted as _persisted
 
 
 @query(
@@ -196,7 +197,7 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .persist()
+        .transform(_persisted)
     )
     n = po.agg(
         F.count_distinct("l_orderkey").cast("double").alias("cnt")
@@ -267,7 +268,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("monetary"),
         )
-        .persist()
+        .transform(_persisted)
     )
 
     def quartile(metric: str, out: str) -> DataFrame:
@@ -2160,7 +2161,7 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
-    ).persist()
+    ).transform(_persisted)
 
     def ranks(col: str) -> DataFrame:
         pv = pts.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -2320,7 +2321,7 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             vto.isNull().alias("is_current"),
         )
 
-    dim = runs(hist.select("user_id", "event_id", "ts", "event_type")).persist()
+    dim = runs(hist.select("user_id", "event_id", "ts", "event_type")).transform(_persisted)
     closed = dim.filter(~F.col("is_current"))
     open_v = dim.filter(F.col("is_current"))
     touched = delta.select("user_id").distinct()
@@ -2908,7 +2909,11 @@ def xicor_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blow through BIGINT once groups pass ~2M rows (the 20x scale
     # probe caught exactly this as an ANSI ARITHMETIC_OVERFLOW). The
     # decimal sums stay exact to 1e38; the final ratio converts each
-    # exact integer to double identically in both engines.
+    # exact integer to double identically in both engines. The l*(n-l)
+    # product is cast to decimal(38,0) EXPLICITLY — its operands are
+    # decimal(19,0) and the invariant must not hinge on Spark's
+    # implicit 19x19 -> 38 promotion surviving future rule changes
+    # (round-3 advice).
     dec = "decimal(19,0)"
     return (
         seq.groupBy("grp")
@@ -2920,7 +2925,9 @@ def xicor_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast(dec)
             ).alias("sd"),
             F.sum(
-                F.col("l").cast(dec) * (F.col("n") - F.col("l")).cast(dec)
+                (F.col("l").cast(dec) * (F.col("n") - F.col("l")).cast(dec)).cast(
+                    "decimal(38,0)"
+                )
             ).alias("den"),
         )
         .select(

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions.textfns import poly_hash, shingles, tokens
 from ..registry import query
+from ..functions.ranks import persisted as _persisted
 from .training import _bucket, _bucket_sql
 
 _WORDS_SQL = "SELECT doc_id, string_split(text, ' ') AS w FROM documents"
@@ -228,7 +229,7 @@ def dedup_crossdoc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     sh = d.select(
         "doc_id", F.explode(shingles(tokens(F.col("text")), 5)).alias("g")
-    ).persist()
+    ).transform(_persisted)
     docfreq = sh.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
     dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
     return (
@@ -887,7 +888,7 @@ def curation_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dupf") < 0.2).alias("r_ok"),
             (F.col("doc_id") == F.min("doc_id").over(w_first)).alias("first_occ"),
         )
-        .persist()
+        .transform(_persisted)
     )
     tot = flags.agg(F.count(F.lit(1)).alias("n0"))
 

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions.textfns import shingles, tokens
 from ..registry import query
+from ..functions.ranks import persisted as _persisted
 from .ml import _ASSIGN_SQL as _KM_ASSIGN_SQL
 from .ml import _UPDATE_SQL as _KM_UPDATE_SQL
 
@@ -104,7 +105,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(F.array_distinct(shingles(tokens("text"), 3))).alias("shingle"),
         )
-        .persist()
+        .transform(_persisted)
     )
     # Materialize eagerly: downstream plans reference this set from
     # several branches of ONE job, and un-materialized caches would be
@@ -195,7 +196,7 @@ def _jaccard_pairs_ppjoin(sh: DataFrame, t: float = 0.8) -> DataFrame:
         )
         .select("doc_a", "doc_b")
         .distinct()
-        .persist()
+        .transform(_persisted)
     )
     candidates.count()  # eager: feeds pruning, verification and the final join
     cand_docs = (
@@ -316,7 +317,7 @@ def _minhash_lsh_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .persist()
+        .transform(_persisted)
     )
     candidates.count()  # eager, for the same multi-branch reason as above
     # Verify candidates with exact Jaccard, computed ONLY over docs that
@@ -359,11 +360,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and an avg over a membership flag) broadcast back onto the pair
     rows — no driver-side pair materialization."""
     sh = _doc_shingles(spark, sf_dir)  # ONE persisted build feeds both legs
-    lsh = _minhash_lsh_pairs(spark, sf_dir, sh).select("doc_a", "doc_b").persist()
+    lsh = _minhash_lsh_pairs(spark, sf_dir, sh).select("doc_a", "doc_b").transform(_persisted)
     # exhaustive exact set via the plain inverted-index join: at bench
     # scale it beats the prefix-filter path (whose global-frequency join
     # + rank windows only pay off once shingle buckets actually grow)
-    exact = _jaccard_pairs(sh, threshold=0.8).persist()
+    exact = _jaccard_pairs(sh, threshold=0.8).transform(_persisted)
     # precision: LSH pairs outside the exact set (must be zero)
     n_extra = lsh.join(exact, ["doc_a", "doc_b"], "left_anti").agg(
         F.count(F.lit(1)).alias("n_extra")
@@ -598,7 +599,7 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
         .repartition(n_parts, "doc_b")
-        .persist()
+        .transform(_persisted)
     )
     edges.count()
 
@@ -609,7 +610,7 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     # Isolated docs are size-1 clusters attached at the end, unshuffled.
     edge_docs = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = (
-        edge_docs.repartition(n_parts, "doc_id").withColumn("root", F.col("doc_id")).persist()
+        edge_docs.repartition(n_parts, "doc_id").withColumn("root", F.col("doc_id")).transform(_persisted)
     )
     labels.count()
 
@@ -639,7 +640,7 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.sum((F.col("old_root") != F.col("root")).cast("long")).alias("n_changed"),
             )
             .drop("old_root")
-            .persist()
+            .transform(_persisted)
         )
         new_labels.count()
         changed = obs.get["n_changed"] or 0
@@ -827,7 +828,7 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Three consumers (both pair-join sides + the final rollup) would each
     # recompute the 2-round Lloyd lineage — materialize the assignment once.
-    assign1 = _assign(vecs, _update(_assign(vecs, cents0))).persist()
+    assign1 = _assign(vecs, _update(_assign(vecs, cents0))).transform(_persisted)
 
     a = assign1.select(
         F.col("cluster"),

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
+from ..functions.ranks import persisted as _persisted
 
 # Deterministic "two snapshots of the same table" derivation, shared by
 # the Spark plan and the DuckDB oracle: the old snapshot is orders minus
@@ -874,7 +875,7 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") % 97 == 0)
         .select("user_id")
         .distinct()
-        .persist()
+        .transform(_persisted)
     )
     n_req = req.count()
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
+from ..functions.ranks import persisted as _persisted
 
 _K = 4
 
@@ -327,7 +328,7 @@ def pca_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cache BEFORE the symmetric mirror: the union below references
         # this lineage twice, and the 3 iterations re-join it — with the
         # cache boundary here the corpus parquet is scanned exactly once
-        .persist()
+        .transform(_persisted)
     )
     c = (
         F.col("sxy") / F.col("n")
@@ -415,7 +416,7 @@ def _logreg_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_discount") * 10.0).alias("x2"),
         F.lit(1.0).alias("x3"),
         F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
-    ).persist()
+    ).transform(_persisted)
 
     # step 1: w = 0 -> sigmoid(0) = 0.5 exactly; gradient is avg((0.5-y)*x)
     r = F.lit(0.5) - F.col("y")
@@ -1363,23 +1364,23 @@ def coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     c0 = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("ce"))
     d1 = e.crossJoin(F.broadcast(c0)).select(
         "vec_id", "emb", dist(F.col("emb"), F.col("ce")).alias("dmin")
-    ).persist()
+    ).transform(_persisted)
     c1 = (
         d1.orderBy(F.round("dmin", 6).desc(), F.col("vec_id").asc())
         .limit(1)
         .select(F.col("vec_id").alias("cid"), F.col("emb").alias("ce"))
-        .persist()
+        .transform(_persisted)
     )
     d2 = d1.crossJoin(F.broadcast(c1.select("ce"))).select(
         "vec_id",
         "emb",
         F.least(F.col("dmin"), dist(F.col("emb"), F.col("ce"))).alias("dmin"),
-    ).persist()
+    ).transform(_persisted)
     c2 = (
         d2.orderBy(F.round("dmin", 6).desc(), F.col("vec_id").asc())
         .limit(1)
         .select(F.col("vec_id").alias("cid"), F.col("emb").alias("ce"))
-        .persist()
+        .transform(_persisted)
     )
     d3 = d2.crossJoin(F.broadcast(c2.select("ce"))).select(
         "vec_id",

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
+from ..functions.ranks import persisted as _persisted
 
 
 def decode_image_real(payload: bytes) -> tuple[int, int]:
@@ -415,7 +416,7 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline above is evaluated twice (once per join side)
     hashed = counted.select(
         "doc_id", *[band(j).alias(f"b{j}") for j in range(_PHASH_BANDS)]
-    ).persist()
+    ).transform(_persisted)
 
     bands = F.explode(
         F.array(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions.vector import dot, l2_norm
 from ..registry import query
+from ..functions.ranks import persisted as _persisted
 
 QUERY_VEC_ID = 0
 TOP_K = 20
@@ -626,7 +627,7 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("rel"),
         )
-        .persist()
+        .transform(_persisted)
     )
     sel_schema = T.StructType(
         [
@@ -993,7 +994,7 @@ def crosslingual_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / _MINE_K
             ).alias("knn"),
         )
-    ).persist()
+    ).transform(_persisted)
     ks = knn.filter(F.col("side") == "s").select("id", F.col("knn").alias("knn_s"))
     kt = knn.filter(F.col("side") == "t").select("id", F.col("knn").alias("knn_t"))
     left2 = left.join(F.broadcast(ks), "id").select(
@@ -1021,17 +1022,30 @@ def crosslingual_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         denom = (
             lhs["knn"].to_numpy()[:, None] + rhs["knn"].to_numpy()[None, :]
         ) / 2.0
-        margin = cos / denom
+        # Block-local selection uses the SAME order the oracle ranks by
+        # globally — ROUNDED margin desc, then (src_id, tgt_id) asc —
+        # so rounds-equal boundary pairs are kept/cut identically in
+        # both engines at any scale factor (round-3 advice: selecting
+        # by the unrounded margin risked a different top-N tail).
+        margin = np.round(cos / denom, 6)
         flat = margin.ravel()
         n_keep = min(_MINE_TOPN, flat.size)
-        idx = np.argpartition(-flat, n_keep - 1)[:n_keep]
-        ia, jb = np.unravel_index(idx, margin.shape)
+        # O(n) partition finds the n-th largest ROUNDED value; only the
+        # candidates at-or-above it (top n plus rounds-equal boundary
+        # ties, a tiny set) pay the O(m log m) lexsort.
+        vth = -np.partition(-flat, n_keep - 1)[n_keep - 1]
+        cand = np.nonzero(flat >= vth)[0]
+        ia_c, jb_c = np.unravel_index(cand, margin.shape)
+        sid = lhs["id"].to_numpy()[ia_c]
+        tid = rhs["id"].to_numpy()[jb_c]
+        order = np.lexsort((tid, sid, -flat[cand]))[:n_keep]
+        ia, jb = ia_c[order], jb_c[order]
         return pd.DataFrame(
             {
                 "src_id": lhs["id"].to_numpy()[ia],
                 "tgt_id": rhs["id"].to_numpy()[jb],
                 "cosine": np.round(cos[ia, jb], 6),
-                "margin": np.round(margin[ia, jb], 6),
+                "margin": margin[ia, jb],
             }
         )
 

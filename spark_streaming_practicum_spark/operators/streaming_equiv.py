@@ -342,7 +342,10 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.user_id = b.user_id
          AND a.event_type = 'click' AND b.event_type = 'purchase'
          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 MINUTE),
-    mx AS (SELECT MAX(ts) AS mt FROM events)
+    mx AS (SELECT LEAST(
+               (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+           ) AS mt)
     SELECT date_trunc('hour', conv.p_ts) AS window_start,
            COUNT(*) AS n_conversions
     FROM conv, mx
@@ -362,11 +365,15 @@ def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both operators keep watermark-bounded state (join: 1 h + 2 min
     range; window: in-flight hours), so state is O(recent data) at any
     scale. A join-fed aggregation must run in APPEND mode, which emits
-    only FINALIZED windows — with the 1-hour delay the final watermark
-    rests at max(ts) - 1 h, so the oracle pins exactly the windows
-    whose end <= max(ts) - 1 h: the non-emission of in-flight tail
-    windows is watermark SEMANTICS, asserted rather than worked
-    around."""
+    only FINALIZED windows — and because the join consumes TWO
+    watermarked inputs, the global watermark is the MIN over both
+    sides' (max event time - 1 h). On this data clicks stop hours
+    before purchases, so the binding side is the CLICK stream: the
+    oracle pins exactly the windows whose end
+    <= LEAST(max click ts, max purchase ts) - 1 h. The non-emission of
+    in-flight tail windows is watermark SEMANTICS, asserted rather
+    than worked around (round-3 advice: the earlier MAX(ts)-over-all
+    oracle held only by data coincidence)."""
     clicks = (
         stream_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "click")

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions.textfns import EN_STOPWORDS, poly_hash, shingles, tokens
 from ..registry import query
+from ..functions.ranks import persisted as _persisted
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 
@@ -132,7 +133,7 @@ def text_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exploded frame (the round-2 bench's highest-variance step).
     tri = (
         d.select("doc_id", "lang", F.explode(F.array_distinct(tg_arr)).alias("tg"))
-        .persist()
+        .transform(_persisted)
     )
     tri.count()  # shared by profile training, scoring and the nt count
     ntri = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
@@ -772,7 +773,7 @@ def ngram_draft_acceptance_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "b.prev", "b.nxt")
     )
-    bg = bg.persist()
+    bg = bg.transform(_persisted)
     counts = bg.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c"))
     rk = Window.partitionBy("prev").orderBy(F.col("c").desc(), F.col("nxt").asc())
     draft = (

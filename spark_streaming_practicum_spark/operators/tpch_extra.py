@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions.aggs import dsum, dsum_sql
 from ..registry import query
+from ..functions.ranks import persisted as _persisted
 
 _REV = "l_extendedprice * (1 - l_discount)"
 
@@ -301,7 +302,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    r = l.groupBy("l_suppkey").agg(dsum(rev).alias("total_rev")).persist()
+    r = l.groupBy("l_suppkey").agg(dsum(rev).alias("total_rev")).transform(_persisted)
     best = r.agg(F.max("total_rev").alias("m")).collect()[0]["m"]
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -385,7 +386,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
         .select("l_orderkey", "l_suppkey")
         .distinct()
-        .persist()
+        .transform(_persisted)
     )
     late.count()
     other = l.select(

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions.textfns import poly_hash
 from ..registry import query
+from ..functions.ranks import persisted as _persisted
 
 # DuckDB mirror of poly_hash over an arbitrary string expression.
 _POLY_SQL = (
@@ -310,7 +311,7 @@ def ids_contiguous_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
         .withColumn("pid", F.spark_partition_id())
-        .persist()
+        .transform(_persisted)
     )
     sizes = {r["pid"]: r["n"] for r in d.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
     offsets, acc = [], 0
@@ -964,7 +965,7 @@ def t5_span_corruption_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (((F.col("doc_id") % 1000003) * 2654435761 + F.floor(F.col("pos") / 3) * 40503) % 100)
             < 15
         ).alias("masked"),
-    ).persist()
+    ).transform(_persisted)
     w_k = Window.partitionBy("doc_id").orderBy("p0")
     spans = (
         tagged.filter("masked")
@@ -1137,7 +1138,7 @@ def bradley_terry_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("wv") == F.col("lv")) & (F.col("wid") < F.col("lid")))
         )
     ).select(F.col("wt").alias("winner"), F.col("lt").alias("loser"))
-    duel = duel.persist()
+    duel = duel.transform(_persisted)
     wins = duel.groupBy(F.col("winner").alias("item")).agg(F.count(F.lit(1)).alias("w"))
     games = (
         duel.select(F.col("winner").alias("item"))
