@@ -16,9 +16,13 @@ def _pairs(df, a="doc_a", b="doc_b"):
 
 def test_minhash_lsh_subset_of_exact_jaccard(spark):
     """LSH-verified pairs are exactly the exact-Jaccard pairs the bands
-    recalled — a subset of the exhaustive result, at full precision."""
+    recalled — a subset of the exhaustive result, at full precision.
+    (Targets the production LSH leg directly; the registered query now
+    emits the bounded certificate form.)"""
+    from spark_streaming_practicum_spark.operators.dedup import _minhash_lsh_pairs
+
     exact = _pairs(DEFS["dedup_ngram_jaccard"].fn(spark, SF_DIR))
-    lsh = _pairs(DEFS["dedup_minhash_lsh"].fn(spark, SF_DIR))
+    lsh = _pairs(_minhash_lsh_pairs(spark, SF_DIR))
     assert lsh <= exact
     # bands of 4 rows at j>=0.8: P(miss) = (1-j^4)^4 <= 0.116 per pair;
     # require decent recall on this corpus
@@ -27,9 +31,13 @@ def test_minhash_lsh_subset_of_exact_jaccard(spark):
 
 
 def test_simhash_pairs_are_near_duplicates(spark):
-    """SimHash-blocked pairs at Hamming<=6 should be dominated by the
-    known near-dup clusters (jaccard overlap)."""
-    sim = _pairs(DEFS["dedup_simhash"].fn(spark, SF_DIR))
+    """SimHash-blocked candidates at Hamming<=6 should be dominated by
+    the known near-dup clusters (jaccard overlap). (Targets the banded
+    signature leg directly; the registered query now emits the bounded
+    certificate form.)"""
+    from spark_streaming_practicum_spark.operators.dedup import _simhash_candidates
+
+    sim = _pairs(_simhash_candidates(spark, SF_DIR))
     exact = _pairs(DEFS["dedup_ngram_jaccard"].fn(spark, SF_DIR))
     if exact:
         # every exact near-dup pair should collide in simhash space
