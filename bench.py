@@ -220,18 +220,29 @@ def main() -> None:
 
     # min of 2 runs per query: the host is shared, and the minimum is the
     # stable estimator of actual plan cost under background load.
+    from spark_streaming_practicum_spark.functions.ranks import (
+        release_persisted_frames,
+    )
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(min(run_once(name), run_once(name)), 3)
         # Isolate queries: run 2 of a query may reuse run 1's persisted
         # subtrees (that reuse is part of the operator's own design), but
         # caches must never leak across queries and pile up into
-        # storage-memory eviction thrash.
+        # storage-memory eviction thrash. Operator persists route
+        # through the bounded FIFO since round 4 — drain it too so its
+        # references don't pin the frames clearCache just dropped.
         spark.catalog.clearCache()
+        release_persisted_frames()
 
     total = round(sum(timings.values()), 3)
+    # ONE metric string everywhere (round-3 verdict: the detail file and
+    # the final stdout line used different names for the same number,
+    # breaking round-over-round keying).
+    metric = "headline query wall time (noop-materialized)"
     detail = {
-        "metric": "headline query wall time (noop-materialized)",
+        "metric": metric,
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
@@ -248,7 +259,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"headline query wall time, sum over {len(timings)} queries",
+                "metric": metric,
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),

@@ -521,7 +521,15 @@ def curriculum_perplexity_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributed range-partition ranking (global_row_number +
     ntile_from_rank) instead of a single-partition NTILE window, keyed
     on the rounded entropy with a doc_id tie-break so both engines
-    rank the identical total order."""
+    rank the identical total order.
+
+    Both bigram slots are DICTIONARY-ENCODED to 64-bit xxhash64 ids at
+    the scan (round-3 probe follow-up): the KN model is pure count
+    algebra over bigram IDENTITY — no string ordering or output
+    anywhere — so every shuffle (bigram/unigram/fanout/continuation
+    counts) and the model join carry longs instead of prose strings,
+    ~4x fewer key bytes. Collision odds ~|V|²/2⁶⁵; an adversarial
+    vocabulary would swap in a join-based exact dictionary."""
     from ..functions.ranks import global_row_number, ntile_from_rank
 
     d = table(spark, sf_dir, "documents").select(
@@ -536,11 +544,11 @@ def curriculum_perplexity_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(
                     F.sequence(F.lit(1), count),
                     lambda i: F.struct(
-                        F.element_at("w", i).alias("w1"),
-                        F.element_at("w", i + 1).alias("w2"),
+                        F.xxhash64(F.element_at("w", i)).alias("w1"),
+                        F.xxhash64(F.element_at("w", i + 1)).alias("w2"),
                     ),
                 ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).otherwise(F.array().cast("array<struct<w1:bigint,w2:bigint>>"))
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
     bg = docbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c"))

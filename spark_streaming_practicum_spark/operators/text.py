@@ -752,7 +752,19 @@ def ngram_draft_acceptance_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The draft table is one groupBy over exploded bigrams + a rank
     window on the per-prev frame; scoring joins each bigram to its
     prev's single draft row — a broadcast-size table (<= |vocab|
-    rows), so the corpus is scanned twice and never self-joined."""
+    rows), so the corpus is scanned twice and never self-joined.
+
+    The PREV token — the key of every shuffle here (bigram counts, the
+    per-prev rank window, the draft join) — is DICTIONARY-ENCODED to a
+    64-bit hash AT THE SCAN: the output carries only per-doc rates, so
+    the string is never needed on the key side, and long keys both
+    halve the shuffle key bytes and hash/compare faster than prose
+    strings (round-3 probe: this query is scan/shuffle-bound). NXT
+    stays a string because the oracle's draft tie-break (c DESC, nxt
+    ASC) is alphabetical on the token — hashing it would reorder ties.
+    xxhash64 is injective on any realistic vocabulary (collision odds
+    ~|V|²/2⁶⁵, ~1e-9 at a 10M-type vocab); an adversarial vocabulary
+    would swap in a join-based exact dictionary at the same position."""
     w = tokens("text")
     bg = (
         table(spark, sf_dir, "documents")
@@ -764,11 +776,11 @@ def ngram_draft_acceptance_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.transform(
                         F.sequence(F.lit(1), F.size(w) - 1),
                         lambda i: F.struct(
-                            F.element_at(w, i).alias("prev"),
+                            F.xxhash64(F.element_at(w, i)).alias("prev"),
                             F.element_at(w, i + 1).alias("nxt"),
                         ),
                     ),
-                ).otherwise(F.array().cast("array<struct<prev:string,nxt:string>>"))
+                ).otherwise(F.array().cast("array<struct<prev:bigint,nxt:string>>"))
             ).alias("b"),
         )
         .select("doc_id", "b.prev", "b.nxt")

@@ -15,6 +15,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.types import LongType, StructField, StructType
 
+from ..pbcompat import ensure_protobuf
+
+# Runs at driver import AND inside every Python worker that unpickles
+# the processor (pyspark's StateMessage_pb2 imports are lazy, so the
+# worker-side bootstrap always lands before the first proto use).
+ensure_protobuf()
+
 OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType(), True),
