@@ -477,6 +477,31 @@ def interval_overlap_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFr
         )
     )
 
+    pairs = _interval_overlap_pairs(sessions, incidents, small_incidents=True)
+    overlap = (
+        F.unix_timestamp(F.least("s_end", "i_end"))
+        - F.unix_timestamp(F.greatest("s_start", "i_start"))
+    ).cast("bigint")
+    return pairs.select(
+        "user_id", "day", "incident_day", overlap.alias("overlap_seconds")
+    ).orderBy("user_id", "day", "incident_day")
+
+
+def _interval_overlap_pairs(
+    sessions: DataFrame, incidents: DataFrame, small_incidents: bool = False
+) -> DataFrame:
+    """The bucketized interval-overlap core: explode both interval sets
+    to 1-hour grid cells, equi-join on the cell, dedup multi-cell
+    pairs, then verify the exact predicate.
+
+    ``small_incidents=True`` adds the broadcast hint (the registered
+    query's incidents are one-per-day — always tiny). WITHOUT the hint
+    the plan is a plain shuffled equi-join on the cell key, which is
+    the shape that survives a non-broadcast-sized incident side at
+    100 TB — pinned by the round-4 scale test
+    (tests/test_round4_plans.py): hash join on `cell`, never a
+    BroadcastNestedLoopJoin, results unchanged."""
+
     def cells(start, end):
         return F.sequence(
             F.floor(F.unix_timestamp(start) / 3600).cast("long"),
@@ -489,18 +514,13 @@ def interval_overlap_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFr
     i_cells = incidents.select(
         "*", F.explode(cells(F.col("i_start"), F.col("i_end"))).alias("cell")
     )
-    pairs = (
-        s_cells.join(F.broadcast(i_cells), "cell")
+    if small_incidents:
+        i_cells = F.broadcast(i_cells)
+    return (
+        s_cells.join(i_cells, "cell")
         .select("user_id", "day", "incident_day", "s_start", "s_end", "i_start", "i_end")
         .distinct()
         .filter(
             (F.col("s_start") <= F.col("i_end")) & (F.col("i_start") <= F.col("s_end"))
         )
     )
-    overlap = (
-        F.unix_timestamp(F.least("s_end", "i_end"))
-        - F.unix_timestamp(F.greatest("s_start", "i_start"))
-    ).cast("bigint")
-    return pairs.select(
-        "user_id", "day", "incident_day", overlap.alias("overlap_seconds")
-    ).orderBy("user_id", "day", "incident_day")

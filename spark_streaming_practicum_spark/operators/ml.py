@@ -43,15 +43,23 @@ def _sqdist(a: Column | str, b: Column | str) -> Column:
 
 
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast join + per-vector argmin."""
+    """Nearest-centroid assignment: broadcast join + per-vector argmin.
+
+    The argmin is a lexicographic MIN over (d2, cluster) structs — the
+    same (distance, cluster-id) tie-break a rank window would apply,
+    but as a partial-aggregable groupBy: the n*k candidate rows
+    collapse MAP-SIDE (the broadcast crossJoin keeps all k rows of a
+    vector in one partition), where the round-4 probe showed the
+    previous per-vector rank window shuffling all n*k rows — the
+    difference between O(n) and O(n*k) shuffle bytes once k scales
+    with the corpus (semdedup's k = n/250)."""
     cand = vecs.crossJoin(F.broadcast(cents)).withColumn(
         "d2", _sqdist("embedding", "cemb")
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
     return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cluster")
+        cand.groupBy("vec_id", "embedding")
+        .agg(F.min(F.struct(F.col("d2"), F.col("cluster"))).alias("best"))
+        .select("vec_id", "embedding", F.col("best.cluster").alias("cluster"))
     )
 
 

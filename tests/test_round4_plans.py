@@ -102,6 +102,40 @@ def test_jaccard_df_cap_excludes_hot_shingles_from_join(spark):
     assert (0, 1) in uncapped
 
 
+def test_interval_overlap_survives_nonbroadcast_incident_side(spark):
+    """The bucketized interval join's scale path: with a LARGE incident
+    side (no broadcast hint), the plan is a shuffled hash join on the
+    grid cell — never a nested loop — and results equal the
+    broadcast-hinted plan row for row."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_practicum_spark.operators.joins import (
+        _interval_overlap_pairs,
+    )
+
+    base = 1_700_000_000
+    sessions = spark.range(600).select(
+        F.col("id").alias("user_id"),
+        F.lit("2023-11-14").alias("day"),
+        F.timestamp_seconds(base + F.col("id") * 120).alias("s_start"),
+        F.timestamp_seconds(base + F.col("id") * 120 + 5400).alias("s_end"),
+    )
+    incidents = spark.range(500).select(
+        F.col("id").alias("incident_day"),
+        F.timestamp_seconds(base + F.col("id") * 180).alias("i_start"),
+        F.timestamp_seconds(base + F.col("id") * 180 + 1800).alias("i_end"),
+    )
+    shuffled = _interval_overlap_pairs(sessions, incidents, small_incidents=False)
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "cell" in plan  # the grid key reached the join
+    hinted = _interval_overlap_pairs(sessions, incidents, small_incidents=True)
+    key = ["user_id", "day", "incident_day"]
+    assert shuffled.select(key).exceptAll(hinted.select(key)).count() == 0
+    assert hinted.select(key).exceptAll(shuffled.select(key)).count() == 0
+    assert shuffled.count() > 0
+
+
 def test_sampled_exact_leg_covers_or_pairs_once(spark):
     """sample_mod emits each qualifying pair exactly once (canonical
     orientation), covering pairs with EITHER endpoint sampled."""
