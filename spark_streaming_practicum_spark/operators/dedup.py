@@ -991,8 +991,6 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative."""
     from .ml import _assign, _update
 
-    from ..functions.vector import dot, l2_norm
-
     vecs = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     k = max(4, vecs.count() // 250)
     cents0 = vecs.filter(F.col("vec_id") < k).select(
@@ -1003,25 +1001,30 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recompute the 2-round Lloyd lineage — materialize the assignment once.
     assign1 = _assign(vecs, _update(_assign(vecs, cents0))).transform(_persisted)
 
-    a = assign1.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        l2_norm("embedding").alias("na"),
-    )
-    b = assign1.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-        l2_norm("embedding").alias("nb"),
-    )
-    cos = F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 4)
+    # Within-cluster pruning as ONE numpy GEMM per cluster (the same
+    # Arrow-batched pattern as dedup_embedding_cosine): the round-4
+    # probe showed the per-pair HOF cosine fold dominating at 20x —
+    # cluster-size-bounded matmuls cut that stage to vectorized numpy,
+    # and the shuffle carries one row per vector, never per pair.
+    import numpy as np
+    import pandas as pd
+
+    def prune_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        m = np.vstack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        m /= np.sqrt((m * m).sum(axis=1, keepdims=True))
+        cos = np.round(m @ m.T, 4)
+        # column c is pruned iff some lower-id row r < c has cos >= 0.45
+        hit = np.triu(cos >= 0.45, k=1).any(axis=0)
+        return pd.DataFrame({"vec_id": ids[hit].astype("int64")})
+
     pruned = (
-        a.join(b, ["cluster"])
-        .filter(F.col("va") < F.col("vb"))
-        .filter(cos >= 0.45)
-        .select(F.col("vb").alias("vec_id"))
-        .distinct()
+        assign1.select("cluster", "vec_id", "embedding")
+        .groupBy("cluster")
+        .applyInPandas(prune_cluster, "vec_id bigint")
         .withColumn("is_pruned", F.lit(True))
     )
     return (

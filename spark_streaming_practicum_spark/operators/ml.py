@@ -57,9 +57,17 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
         "d2", _sqdist("embedding", "cemb")
     )
     return (
-        cand.groupBy("vec_id", "embedding")
-        .agg(F.min(F.struct(F.col("d2"), F.col("cluster"))).alias("best"))
-        .select("vec_id", "embedding", F.col("best.cluster").alias("cluster"))
+        cand.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(F.col("d2"), F.col("cluster"), F.col("embedding").alias("e"))
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.e").alias("embedding"),
+            F.col("best.cluster").alias("cluster"),
+        )
     )
 
 
