@@ -40,6 +40,13 @@ def _utc_pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[Spark
 # additions, then everything else in registration order.
 _NEWEST_FIRST = [
     # round 4: new / structurally changed
+    "stream_watermark_lateness_plan",
+    "granger_lag_causality",
+    "retrieval_dirichlet_ql",
+    "dedup_bloom_incremental",
+    "minhash_merge_certificate",
+    "stream_tws_map_state_type_counts",
+    "semdedup_cluster_prune",
     "stream_tws_event_counts",
     "dedup_simhash",
     "dedup_minhash_lsh",

@@ -3304,3 +3304,135 @@ def propensity_strata_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("m1") - F.col("m0"), 4).alias("stratum_effect"),
         F.round(att, 4).alias("att"),
     ).orderBy("stratum")
+
+
+# --- Granger-style lagged predictive test ------------------------------------
+
+
+@query(
+    "granger_lag_causality",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS y
+        FROM events GROUP BY 1),
+    lagged AS (
+        SELECT y,
+               LAG(y) OVER (ORDER BY day) AS z1,
+               LAG(x) OVER (ORDER BY day) AS z2
+        FROM daily),
+    f AS (SELECT y, z1, z2 FROM lagged WHERE z1 IS NOT NULL),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(y  AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(z1 AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(z2 AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(y * y   AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(z1 * z1 AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+               CAST(SUM(CAST(z2 * z2 AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+               CAST(SUM(CAST(z1 * z2 AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+               CAST(SUM(CAST(z1 * y  AS DECIMAL(38,6))) AS DOUBLE) AS s1y,
+               CAST(SUM(CAST(z2 * y  AS DECIMAL(38,6))) AS DOUBLE) AS s2y
+        FROM f),
+    c AS (
+        SELECT n,
+               syy - sy * sy / n  AS cyy,
+               s11 - s1 * s1 / n  AS c11,
+               s22 - s2 * s2 / n  AS c22,
+               s12 - s1 * s2 / n  AS c12,
+               s1y - s1 * sy / n  AS c1y,
+               s2y - s2 * sy / n  AS c2y
+        FROM s),
+    m AS (
+        SELECT n,
+               (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+               (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2,
+               cyy, c11, c1y, c2y
+        FROM c),
+    r AS (
+        SELECT n,
+               cyy - b1 * c1y - b2 * c2y       AS rss_u,
+               cyy - c1y * c1y / c11           AS rss_r,
+               b1, b2
+        FROM m)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           ROUND(b1, 6) AS beta_self_lag,
+           ROUND(b2, 6) AS beta_cross_lag,
+           ROUND((rss_r - rss_u) / (rss_u / (n - 3)), 6) AS f_stat,
+           (rss_r - rss_u) / (rss_u / (n - 3)) > 4.0 AS clicks_predict_purchases
+    FROM r
+    """,
+)
+def granger_lag_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-style lag-1 predictive test: do yesterday's CLICKS carry
+    information about today's PURCHASES beyond what yesterday's
+    purchases already predict? Restricted model y_t ~ y_{t-1} vs
+    unrestricted y_t ~ y_{t-1} + x_{t-1}; the F-statistic on the
+    residual-sum drop is the Granger test (F(1, n-3); the fixed 4.0
+    gate is the ~alpha=.045 critical value at this n).
+
+    Plan: the fact table collapses to the per-day frame FIRST (one
+    aggregate), the lag window runs on that calendar-bounded frame,
+    and the 2-regressor OLS is CLOSED FORM from one aggregate of
+    DECIMAL-exact power sums (2x2 normal equations solved by
+    determinant) — no iteration, no matrix library, identical doubles
+    in both engines."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("int")).cast("double").alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).cast("double").alias("y"),
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "y",
+        F.lag("y").over(w).alias("z1"),
+        F.lag("x").over(w).alias("z2"),
+    ).filter(F.col("z1").isNotNull())
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("z1")).alias("s1"),
+        dsum(F.col("z2")).alias("s2"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("z1") * F.col("z1")).alias("s11"),
+        dsum(F.col("z2") * F.col("z2")).alias("s22"),
+        dsum(F.col("z1") * F.col("z2")).alias("s12"),
+        dsum(F.col("z1") * F.col("y")).alias("s1y"),
+        dsum(F.col("z2") * F.col("y")).alias("s2y"),
+    )
+    c = s.select(
+        "n",
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("cyy"),
+        (F.col("s11") - F.col("s1") * F.col("s1") / F.col("n")).alias("c11"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / F.col("n")).alias("c22"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")).alias("c12"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / F.col("n")).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / F.col("n")).alias("c2y"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    m = c.select(
+        "n",
+        "cyy",
+        "c11",
+        "c1y",
+        "c2y",
+        ((F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12")) / det).alias("b1"),
+        ((F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12")) / det).alias("b2"),
+    )
+    rss_u = F.col("cyy") - F.col("b1") * F.col("c1y") - F.col("b2") * F.col("c2y")
+    rss_r = F.col("cyy") - F.col("c1y") * F.col("c1y") / F.col("c11")
+    fstat = (rss_r - rss_u) / (rss_u / (F.col("n") - 3))
+    return m.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round("b1", 6).alias("beta_self_lag"),
+        F.round("b2", 6).alias("beta_cross_lag"),
+        F.round(fstat, 6).alias("f_stat"),
+        (fstat > 4.0).alias("clicks_predict_purchases"),
+    )

@@ -1183,6 +1183,254 @@ def dedup_containment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental bloom gate -------------------------------------------------
+
+# Small filter ON PURPOSE: 4096 bits over ~2.5k corpus segment keys puts
+# the per-probe false-positive probability near (fill)^k ~ 1e-2, so the
+# FP path (candidate -> exact-verify -> rejected) actually executes at
+# bench scale instead of being vacuously absent. Production sizes m for
+# the target FP rate; the plan is identical.
+BLOOM_M = 4096
+BLOOM_K = 5
+BLOOM_BOUNDARY = 400  # doc_id < 400 = existing corpus, >= 400 = new batch
+
+
+@query(
+    "dedup_bloom_incremental",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    seg AS (SELECT DISTINCT doc_id,
+                   md5(array_to_string(ws[i*{_PARA_WORDS}+1 : i*{_PARA_WORDS}+{_PARA_WORDS}], ' ')) AS h
+            FROM w, unnest(generate_series(0,
+                     CAST(CEIL(len(ws) / {_PARA_WORDS}.0) AS INT) - 1)) AS t(i)),
+    corpus AS (SELECT DISTINCT h FROM seg WHERE doc_id < {BLOOM_BOUNDARY}),
+    newseg AS (SELECT doc_id, COUNT(*) AS n_segments
+               FROM seg WHERE doc_id >= {BLOOM_BOUNDARY} GROUP BY doc_id),
+    hits AS (SELECT s.doc_id, COUNT(*) AS n_shared
+             FROM seg s JOIN corpus c USING (h)
+             WHERE s.doc_id >= {BLOOM_BOUNDARY}
+             GROUP BY s.doc_id)
+    SELECT n.doc_id, n.n_segments, h.n_shared,
+           TRUE AS bloom_no_false_negatives,
+           TRUE AS bloom_fp_bounded
+    FROM newseg n JOIN hits h USING (doc_id)
+    ORDER BY n.doc_id
+    """,
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-corpus dedup gate through a RELATIONAL Bloom filter:
+    yesterday's corpus (doc_id < 400) compiles its 16-word-segment md5
+    keys into a k=5/m=4096 Bloom filter; today's batch probes the
+    filter FIRST and only bloom-candidates reach the exact verify join
+    — the cheap front door that lets a 100 TB corpus admit a small
+    daily batch without re-joining the whole history (the same job
+    dropDuplicates-over-everything cannot do incrementally).
+
+    The filter is built relationally — the bit array IS the distinct
+    set of set-bit positions (k seeded xxhash64 mod m per key), so
+    build is one distinct-aggregate over corpus keys and a probe is a
+    positions-covered check; semantics (including false positives at
+    small m) are exactly a Bloom filter's. Output rows are the
+    EXACT-verified shared-segment profile per new doc (SQL-oracleable);
+    the booleans audit the bloom machinery:
+
+    - ``bloom_no_false_negatives``: every exact-verified hit was also
+      a bloom candidate — the Bloom guarantee, a FALSE is a code bug;
+    - ``bloom_fp_bounded``: measured candidate false positives (probes
+      that passed the filter but failed exact verification) stay under
+      4x the expected (fill_ratio)^k mass — the filter is working as
+      sized, not saturated."""
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    n_chunks = F.ceil(F.size("ws") / F.lit(float(_PARA_WORDS))).cast("int")
+    seg = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda i: F.md5(
+                    F.array_join(
+                        F.slice(F.col("ws"), i * _PARA_WORDS + 1, _PARA_WORDS), " "
+                    )
+                ),
+            )
+        ).alias("h"),
+    ).distinct()
+    corpus = seg.filter(F.col("doc_id") < BLOOM_BOUNDARY)
+    batch = seg.filter(F.col("doc_id") >= BLOOM_BOUNDARY)
+
+    def bit_positions(h):
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(F.lit(i), h), F.lit(BLOOM_M)).cast("int")
+                for i in range(BLOOM_K)
+            ]
+        )
+
+    bits = (
+        corpus.select(F.explode(bit_positions(F.col("h"))).alias("pos"))
+        .distinct()
+        .transform(_persisted)
+    )
+    n_bits_set = bits.count()  # scalar: drives the FP bound below
+    # probe: a key passes the filter iff ALL of its k positions are set
+    probe = batch.select(
+        "doc_id", "h", F.posexplode(bit_positions(F.col("h"))).alias("i", "pos")
+    )
+    cand = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "h")
+        .agg(F.count_distinct("i").alias("nh"))
+        .filter(F.col("nh") == BLOOM_K)
+        .select("doc_id", "h")
+        .transform(_persisted)
+    )
+    corpus_keys = corpus.select("h").distinct()
+    verified = cand.join(corpus_keys, "h", "left_semi")
+    # bloom guarantee: exact hits that the filter missed (must be none)
+    exact_hits = batch.join(corpus_keys, "h", "left_semi")
+    n_missed = exact_hits.join(cand, ["doc_id", "h"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed")
+    )
+    # FP audit: candidates that failed exact verification, vs the
+    # expected (fill)^k mass over all probed keys
+    n_probes = batch.agg(F.count(F.lit(1)).alias("n_probes"))
+    n_fp = cand.join(corpus_keys, "h", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_fp")
+    )
+    fp_expected = float((n_bits_set / BLOOM_M) ** BLOOM_K)
+    cert = F.broadcast(
+        n_missed.crossJoin(n_fp)
+        .crossJoin(n_probes)
+        .select(
+            (F.col("n_missed") == 0).alias("bloom_no_false_negatives"),
+            (
+                F.col("n_fp")
+                <= F.greatest(
+                    F.lit(8.0), 4.0 * F.lit(fp_expected) * F.col("n_probes")
+                )
+            ).alias("bloom_fp_bounded"),
+        )
+    )
+    n_segments = batch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    shared = verified.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))
+    return (
+        n_segments.join(shared, "doc_id")
+        .crossJoin(cert)
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_shared",
+            "bloom_no_false_negatives",
+            "bloom_fp_bounded",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- mergeable minhash certificate ------------------------------------------
+
+
+@query(
+    "minhash_merge_certificate",
+    oracle="""
+    WITH views AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    purchases AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    i AS (SELECT COUNT(*) AS n FROM views JOIN purchases USING (user_id)),
+    u AS (SELECT COUNT(DISTINCT user_id) AS n FROM events
+          WHERE event_type IN ('view', 'purchase'))
+    SELECT ROUND(i.n * 1.0 / u.n, 4) AS exact_jaccard,
+           TRUE AS merge_equals_direct,
+           TRUE AS estimate_within_bound
+    FROM i, u
+    """,
+)
+def minhash_merge_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABILITY certificate for minhash signatures — the property
+    that makes them a 100 TB primitive: the signature of a UNION is the
+    elementwise MIN of the parts' signatures, so per-partition /
+    per-day sketches combine without touching raw keys again (the same
+    contract hll_union_agg gives HLL).
+
+    Certified live on the viewer/purchaser audiences: 64 seeded-
+    xxhash64 minima per event DAY are merged (elementwise min across
+    days) and compared slot-for-slot against the signature computed
+    directly over the whole set — ``merge_equals_direct`` pins the
+    64/64 equality. The merged signatures then estimate the
+    view∩purchase user-set Jaccard (fraction of agreeing slots);
+    ``estimate_within_bound`` pins |est - exact| <= 3*sqrt(J(1-J)/64)
+    + 1/64 (three binomial standard errors). ``exact_jaccard`` is the
+    SQL-checkable exact value the driver hashes."""
+    import math
+
+    N_SLOTS = 64
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+
+    def sigs(df: DataFrame, extra_keys: list[str]) -> DataFrame:
+        return df.groupBy("event_type", *extra_keys).agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("user_id"))).alias(f"s{i}")
+                for i in range(N_SLOTS)
+            ]
+        )
+
+    # per-day partial sketches -> elementwise-min merge
+    daily = sigs(e.withColumn("day", F.col("ts").cast("date")), ["day"])
+    merged = daily.groupBy("event_type").agg(
+        *[F.min(f"s{i}").alias(f"s{i}") for i in range(N_SLOTS)]
+    )
+    direct = sigs(e, [])
+    eq_cols = [
+        (F.col(f"m.s{i}") == F.col(f"d.s{i}")).cast("int") for i in range(N_SLOTS)
+    ]
+    merge_ok = (
+        merged.alias("m")
+        .join(direct.alias("d"), F.col("m.event_type") == F.col("d.event_type"))
+        .select(sum(eq_cols[1:], eq_cols[0]).alias("n_eq"))
+        .agg((F.sum(F.lit(N_SLOTS) - F.col("n_eq")) == 0).alias("merge_equals_direct"))
+    )
+    # signature-agreement Jaccard estimate between the two audiences
+    v = merged.filter(F.col("event_type") == "view")
+    p = merged.filter(F.col("event_type") == "purchase")
+    agree = [
+        (F.col(f"v.s{i}") == F.col(f"p.s{i}")).cast("int") for i in range(N_SLOTS)
+    ]
+    est = (
+        v.alias("v")
+        .crossJoin(p.alias("p"))
+        .select((sum(agree[1:], agree[0]) / float(N_SLOTS)).alias("est_jaccard"))
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id").distinct()
+    purch = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    inter = views.join(purch, "user_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("ni")
+    )
+    union = e.select("user_id").distinct().agg(F.count(F.lit(1)).alias("nu"))
+    out = (
+        inter.crossJoin(F.broadcast(union))
+        .select(F.round(F.col("ni") / F.col("nu"), 4).alias("exact_jaccard"))
+        .crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(merge_ok))
+    )
+    bound = (
+        3.0
+        * F.sqrt(
+            F.col("exact_jaccard") * (1.0 - F.col("exact_jaccard")) / N_SLOTS
+        )
+        + 1.0 / N_SLOTS
+    )
+    return out.select(
+        "exact_jaccard",
+        "merge_equals_direct",
+        (F.abs(F.col("est_jaccard") - F.col("exact_jaccard")) <= bound).alias(
+            "estimate_within_bound"
+        ),
+    )
+
+
 # --- Fellegi-Sunter record linkage ----------------------------------------
 
 # Initial model: (m, u) per comparison field + match prevalence.

@@ -128,6 +128,89 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Dirichlet-smoothed query likelihood -------------------------------------
+
+_QL_MU = 100.0
+
+
+@query(
+    "retrieval_dirichlet_ql",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+    coll AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS clen FROM tok),
+    cf AS (
+        SELECT token, CAST(COUNT(*) AS DOUBLE) AS cf FROM tok
+        WHERE token IN {_TERMS!r} GROUP BY token),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tok WHERE token IN {_TERMS!r} GROUP BY doc_id, token),
+    scored AS (
+        SELECT d.doc_id,
+               ROUND(SUM(LN((COALESCE(t.tf, 0) + {_QL_MU} * c.cf / co.clen)
+                            / (d.dl + {_QL_MU}))), 6) AS ql,
+               SUM(COALESCE(t.tf, 0)) AS n_hits
+        FROM dl d
+        CROSS JOIN cf c
+        CROSS JOIN coll co
+        LEFT JOIN tf t ON t.doc_id = d.doc_id AND t.token = c.token
+        GROUP BY d.doc_id, d.dl)
+    SELECT doc_id, ql
+    FROM scored
+    WHERE n_hits > 0
+    ORDER BY ql DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def retrieval_dirichlet_ql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood ranking with DIRICHLET smoothing (Zhai &
+    Lafferty) — the language-modeling sibling of BM25 and the scorer
+    behind Indri/Galago-style engines:
+
+        score(d) = sum_t log( (tf_{{t,d}} + mu * cf_t/|C|) / (|d| + mu) )
+
+    Same one-scan shape as text_bm25_topk: fixed query terms become
+    conditional sums inside the per-doc aggregate, collection stats
+    (cf_t, |C|) ride a broadcast one-row frame, and TakeOrdered keeps
+    the top 10 — the corpus never joins or shuffles on tokens. Docs
+    with zero query-term hits are excluded (their score is pure
+    background mass and rank-identical)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl"),
+        *[
+            F.sum((F.col("token") == t).cast("double")).alias(f"tf_{i}")
+            for i, t in enumerate(_TERMS)
+        ],
+    )
+    consts = tok.agg(
+        F.count(F.lit(1)).cast("double").alias("clen"),
+        *[
+            F.sum((F.col("token") == t).cast("double")).alias(f"cf_{i}")
+            for i, t in enumerate(_TERMS)
+        ],
+    )
+    terms = [
+        F.log(
+            (F.col(f"tf_{i}") + _QL_MU * F.col(f"cf_{i}") / F.col("clen"))
+            / (F.col("dl") + _QL_MU)
+        )
+        for i in range(len(_TERMS))
+    ]
+    hits = sum([F.col(f"tf_{i}") for i in range(1, len(_TERMS))], F.col("tf_0"))
+    return (
+        per_doc.crossJoin(F.broadcast(consts))
+        .filter(hits > 0)
+        .select("doc_id", F.round(sum(terms[1:], terms[0]), 6).alias("ql"))
+        .orderBy(F.col("ql").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 # --- hybrid retrieval: reciprocal rank fusion --------------------------------
 
 _RRF_K = 60

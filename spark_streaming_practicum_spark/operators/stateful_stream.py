@@ -76,6 +76,14 @@ def _register_tws() -> None:
         GROUP BY user_id
         """,
     )(stream_tws_event_counts)
+    query(
+        "stream_tws_map_state_type_counts",
+        oracle="""
+        SELECT user_id, event_type, COUNT(*) AS n_events
+        FROM events
+        GROUP BY user_id, event_type
+        """,
+    )(stream_tws_map_state_type_counts)
 
 
 _ROCKSDB_PROVIDER = (
@@ -83,34 +91,29 @@ _ROCKSDB_PROVIDER = (
 )
 
 
-def stream_tws_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """transformWithStateInPandas (Spark 4 typed-state API): per-user
-    running event counts via ValueState, final state oracled against the
-    batch aggregate.
-
-    Typed state vars map to state-store column families, which the
-    default HDFS-backed provider does not support — the query runs on
-    RocksDB (the provider a 100 TB deployment uses anyway; its restart
-    survival is proven at 10⁶ keys in tests/test_scale_runtime.py). The
-    session conf is restored afterwards so co-resident queries keep
-    their configured provider."""
+def _run_tws(spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """Shared transformWithStateInPandas runner: protobuf-capable env
+    for the spawned runners, RocksDB provider (typed state vars map to
+    state-store COLUMN FAMILIES, which the default HDFS-backed provider
+    lacks — RocksDB is also the provider a 100 TB deployment uses;
+    restart survival proven at 10⁶ keys in tests/test_scale_runtime.py),
+    single availableNow-style drain into a memory sink. All session
+    state is restored afterwards."""
     import os
 
     from ..pbcompat import worker_pythonpath
-    from ..streaming.tws_processor import running_event_counts
 
     # The PRE-INIT runner and the TWS workers need protobuf on THEIR
     # sys.path; sc.environment is captured into the UDF's envVars at
-    # wrap time, so it must be set BEFORE running_event_counts builds
-    # the transformWithStateInPandas node.
+    # wrap time, so it must be set BEFORE build() constructs the
+    # transformWithStateInPandas node.
     sc = spark.sparkContext
     prev_pp = sc.environment.get("PYTHONPATH")
     extra = worker_pythonpath()
     sc.environment["PYTHONPATH"] = (
         extra if not prev_pp else prev_pp + os.pathsep + extra
     )
-    stream = stream_table(spark, sf_dir, "events")
-    out = running_event_counts(stream)
+    out = build(stream_table(spark, sf_dir, "events"))
     sink_name = f"tws_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
@@ -134,12 +137,42 @@ def stream_tws_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             sc.environment.pop("PYTHONPATH", None)
         else:
             sc.environment["PYTHONPATH"] = prev_pp
-    emitted = spark.table(sink_name)
+    return spark.table(sink_name)
+
+
+def stream_tws_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4 typed-state API): per-user
+    running event counts via ValueState, final state oracled against the
+    batch aggregate. Runs via the shared _run_tws drain (RocksDB column
+    families + vendored-protobuf env)."""
+    from ..streaming.tws_processor import running_event_counts
+
+    emitted = _run_tws(spark, sf_dir, running_event_counts)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         emitted.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events")
+    )
+
+
+def stream_tws_map_state_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with a typed MAP state variable:
+    per-user MapState[event_type -> running count], exercising point
+    lookups (getValue/updateValue) and the full-map iterator — the
+    per-key feature-store access pattern ValueState can't express.
+    Update-mode re-emissions collapse to each (user, type)'s max
+    running count == the batch aggregate the oracle computes."""
+    from ..streaming.tws_processor import running_type_counts
+
+    emitted = _run_tws(spark, sf_dir, running_type_counts)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("n_events").desc()
+    )
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "n_events")
     )
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import stream_table, table
@@ -571,4 +571,125 @@ def stream_session_window_true(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.end").alias("session_end"),
         "n",
         "sum_value",
+    )
+
+
+# --- watermark lateness planner ----------------------------------------------
+
+
+@query(
+    "stream_watermark_lateness_plan",
+    oracle="""
+    WITH arr AS (
+        SELECT ts,
+               MAX(ts) OVER (ORDER BY event_id // 20, event_id % 5, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS high_water
+        FROM events),
+    lat AS (
+        SELECT GREATEST(CAST(FLOOR(date_part('epoch', high_water)) AS BIGINT)
+                        - CAST(FLOOR(date_part('epoch', ts)) AS BIGINT), 0) AS late_s
+        FROM arr),
+    b AS (
+        SELECT CASE WHEN late_s = 0 THEN 'on_time'
+                    WHEN late_s <= 60 THEN 'le_1m'
+                    WHEN late_s <= 300 THEN 'le_5m'
+                    WHEN late_s <= 900 THEN 'le_15m'
+                    WHEN late_s <= 3600 THEN 'le_1h'
+                    ELSE 'gt_1h' END AS lateness_bucket,
+               late_s
+        FROM lat)
+    SELECT lateness_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM b), 6) AS share,
+           CAST(MAX(late_s) AS BIGINT) AS max_late_s
+    FROM b
+    GROUP BY lateness_bucket
+    ORDER BY lateness_bucket
+    """,
+)
+def stream_watermark_lateness_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark PLANNING analysis: how late does this source actually
+    deliver? Each event's lateness is the high-water mark of everything
+    that ARRIVED before it minus its own event time — the exact
+    quantity ``withWatermark`` trades against state size, so the bucket
+    shares below are the evidence for choosing the delay (pick the
+    bucket that covers your completeness SLO; everything later is
+    dropped).
+
+    The synthetic events table carries no arrival column and the
+    producer synthesizes in event-time order, so the ARRIVAL SEQUENCE
+    here is a deterministic 5-shard / 20-event-flush interleave
+    (order by event_id//20, event_id%5, event_id — the disorder a
+    round-robin sharded producer creates), expressible identically in
+    both engines; production swaps in the real arrival key (Kafka
+    offset, file commit order) with the rest of the plan unchanged.
+
+    The running maximum over the GLOBAL arrival order is computed with
+    the two-pass range-partition shape (never a single-partition
+    window): arrival-range buckets get per-bucket running maxima in
+    bounded partitions, a 32-row bucket-frame prefix-max broadcasts
+    back, and each event takes the greater of the two."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.struct(
+            (F.col("event_id") / 20).cast("long").alias("flush"),
+            F.pmod(F.col("event_id"), F.lit(5)).alias("shard"),
+            F.col("event_id").alias("seq"),
+        ).alias("arrival"),
+    )
+    n_buckets = 32
+    hi = e.agg(F.max("event_id").alias("mx"))
+    # bucket width is a MULTIPLE of the 20-event flush so bucket
+    # boundaries align with the arrival order's major key — otherwise a
+    # straddling flush would interleave across buckets and the prefix
+    # max would not be an arrival-prefix max
+    width = F.ceil((F.col("mx") + 1) / (20 * n_buckets)).cast("long") * 20
+    eb = e.crossJoin(F.broadcast(hi.select(width.alias("w")))).select(
+        "arrival", "ts", (F.col("event_id") / F.col("w")).cast("long").alias("bkt")
+    )
+    in_bucket = Window.partitionBy("bkt").orderBy("arrival").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = eb.select(
+        "ts", "bkt", F.max("ts").over(in_bucket).alias("local_hw")
+    )
+    bucket_max = eb.groupBy("bkt").agg(F.max("ts").alias("bmax"))
+    prefix = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    before = bucket_max.select(
+        "bkt", F.max("bmax").over(prefix).alias("prev_hw")
+    )
+    late_s = F.greatest(
+        F.unix_timestamp(F.greatest(F.col("local_hw"), F.coalesce("prev_hw", "local_hw")))
+        - F.unix_timestamp("ts"),
+        F.lit(0),
+    ).cast("long")
+    lat = local.join(F.broadcast(before), "bkt").select(late_s.alias("late_s"))
+    bucket = (
+        F.when(F.col("late_s") == 0, "on_time")
+        .when(F.col("late_s") <= 60, "le_1m")
+        .when(F.col("late_s") <= 300, "le_5m")
+        .when(F.col("late_s") <= 900, "le_15m")
+        .when(F.col("late_s") <= 3600, "le_1h")
+        .otherwise("gt_1h")
+    )
+    counts = lat.select(bucket.alias("lateness_bucket"), "late_s").groupBy(
+        "lateness_bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("late_s").alias("max_late_s"),
+    )
+    total = counts.agg(F.sum("n_events").alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "lateness_bucket",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(F.col("n_events") / F.col("tot"), 6).alias("share"),
+            F.col("max_late_s").cast("bigint").alias("max_late_s"),
+        )
+        .orderBy("lateness_bucket")
     )
