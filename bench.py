@@ -148,6 +148,13 @@ HEADLINE = [
     "sketch_join_size_estimate",
     "incremental_join_refresh",
     "dedup_cluster_quality_representative",
+    # round-4 additions
+    "dedup_simhash",
+    "stream_watermark_lateness_plan",
+    "granger_lag_causality",
+    "retrieval_dirichlet_ql",
+    "dedup_bloom_incremental",
+    "minhash_merge_certificate",
 ]
 
 

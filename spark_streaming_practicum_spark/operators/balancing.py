@@ -302,3 +302,112 @@ def negative_sampling_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("sample_prob").desc(), "token")
     )
+
+
+# --- DoReMi one-step domain reweighting --------------------------------------
+
+_DOREMI_ETA = 1.0
+
+
+@query(
+    "doremi_domain_reweight_step",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+    dt AS (SELECT lang, w, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM tok GROUP BY lang, w),
+    dl AS (SELECT lang, SUM(c) AS cd FROM dt GROUP BY lang),
+    gt AS (SELECT w, SUM(c) AS cg FROM dt GROUP BY w),
+    tot AS (SELECT SUM(cd) AS ct FROM dl),
+    ce AS (
+        SELECT d.lang,
+               -SUM(d.c * LN(g.cg / t.ct)) / MAX(l.cd) AS ce_proxy,
+               -SUM(d.c * LN(d.c / l.cd)) / MAX(l.cd) AS ce_ref
+        FROM dt d
+        JOIN gt g USING (w)
+        JOIN dl l USING (lang)
+        CROSS JOIN tot t
+        GROUP BY d.lang),
+    upd AS (
+        SELECT c.lang, l.cd, c.ce_proxy, c.ce_ref,
+               (l.cd / t.ct) * EXP(1.0 * (c.ce_proxy - c.ce_ref)) AS w_raw
+        FROM ce c JOIN dl l USING (lang) CROSS JOIN tot t),
+    z AS (SELECT SUM(w_raw) AS z FROM upd)
+    SELECT u.lang,
+           CAST(u.cd AS BIGINT) AS n_tokens,
+           ROUND(u.ce_proxy, 6) AS ce_proxy,
+           ROUND(u.ce_ref, 6) AS ce_ref,
+           ROUND(u.ce_proxy - u.ce_ref, 6) AS excess_loss,
+           ROUND(u.w_raw / z.z, 6) AS weight_new
+    FROM upd u CROSS JOIN z
+    ORDER BY u.lang
+    """,
+)
+def doremi_domain_reweight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi (Xie et al. 2023) domain-reweighting step over the
+    per-language corpus slices: excess loss per domain = cross-entropy
+    of the domain under the MIXTURE-trained proxy model minus under its
+    own in-domain reference model, and the mixture weights move by the
+    exponentiated-gradient rule w ∝ w_init * exp(eta * excess), then
+    normalize. Unigram LMs stand in for the proxy/reference pair, which
+    keeps the update exactly computable in both engines and preserves
+    the structural guarantee the real method relies on: excess loss
+    >= 0 (Gibbs' inequality — cross-entropy under the mixture model can
+    never beat the in-domain model), so upweighting tracks genuine
+    domain mismatch.
+
+    Scale shape: the only corpus-sized operation is the (lang, token)
+    count — partial-aggregated map-side before its one shuffle. The
+    global token marginal derives FROM that aggregate (vocab-sized, no
+    second corpus scan), and every join after it runs on vocab x domain
+    rows. At 100 TB the job is one scan + one combine-heavy shuffle;
+    the update itself is arithmetic on a domain-count-sized frame."""
+    tok = table(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    dt = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    dl = dt.groupBy("lang").agg(F.sum("c").alias("cd"))
+    gt = dt.groupBy("w").agg(F.sum("c").alias("cg"))
+    tot = dl.agg(F.sum("cd").alias("ct"))
+    ce = (
+        dt.join(F.broadcast(gt), "w")
+        .join(F.broadcast(dl), "lang")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("lang")
+        .agg(
+            (-F.sum(F.col("c") * F.log(F.col("cg") / F.col("ct"))) / F.max("cd")).alias(
+                "ce_proxy"
+            ),
+            (-F.sum(F.col("c") * F.log(F.col("c") / F.col("cd"))) / F.max("cd")).alias(
+                "ce_ref"
+            ),
+        )
+    )
+    upd = (
+        ce.join(F.broadcast(dl), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "cd",
+            "ce_proxy",
+            "ce_ref",
+            (
+                (F.col("cd") / F.col("ct"))
+                * F.exp(_DOREMI_ETA * (F.col("ce_proxy") - F.col("ce_ref")))
+            ).alias("w_raw"),
+        )
+    )
+    z = upd.agg(F.sum("w_raw").alias("z"))
+    return (
+        upd.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            F.col("cd").cast("bigint").alias("n_tokens"),
+            F.round("ce_proxy", 6).alias("ce_proxy"),
+            F.round("ce_ref", 6).alias("ce_ref"),
+            F.round(F.col("ce_proxy") - F.col("ce_ref"), 6).alias("excess_loss"),
+            F.round(F.col("w_raw") / F.col("z"), 6).alias("weight_new"),
+        )
+        .orderBy("lang")
+    )

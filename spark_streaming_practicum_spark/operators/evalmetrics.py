@@ -992,3 +992,83 @@ def eval_interrater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((pbar - pe) / (1 - pe), 6).alias("fleiss_kappa"),
         F.round(pbar, 6).alias("mean_pairwise_agreement"),
     )
+
+
+# --- pass@k (unbiased estimator) ---------------------------------------------
+
+_PASS_KS = (1, 5, 10)
+_PASS_MIN_N = 10  # evaluate every k on the same task set (n >= max k)
+
+
+def _pass_at_k_sql(k: int) -> str:
+    # telescoped product of per-term ratios, multiplied left-to-right in
+    # DOUBLE — the identical IEEE expression tree the Spark side builds,
+    # so both engines produce bit-equal values (raw integer products
+    # overflow INT64 at k=10 with per-task n in the hundreds)
+    prod = " * ".join(f"((n - c - {i}) * 1.0 / (n - {i}))" for i in range(k))
+    return f"CASE WHEN n - c < {k} THEN 1.0 ELSE 1.0 - {prod} END"
+
+
+@query(
+    "eval_pass_at_k",
+    oracle=f"""
+    WITH per_task AS (
+        SELECT user_id AS task_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM events GROUP BY user_id),
+    eligible AS (SELECT * FROM per_task WHERE n >= {_PASS_MIN_N}),
+    scored AS (
+        SELECT n, c,
+               {_pass_at_k_sql(1)} AS p1,
+               {_pass_at_k_sql(5)} AS p5,
+               {_pass_at_k_sql(10)} AS p10
+        FROM eligible)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tasks,
+           ROUND(AVG(p1), 6) AS pass_at_1,
+           ROUND(AVG(p5), 6) AS pass_at_5,
+           ROUND(AVG(p10), 6) AS pass_at_10
+    FROM scored
+    """,
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021, the Codex estimator): for a
+    task with n samples of which c are correct, pass@k = 1 -
+    C(n-c,k)/C(n,k) — the probability that a uniformly drawn size-k
+    subset contains at least one correct sample. Computed as the
+    telescoped product 1 - prod_{{i<k}} (n-c-i)/(n-i) in EXACT integer
+    arithmetic (n here is bounded by per-task sample counts, so the
+    5-term products stay far inside BIGINT), never the naive 1-(1-c/n)^k
+    that overestimates.
+
+    Harness mapping: each user is a task, each event a sample,
+    purchases are passes; tasks with fewer than {_PASS_MIN_N} samples
+    are dropped so every k is measured on the same task set. Plan: one
+    partial-aggregated groupBy over the fact table, then per-row
+    arithmetic and a scalar summary — the 100 TB cost is the single
+    keyed count."""
+    e = table(spark, sf_dir, "events")
+    per_task = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("c"),
+    )
+    eligible = per_task.filter(F.col("n") >= _PASS_MIN_N)
+
+    def pass_at_k(k: int):
+        prod = (F.col("n") - F.col("c")) * 1.0 / F.col("n")
+        for i in range(1, k):
+            prod = prod * ((F.col("n") - F.col("c") - i) * 1.0 / (F.col("n") - i))
+        return F.when(F.col("n") - F.col("c") < k, F.lit(1.0)).otherwise(1.0 - prod)
+
+    scored = eligible.select(
+        pass_at_k(1).alias("p1"), pass_at_k(5).alias("p5"), pass_at_k(10).alias("p10")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tasks"),
+        F.round(F.avg("p1"), 6).alias("pass_at_1"),
+        F.round(F.avg("p5"), 6).alias("pass_at_5"),
+        F.round(F.avg("p10"), 6).alias("pass_at_10"),
+    )

@@ -84,6 +84,22 @@ def _register_tws() -> None:
         GROUP BY user_id, event_type
         """,
     )(stream_tws_map_state_type_counts)
+    query(
+        "stream_tws_list_state_topvals",
+        oracle="""
+        WITH p AS (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC) AS rn
+            FROM events WHERE event_type = 'purchase')
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               ROUND(SUM(CASE WHEN rn <= 3 THEN value ELSE 0 END), 6)
+                   AS top3_sum
+        FROM p
+        GROUP BY user_id
+        """,
+    )(stream_tws_list_state_topvals)
 
 
 _ROCKSDB_PROVIDER = (
@@ -173,6 +189,28 @@ def stream_tws_map_state_type_counts(spark: SparkSession, sf_dir: str) -> DataFr
         emitted.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "n_events")
+    )
+
+
+def stream_tws_list_state_topvals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with a typed LIST state variable:
+    per-user ListState of purchase values (appendList + full-list get),
+    emitting the running (count, top-3 value sum) — the bounded-history
+    shape ValueState/MapState can't hold. Update-mode re-emissions
+    collapse to each user's max running count; the float is rounded
+    AFTER collapse so both engines hash the same display value."""
+    from ..streaming.tws_processor import running_purchase_topvals
+
+    emitted = _run_tws(spark, sf_dir, running_purchase_topvals)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_purchases").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_purchases",
+            F.round(F.col("top3_sum"), 6).alias("top3_sum"),
+        )
     )
 
 

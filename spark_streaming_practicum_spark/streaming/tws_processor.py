@@ -13,7 +13,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
 from ..pbcompat import ensure_protobuf
 
@@ -114,5 +114,120 @@ def running_event_counts(events_stream: DataFrame) -> DataFrame:
             outputStructType=OUTPUT_SCHEMA,
             outputMode="update",
             timeMode="none",
+        )
+    )
+
+
+LIST_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("n_purchases", LongType(), True),
+        StructField("top3_sum", DoubleType(), True),
+    ]
+)
+
+
+class PurchaseTopValues(StatefulProcessor):
+    """Per-user ListState of purchase values — the typed LIST state
+    variable (appendList + full get), the shape a bounded-history
+    feature (top-k, last-n) needs and ValueState/MapState can't hold.
+    Emits the running (count, sum of top-3 values) after every update."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._vals = handle.getListState("purchase_values", "value double")
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        new = []
+        for pdf in rows:
+            new.extend((float(v),) for v in pdf["value"])
+        if new:
+            self._vals.appendList(new)
+        vals = sorted((t[0] for t in self._vals.get()), reverse=True)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_purchases": [len(vals)],
+                "top3_sum": [float(sum(vals[:3]))],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_purchase_topvals(events_stream: DataFrame) -> DataFrame:
+    return (
+        events_stream.filter("event_type = 'purchase'")
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=PurchaseTopValues(),
+            outputStructType=LIST_OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("k", StringType(), True),
+        StructField("n_events", LongType(), True),
+    ]
+)
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+class SessionGapTimers(StatefulProcessor):
+    """Session closure via EVENT-TIME TIMERS: every input batch extends
+    the key's open session (count + last event time) and re-arms a
+    timer at last_ts + gap; the session row is emitted ONLY from
+    handleExpiredTimer, when the watermark passes the gap boundary —
+    the timer-driven pattern (deleteTimer/registerTimer +
+    handleExpiredTimer) that neither ValueState emission nor built-in
+    session_window exercises."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("sess", "n bigint, last_ms bigint")
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        n, last_ms = (
+            (self._sess.get() or (0, None))
+            if self._sess.exists()
+            else (0, None)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            batch_max = int(pdf["ts"].max().value // 1_000_000)
+            last_ms = batch_max if last_ms is None else max(last_ms, batch_max)
+        if self._sess.exists():
+            old = self._sess.get()
+            if old is not None and old[1] is not None:
+                self._handle.deleteTimer(old[1] + SESSION_GAP_MS)
+        self._sess.update((n, last_ms))
+        self._handle.registerTimer(last_ms + SESSION_GAP_MS)
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        if self._sess.exists():
+            n, _last = self._sess.get()
+            self._sess.clear()
+            yield pd.DataFrame({"k": [key[0]], "n_events": [int(n)]})
+
+    def close(self) -> None:
+        pass
+
+
+def session_counts_with_timers(stream: DataFrame) -> DataFrame:
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("k")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionGapTimers(),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="eventtime",
         )
     )
