@@ -16,6 +16,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -97,6 +98,9 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema: StructType) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
 
+    def streamReader(self, schema: StructType) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticEventsDataSource)
@@ -176,3 +180,87 @@ class JsonLinesDataSource(DataSource):
 
 def register_sink(spark) -> None:
     spark.dataSource.register(JsonLinesDataSource)
+
+
+# --- Python streaming DataSource (Spark 4 DataSourceStreamReader) -----------
+
+# The STREAMING read path of the same producer: offsets are global row
+# indices, each micro-batch advances by rowsPerBatch, and partitions()
+# splits the [start, end) row range across numPartitions so generation
+# stays executor-parallel (the full DataSourceStreamReader, not the
+# driver-side SimpleDataSourceStreamReader — at production rates the
+# driver must plan partitions, never materialize rows).
+#
+# Determinism/replay contract: a partition's content is a pure function
+# of (seed, row range) — failure recovery re-plans the same ranges and
+# regenerates identical rows, giving exactly-once output with any
+# idempotent sink, mirroring the reference producer's seeded replay.
+
+
+class _EventRangePartition(InputPartition):
+    def __init__(self, start: int, end: int, seed: int, invalid_chance: float):
+        self.start = start
+        self.end = end
+        self.seed = seed
+        self.invalid_chance = invalid_chance
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.num_partitions = int(options.get("numPartitions", 4))
+        self.rows_per_batch = int(options.get("rowsPerBatch", 100))
+        self.max_rows = int(options.get("maxRows", 10**9))
+        self.seed = int(options.get("seed", 42))
+        self.invalid_chance = float(options.get("invalidChance", 0.0))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        # each call (one per micro-batch) admits one more batch of rows;
+        # capped so bounded tests drain to an exact total
+        self._latest = min(
+            getattr(self, "_latest", 0) + self.rows_per_batch, self.max_rows
+        )
+        return {"row": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["row"]), int(end["row"])
+        n = max(self.num_partitions, 1)
+        span = (hi - lo + n - 1) // n or 1
+        parts = []
+        while lo < hi:
+            parts.append(
+                _EventRangePartition(
+                    lo, min(lo + span, hi), self.seed, self.invalid_chance
+                )
+            )
+            lo += span
+        return parts or [
+            _EventRangePartition(hi, hi, self.seed, self.invalid_chance)
+        ]
+
+    def read(self, partition: _EventRangePartition) -> Iterator[tuple]:
+        from spark_streaming_practicum_spark.producer import EventFactory
+
+        factory = EventFactory(
+            seed=partition.seed + partition.start,
+            invalid_schema_chance=partition.invalid_chance,
+        )
+        for event in factory.create_random_events(partition.end - partition.start):
+            valid = "event_id" in event
+            yield (
+                event.get("user_id"),
+                event.get("event_id", json.dumps(event)),
+                event.get("event_timestamp", ""),
+                event.get("event_type", "invalid"),
+                event.get("product_id"),
+                event.get("properties"),
+                "y" if valid else "n",
+            )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
