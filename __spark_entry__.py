@@ -40,6 +40,9 @@ def _utc_pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[Spark
 # additions, then everything else in registration order.
 _NEWEST_FIRST = [
     # round 4: new / structurally changed
+    "dedup_longest_shared_run",
+    "ab_sequential_msprt",
+    "split_group_leakage_audit",
     "doremi_domain_reweight_step",
     "eval_pass_at_k",
     "stream_tws_list_state_topvals",

@@ -150,6 +150,9 @@ HEADLINE = [
     "dedup_cluster_quality_representative",
     # round-4 additions
     "dedup_simhash",
+    "dedup_longest_shared_run",
+    "doremi_domain_reweight_step",
+    "ab_sequential_msprt",
     "stream_watermark_lateness_plan",
     "granger_lag_causality",
     "retrieval_dirichlet_ql",

@@ -3436,3 +3436,121 @@ def granger_lag_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fstat, 6).alias("f_stat"),
         (fstat > 4.0).alias("clicks_predict_purchases"),
     )
+
+
+# --- always-valid sequential A/B test (mSPRT) --------------------------------
+
+_MSPRT_TAU2 = 0.01  # mixture variance over the effect size
+
+
+@query(
+    "ab_sequential_msprt",
+    oracle=f"""
+    WITH p AS (
+        SELECT CAST(ts AS DATE) AS day, user_id % 2 AS variant, value
+        FROM events WHERE event_type = 'purchase'),
+    sigma AS (SELECT VAR_SAMP(value) AS s2 FROM p),
+    daily AS (
+        SELECT day, variant, COUNT(*) AS n, SUM(value) AS s
+        FROM p GROUP BY day, variant),
+    cum AS (
+        SELECT day, variant,
+               SUM(n) OVER (PARTITION BY variant ORDER BY day) AS cn,
+               SUM(s) OVER (PARTITION BY variant ORDER BY day) AS cs
+        FROM daily),
+    wide AS (
+        SELECT a.day,
+               a.cn AS n_a, a.cs / a.cn AS m_a,
+               b.cn AS n_b, b.cs / b.cn AS m_b
+        FROM (SELECT * FROM cum WHERE variant = 0) a
+        JOIN (SELECT * FROM cum WHERE variant = 1) b USING (day)),
+    lam AS (
+        SELECT day, n_a, n_b, m_a - m_b AS d,
+               g.s2 * (1.0 / n_a + 1.0 / n_b) AS se2
+        FROM wide CROSS JOIN sigma g),
+    scored AS (
+        SELECT day, n_a, n_b, d,
+               SQRT(se2 / (se2 + {_MSPRT_TAU2}))
+                 * EXP(d * d * {_MSPRT_TAU2}
+                       / (2.0 * se2 * (se2 + {_MSPRT_TAU2}))) AS lambda
+        FROM lam)
+    SELECT day,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           ROUND(d, 6) AS mean_diff,
+           ROUND(lambda, 6) AS mixture_lr,
+           ROUND(MIN(LEAST(1.0, 1.0 / lambda))
+                     OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS always_valid_p
+    FROM scored
+    ORDER BY day
+    """,
+)
+def ab_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B testing via the mixture SPRT
+    (Johari et al., 'Peeking at A/B tests'): after each DAY of data the
+    mixture likelihood ratio Λ_n (normal effect prior N(0, τ²)) is
+    updated from the cumulative per-variant means, and the always-valid
+    p-value is the running minimum of 1/Λ_n — the quantity that lets an
+    experimentation platform peek daily without inflating false
+    positives, which the fixed-horizon tests here (Welch, Mann-Whitney)
+    cannot offer.
+
+    Plan shape: one scan aggregates per (day, variant); every later
+    step — cumulative windows over the ~30-row daily frame, the scalar
+    pooled variance broadcast, the running-min p — runs on calendar-
+    bounded data. At 100 TB the cost is the single keyed aggregate."""
+    p = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            F.pmod(F.col("user_id"), F.lit(2)).alias("variant"),
+            "value",
+        )
+    )
+    sigma = p.agg(F.var_samp("value").alias("s2"))
+    daily = p.groupBy("day", "variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    )
+    wv = Window.partitionBy("variant").orderBy("day")
+    cum = daily.select(
+        "day",
+        "variant",
+        F.sum("n").over(wv).alias("cn"),
+        F.sum("s").over(wv).alias("cs"),
+    )
+    a = cum.filter(F.col("variant") == 0).select(
+        "day", F.col("cn").alias("n_a"), (F.col("cs") / F.col("cn")).alias("m_a")
+    )
+    b = cum.filter(F.col("variant") == 1).select(
+        "day", F.col("cn").alias("n_b"), (F.col("cs") / F.col("cn")).alias("m_b")
+    )
+    d = F.col("m_a") - F.col("m_b")
+    se2 = F.col("s2") * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    lam = (
+        a.join(b, "day")
+        .crossJoin(F.broadcast(sigma))
+        .select(
+            "day",
+            "n_a",
+            "n_b",
+            d.alias("d"),
+            (
+                F.sqrt(se2 / (se2 + _MSPRT_TAU2))
+                * F.exp(d * d * _MSPRT_TAU2 / (2.0 * se2 * (se2 + _MSPRT_TAU2)))
+            ).alias("lambda"),
+        )
+    )
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return lam.select(
+        "day",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round("d", 6).alias("mean_diff"),
+        F.round("lambda", 6).alias("mixture_lr"),
+        F.round(
+            F.min(F.least(F.lit(1.0), 1.0 / F.col("lambda"))).over(wp), 6
+        ).alias("always_valid_p"),
+    ).orderBy("day")

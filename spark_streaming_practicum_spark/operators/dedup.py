@@ -1892,3 +1892,99 @@ def dedup_cluster_quality_representative(spark: SparkSession, sf_dir: str) -> Da
         )
         .orderBy("cluster_root")
     )
+
+
+# --- longest shared token run (exact-substring dedup core) -------------------
+
+_RUN_L = 4  # seed n-gram width; a shared run of length r yields r-L+1 seeds
+_RUN_DF_CAP = 10  # drop seeds present in more docs (boilerplate hygiene)
+
+
+@query(
+    "dedup_longest_shared_run",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(ws[i+1 : i+{_RUN_L}], ' ')) AS h
+        FROM w, unnest(generate_series(0, len(ws) - {_RUN_L})) AS t(i)),
+    df AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY h),
+    kept AS (SELECT g.* FROM grams g JOIN df USING (h)
+             WHERE df.df <= {_RUN_DF_CAP}),
+    pairs AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, y.pos AS pb
+        FROM kept x JOIN kept y USING (h) WHERE x.doc_id < y.doc_id),
+    runs AS (
+        SELECT doc_a, doc_b, pa - pb AS diag,
+               pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                       ORDER BY pa) AS isl
+        FROM pairs),
+    islands AS (
+        SELECT doc_a, doc_b, CAST(COUNT(*) + {_RUN_L} - 1 AS BIGINT) AS run_len
+        FROM runs GROUP BY doc_a, doc_b, diag, isl)
+    SELECT doc_a, doc_b, MAX(run_len) AS longest_run
+    FROM islands GROUP BY doc_a, doc_b
+    ORDER BY longest_run DESC, doc_a, doc_b LIMIT 20
+    """,
+)
+def dedup_longest_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal shared token run per document pair — the relational core
+    of exact-substring deduplication (the suffix-array family of Lee et
+    al. 2021, 'Deduplicating Training Data Makes Language Models
+    Better'): two docs sharing any verbatim run of >= L tokens are
+    caught by their shared L-gram seeds, and the run's full extent is
+    recovered by DIAGONAL ISLAND grouping — matching seed positions
+    (pa, pb) on one diagonal (pa - pb constant) with consecutive pa
+    form one island of size r-L+1 for a shared run of r tokens, the
+    same anti-diagonal trick sequence alignment uses.
+
+    Scale shape: the document-frequency cap on seeds is the standard
+    PPJoin hygiene (a boilerplate L-gram shared by k docs would emit
+    k^2 pair rows; capped seeds never reach the join — a run whose
+    EVERY seed is boilerplate is the same deliberate trade the LSH
+    MAX_BUCKET makes). Island windows partition by (pair, diagonal),
+    bounded by document length; the final top-20 is TakeOrdered, never
+    a global sort."""
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    grams = w.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - _RUN_L),
+                lambda i: F.md5(F.array_join(F.slice("ws", i + 1, _RUN_L), " ")),
+            )
+        ).alias("pos", "h"),
+    )
+    df_ok = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _RUN_DF_CAP)
+        .select("h")
+    )
+    kept = grams.join(df_ok, "h")
+    pairs = (
+        kept.alias("x")
+        .join(kept.alias("y"), "h")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.pos").alias("pa"),
+            F.col("y.pos").alias("pb"),
+        )
+    )
+    win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = pairs.withColumn("diag", F.col("pa") - F.col("pb")).select(
+        "doc_a", "doc_b", "diag", (F.col("pa") - F.row_number().over(win)).alias("isl")
+    )
+    islands = runs.groupBy("doc_a", "doc_b", "diag", "isl").agg(
+        (F.count(F.lit(1)) + _RUN_L - 1).cast("bigint").alias("run_len")
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b")
+        .agg(F.max("run_len").alias("longest_run"))
+        .orderBy(F.col("longest_run").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )

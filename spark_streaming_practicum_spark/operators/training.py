@@ -1244,3 +1244,93 @@ def ul2_denoiser_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_len.alias("prefix_len"),
         F.round(frac, 4).alias("corrupt_frac"),
     ).orderBy("doc_id")
+
+
+# --- group-leakage split audit ----------------------------------------------
+
+
+@query(
+    "split_group_leakage_audit",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id,
+               CASE WHEN {_bucket_sql("'ev:' || CAST(event_id AS VARCHAR)")} < 80
+                    THEN 'train' ELSE 'test' END AS by_event,
+               CASE WHEN {_bucket_sql("'usr:' || CAST(user_id AS VARCHAR)")} < 80
+                    THEN 'train' ELSE 'test' END AS by_user
+        FROM events),
+    audits AS (
+        SELECT 'by_event' AS strategy,
+               SUM(CASE WHEN by_event = 'train' THEN 1 ELSE 0 END) AS n_train,
+               SUM(CASE WHEN by_event = 'test' THEN 1 ELSE 0 END) AS n_test,
+               COUNT(DISTINCT CASE WHEN by_event = 'train' THEN user_id END)
+                 + COUNT(DISTINCT CASE WHEN by_event = 'test' THEN user_id END)
+                 - COUNT(DISTINCT user_id) AS n_leaked_users
+        FROM ev
+        UNION ALL
+        SELECT 'by_user',
+               SUM(CASE WHEN by_user = 'train' THEN 1 ELSE 0 END),
+               SUM(CASE WHEN by_user = 'test' THEN 1 ELSE 0 END),
+               COUNT(DISTINCT CASE WHEN by_user = 'train' THEN user_id END)
+                 + COUNT(DISTINCT CASE WHEN by_user = 'test' THEN user_id END)
+                 - COUNT(DISTINCT user_id)
+        FROM ev)
+    SELECT strategy,
+           CAST(n_train AS BIGINT) AS n_train,
+           CAST(n_test AS BIGINT) AS n_test,
+           CAST(n_leaked_users AS BIGINT) AS n_leaked_users,
+           n_leaked_users = 0 AS leakage_free
+    FROM audits
+    ORDER BY strategy
+    """,
+)
+def split_group_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-leakage audit of train/test splitting — the classic ML
+    hygiene check: splitting at the ROW level (hash of event_id) puts
+    the same user on both sides, so any user-level signal leaks into
+    the test set; splitting at the GROUP level (hash of user_id) keeps
+    each entity wholly on one side. Both strategies are evaluated on
+    the same scan: leaked entities = |train users| + |test users| -
+    |all users| (inclusion-exclusion, so no self-join), and the
+    ``leakage_free`` certificate is structurally TRUE for the group
+    split and (on any multi-event user base) FALSE for the row split.
+
+    One pass, two aggregates; the distinct counts are keyed shuffles.
+    The same poly-hash both engines share drives the buckets, so the
+    audit itself is reproducible across engines and reruns."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(
+            _bucket(F.concat(F.lit("ev:"), F.col("event_id").cast("string"))) < 80,
+            "train",
+        )
+        .otherwise("test")
+        .alias("by_event"),
+        F.when(
+            _bucket(F.concat(F.lit("usr:"), F.col("user_id").cast("string"))) < 80,
+            "train",
+        )
+        .otherwise("test")
+        .alias("by_user"),
+    )
+
+    def audit(col: str) -> DataFrame:
+        leaked = (
+            F.count_distinct(
+                F.when(F.col(col) == "train", F.col("user_id"))
+            )
+            + F.count_distinct(F.when(F.col(col) == "test", F.col("user_id")))
+            - F.count_distinct("user_id")
+        )
+        return ev.agg(
+            F.sum((F.col(col) == "train").cast("int")).cast("bigint").alias("n_train"),
+            F.sum((F.col(col) == "test").cast("int")).cast("bigint").alias("n_test"),
+            leaked.cast("bigint").alias("n_leaked_users"),
+        ).select(F.lit(col).alias("strategy"), "*")
+
+    return (
+        audit("by_event")
+        .unionByName(audit("by_user"))
+        .withColumn("leakage_free", F.col("n_leaked_users") == 0)
+        .orderBy("strategy")
+    )
