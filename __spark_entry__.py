@@ -40,6 +40,8 @@ def _utc_pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[Spark
 # additions, then everything else in registration order.
 _NEWEST_FIRST = [
     # round 4: new / structurally changed
+    "cdc_content_defined_chunks",
+    "moe_router_load_balance",
     "dedup_longest_shared_run",
     "ab_sequential_msprt",
     "split_group_leakage_audit",

@@ -151,6 +151,8 @@ HEADLINE = [
     # round-4 additions
     "dedup_simhash",
     "dedup_longest_shared_run",
+    "cdc_content_defined_chunks",
+    "moe_router_load_balance",
     "doremi_domain_reweight_step",
     "ab_sequential_msprt",
     "stream_watermark_lateness_plan",

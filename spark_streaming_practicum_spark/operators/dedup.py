@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.textfns import shingles, tokens
+from ..functions.textfns import poly_hash, shingles, tokens
 from ..registry import query
 from ..functions.ranks import persisted as _persisted
 from .ml import _ASSIGN_SQL as _KM_ASSIGN_SQL
@@ -1987,4 +1987,124 @@ def dedup_longest_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("run_len").alias("longest_run"))
         .orderBy(F.col("longest_run").desc(), "doc_a", "doc_b")
         .limit(20)
+    )
+
+
+# --- content-defined chunking (CDC) dedup audit ------------------------------
+
+_CDC_W = 4  # rolling-window width in tokens
+_CDC_MASK = 8  # break when window hash % MASK == 0 -> ~8-token avg chunks
+
+# DuckDB mirror of functions/textfns.poly_hash over an arbitrary string
+# expression (same recurrence as operators/training._POLY_SQL).
+_CDC_POLY = (
+    "list_reduce(list_transform(generate_series(1, LENGTH({e})), "
+    "q -> CAST(ascii(({e})[q:q]) AS BIGINT)), (acc, x) -> (acc * 131 + x) % 1000000007)"
+)
+_CDC_WIN = _CDC_POLY.format(e="array_to_string(ws[p-3:p], ' ')")
+
+
+@query(
+    "cdc_content_defined_chunks",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+               FROM documents),
+    bounds AS (
+        SELECT doc_id, source, ws,
+               list_append(
+                   CASE WHEN len(ws) - 1 >= {_CDC_W}
+                        THEN list_filter(generate_series({_CDC_W}, len(ws) - 1),
+                                         p -> ({_CDC_WIN}) % {_CDC_MASK} = 0)
+                        ELSE [] END,
+                   len(ws)) AS ends
+        FROM w),
+    chunks AS (
+        SELECT doc_id, source,
+               md5(array_to_string(
+                   ws[(CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END):ends[j]],
+                   ' ')) AS h,
+               ends[j] - (CASE WHEN j = 1 THEN 0 ELSE ends[j-1] END) AS clen
+        FROM bounds, unnest(generate_series(1, len(ends))) AS t(j))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - COUNT(DISTINCT h) * 1.0 / COUNT(*), 6) AS dup_ratio,
+           ROUND(AVG(clen), 6) AS avg_chunk_tokens
+    FROM chunks
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def cdc_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the LBFS/rsync/restic dedup family):
+    chunk boundaries fall where a rolling window hash of the LOCAL
+    content hits 0 mod {_CDC_MASK}, so an insertion or deletion shifts
+    only the chunk it touches — fixed-size segmentation (the
+    paragraph-md5 ops above) re-aligns every later boundary and misses
+    all downstream duplication. Per-source rollup of chunk duplication
+    (distinct/total chunk hashes, avg chunk size) — the storage-level
+    dedup audit for a corpus lake.
+
+    Scale shape: chunking is ENTIRELY map-side (window hashes,
+    breakpoint filter, and chunk md5 are higher-order array functions
+    inside one projection — no explode until chunks are formed); the
+    only shuffle is the final per-source count-distinct. The rolling
+    hash is the engine-portable polynomial hash, so DuckDB reproduces
+    the exact boundaries."""
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    n = F.size("ws")
+    breaks = F.when(
+        n - 1 >= _CDC_W,
+        F.filter(
+            F.sequence(F.lit(_CDC_W), n - 1),
+            lambda p: poly_hash(F.array_join(F.slice("ws", p - 3, 4), " "))
+            % _CDC_MASK
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = w.select(
+        "doc_id", "source", "ws", F.concat(breaks, F.array(n)).alias("ends")
+    )
+    chunked = bounds.select(
+        "source",
+        "ws",
+        "ends",
+        F.posexplode("ends").alias("j0", "endpos"),
+    ).select(
+        "source",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    "ws",
+                    F.when(F.col("j0") == 0, F.lit(1)).otherwise(
+                        F.element_at(F.col("ends"), F.col("j0")) + 1
+                    ),
+                    F.col("endpos")
+                    - F.when(F.col("j0") == 0, F.lit(0)).otherwise(
+                        F.element_at(F.col("ends"), F.col("j0"))
+                    ),
+                ),
+                " ",
+            )
+        ).alias("h"),
+        (
+            F.col("endpos")
+            - F.when(F.col("j0") == 0, F.lit(0)).otherwise(
+                F.element_at(F.col("ends"), F.col("j0"))
+            )
+        ).alias("clen"),
+    )
+    return (
+        chunked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.count_distinct("h").cast("bigint").alias("n_distinct"),
+            F.round(
+                1.0 - F.count_distinct("h") / F.count(F.lit(1)), 6
+            ).alias("dup_ratio"),
+            F.round(F.avg("clen"), 6).alias("avg_chunk_tokens"),
+        )
+        .orderBy("source")
     )

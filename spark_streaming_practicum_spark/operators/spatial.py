@@ -213,3 +213,70 @@ def geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("path_length"),
         F.round(F.max("hop"), 6).alias("max_hop"),
     )
+
+
+# --- point-in-polygon (ray casting) ------------------------------------------
+
+# Fixed test polygon (lat, lon) — a convex-ish pentagon; the vertex list
+# drives BOTH the Spark expression and the SQL oracle, so the crossing
+# arithmetic is the identical IEEE expression tree in each engine.
+_POLY = [(-60.0, -120.0), (0.0, -150.0), (60.0, -60.0), (20.0, 30.0), (-40.0, 0.0)]
+
+
+def _crossings_sql(lat: str, lon: str) -> str:
+    terms = []
+    n = len(_POLY)
+    for i in range(n):
+        y1, x1 = _POLY[i]
+        y2, x2 = _POLY[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1} > {lat}) <> ({y2} > {lat})) AND "
+            f"({lon} < ({x2} - {x1}) * ({lat} - {y1}) / ({y2} - {y1}) + {x1}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "geo_point_in_polygon",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_type,
+               {_LAT.format(k="user_id")} AS lat,
+               {_LON.format(k="user_id")} AS lon
+        FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CASE WHEN {_crossings_sql("lat", "lon")} % 2 = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+           ROUND(SUM(CASE WHEN {_crossings_sql("lat", "lon")} % 2 = 1
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS inside_share
+    FROM pts
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment by RAY CASTING (the even-odd rule):
+    a point is inside iff a horizontal ray eastward crosses an odd
+    number of polygon edges. The edge-crossing test is pure per-row
+    arithmetic over literal vertices — fully codegen'd, no UDF, no
+    geometry library — which is how a geofence filter should run over
+    100 TB of points: map-side predicate, then an ordinary keyed
+    aggregate. For many/complex polygons the same predicate sits behind
+    a grid-cell pre-join (geo_grid_knn_join's topology) so each point
+    tests only the polygons overlapping its cell."""
+    pts = _latlon(table(spark, sf_dir, "events"), "user_id").select(
+        "event_type", "lat", "lon"
+    )
+    crossings = F.expr(_crossings_sql("lat", "lon"))
+    inside = (crossings % 2 == 1).cast("int")
+    return (
+        pts.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum(inside).cast("bigint").alias("n_inside"),
+            F.round(F.sum(inside) / F.count(F.lit(1)), 6).alias("inside_share"),
+        )
+        .orderBy("event_type")
+    )

@@ -100,6 +100,16 @@ def _register_tws() -> None:
         GROUP BY user_id
         """,
     )(stream_tws_list_state_topvals)
+    query(
+        "stream_tws_initial_state_counts",
+        oracle="""
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events
+        WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                          WHERE event_id % 2 = 1)
+        GROUP BY user_id
+        """,
+    )(stream_tws_initial_state_counts)
 
 
 _ROCKSDB_PROVIDER = (
@@ -211,6 +221,41 @@ def stream_tws_list_state_topvals(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_purchases",
             F.round(F.col("top3_sum"), 6).alias("top3_sum"),
         )
+    )
+
+
+def stream_tws_initial_state_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with INITIAL STATE (warm start):
+    per-user counts over the even-event_id half are computed as a batch
+    aggregate and handed to the operator via ``initialState``;
+    ``handleInitialState`` seeds each key's ValueState before the
+    stream (the odd half) arrives, so the final state equals the
+    full-history batch aggregate without the stream ever reprocessing
+    it — the state-migration/backfill path of the Spark 4 typed-state
+    API. Users with no streamed rows never re-emit, so the oracle
+    restricts to users with at least one odd event."""
+    from ..catalog import table as _batch_table
+    from ..streaming.tws_processor import warm_start_event_counts
+
+    init = (
+        _batch_table(spark, sf_dir, "events")
+        .filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+    )
+
+    def build(stream):
+        return warm_start_event_counts(
+            stream.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1), init
+        )
+
+    emitted = _run_tws(spark, sf_dir, build)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events")
     )
 
 

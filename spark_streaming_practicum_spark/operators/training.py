@@ -1334,3 +1334,125 @@ def split_group_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("leakage_free", F.col("n_leaked_users") == 0)
         .orderBy("strategy")
     )
+
+
+# --- MoE router load-balance audit -------------------------------------------
+
+_MOE_E = 8  # experts
+
+
+def _moe_logit_sql(e: int) -> str:
+    h = _POLY_SQL.format(e=f"'moe{e}:' || CAST(event_id AS VARCHAR)")
+    return f"(({h} % 1000) / 250.0 - 2.0)"
+
+
+@query(
+    "moe_router_load_balance",
+    oracle=f"""
+    WITH logits AS (
+        SELECT event_id,
+               [{", ".join(_moe_logit_sql(e) for e in range(_MOE_E))}] AS lg
+        FROM events),
+    probs AS (
+        SELECT event_id, lg,
+               list_transform(lg, x -> EXP(x)) AS ex,
+               list_sum(list_transform(lg, x -> EXP(x))) AS z,
+               list_indexof(lg, list_max(lg)) AS chosen
+        FROM logits),
+    pe AS (
+        SELECT t.e AS expert,
+               COUNT(*) AS n_total,
+               SUM(CASE WHEN p.chosen = t.e THEN 1 ELSE 0 END) AS n_routed,
+               SUM(p.ex[t.e] / p.z) AS sum_prob
+        FROM probs p, unnest(generate_series(1, {_MOE_E})) AS t(e)
+        GROUP BY t.e),
+    scored AS (
+        SELECT expert,
+               n_routed,
+               n_routed * 1.0 / n_total AS frac_routed,
+               sum_prob / n_total AS mean_prob
+        FROM pe),
+    aux AS (SELECT {_MOE_E} * SUM(frac_routed * mean_prob) AS aux_loss
+            FROM scored)
+    SELECT s.expert,
+           CAST(s.n_routed AS BIGINT) AS n_routed,
+           ROUND(s.frac_routed, 6) AS frac_routed,
+           ROUND(s.mean_prob, 6) AS mean_prob,
+           ROUND(a.aux_loss, 6) AS aux_loss
+    FROM scored s CROSS JOIN aux a
+    ORDER BY s.expert
+    """,
+)
+def moe_router_load_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-of-experts router load-balance audit (the Switch
+    Transformer auxiliary loss): with per-token router probabilities
+    P and top-1 assignments, aux = E * sum_e f_e * P̄_e, minimized at
+    uniform routing (aux = 1) and blowing up as experts collapse. The
+    router here is a deterministic hash-logit stand-in (same polynomial
+    hash in both engines), so the full softmax -> argmax -> per-expert
+    aggregate topology is exercised end to end and engine-portable;
+    production swaps the logit column for the real router's output.
+
+    Scale shape: softmax and argmax are per-row higher-order array
+    functions (map-side, codegen'd); the expert fan-out multiplies rows
+    by E=8 only AT the aggregate boundary where partial aggregation
+    collapses them before the shuffle. One scan, one E-row result."""
+    e = table(spark, sf_dir, "events")
+    logits = F.array(
+        *[
+            (
+                F.pmod(
+                    poly_hash(
+                        F.concat(F.lit(f"moe{i}:"), F.col("event_id").cast("string"))
+                    ),
+                    F.lit(1000),
+                )
+                / 250.0
+                - 2.0
+            )
+            for i in range(_MOE_E)
+        ]
+    )
+    probs = e.select(
+        logits.alias("lg"),
+        F.transform(logits, lambda x: F.exp(x)).alias("ex"),
+    ).select(
+        "lg",
+        "ex",
+        F.aggregate("ex", F.lit(0.0), lambda a, x: a + x).alias("z"),
+        F.array_position(F.col("lg"), F.array_max("lg")).alias("chosen"),
+    )
+    fan = probs.select(
+        F.posexplode("ex").alias("e0", "exv"),
+        "z",
+        "chosen",
+    ).select(
+        (F.col("e0") + 1).alias("expert"),
+        (F.col("exv") / F.col("z")).alias("prob"),
+        (F.col("chosen") == F.col("e0") + 1).cast("int").alias("routed"),
+    )
+    pe = fan.groupBy("expert").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("routed").alias("n_routed"),
+        F.sum("prob").alias("sum_prob"),
+    )
+    scored = pe.select(
+        "expert",
+        "n_routed",
+        (F.col("n_routed") / F.col("n_total")).alias("frac_routed"),
+        (F.col("sum_prob") / F.col("n_total")).alias("mean_prob"),
+    )
+    aux = scored.agg(
+        (_MOE_E * F.sum(F.col("frac_routed") * F.col("mean_prob"))).alias("aux_loss")
+    )
+    return (
+        scored.crossJoin(F.broadcast(aux))
+        .select(
+            "expert",
+            F.col("n_routed").cast("bigint").alias("n_routed"),
+            F.round("frac_routed", 6).alias("frac_routed"),
+            F.round("mean_prob", 6).alias("mean_prob"),
+            F.round("aux_loss", 6).alias("aux_loss"),
+        )
+        .orderBy("expert")
+    )

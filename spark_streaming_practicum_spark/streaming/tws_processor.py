@@ -231,3 +231,41 @@ def session_counts_with_timers(stream: DataFrame) -> DataFrame:
             timeMode="eventtime",
         )
     )
+
+
+class WarmStartEventCounter(StatefulProcessor):
+    """UserEventCounter with a WARM START: handleInitialState seeds the
+    ValueState from a batch-computed DataFrame before the first batch —
+    the state-migration path that lets a redesigned streaming job
+    inherit state from its predecessor (or from a batch backfill)
+    instead of reprocessing history."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._count = handle.getValueState("count", STATE_SCHEMA)
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        self._count.update((int(initialState["n_events"].iloc[0]),))
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        n = self._count.get()[0] if self._count.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+        self._count.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    def close(self) -> None:
+        pass
+
+
+def warm_start_event_counts(events_stream: DataFrame, initial_state) -> DataFrame:
+    return (
+        events_stream.select("user_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=WarmStartEventCounter(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+            initialState=initial_state,
+        )
+    )
