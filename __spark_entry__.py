@@ -40,6 +40,11 @@ def _utc_pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[Spark
 # additions, then everything else in registration order.
 _NEWEST_FIRST = [
     # round 4: new / structurally changed
+    "nb_lang_classifier_eval",
+    "survival_cox_one_step",
+    "causal_iv_wald_estimate",
+    "geo_point_in_polygon",
+    "stream_tws_initial_state_counts",
     "cdc_content_defined_chunks",
     "moe_router_load_balance",
     "dedup_longest_shared_run",

@@ -63,6 +63,25 @@ def persisted(df: DataFrame) -> DataFrame:
     return _track_persisted(df.persist())
 
 
+def unpersist_tracked(df: DataFrame) -> None:
+    """Unpersist a frame AND remove it from the FIFO's live list.
+
+    Iterative loops that release a superseded frame with a bare
+    ``df.unpersist()`` leave its (dead) entry occupying a FIFO slot, so
+    a loop of r rounds pushes r dead entries and evicts frames the
+    query STILL NEEDS (e.g. the edge frame a connected-components loop
+    re-joins every round) — each later round then recomputes that
+    lineage from scratch. Caught by bench --compare in round 4:
+    dedup_cluster_representatives 2.1 s -> 5.8 s after the FIFO
+    routing; this restores the loop's cache behavior while keeping the
+    bounded-cache policy for frames nobody releases."""
+    df.unpersist(blocking=False)
+    try:
+        _live_persisted.remove(df)
+    except ValueError:
+        pass
+
+
 def release_persisted_frames() -> None:
     """Drop every helper-persisted frame (test/bench teardown hook)."""
     while _live_persisted:

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.aggs import dsum, dsum_sql
 from ..registry import query
 from ..functions.ranks import persisted as _persisted
 
@@ -3554,3 +3555,192 @@ def ab_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.least(F.lit(1.0), 1.0 / F.col("lambda"))).over(wp), 6
         ).alias("always_valid_p"),
     ).orderBy("day")
+
+
+# --- instrumental-variable (Wald) estimate -----------------------------------
+
+
+@query(
+    "causal_iv_wald_estimate",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS z,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+               SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS y
+        FROM events GROUP BY user_id),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               {dsum_sql("CASE WHEN z = 1 THEN y END")} / SUM(z) AS y1,
+               {dsum_sql("CASE WHEN z = 0 THEN y END")} / SUM(1 - z) AS y0,
+               SUM(CASE WHEN z = 1 THEN x END) * 1.0 / SUM(z) AS x1,
+               SUM(CASE WHEN z = 0 THEN x END) * 1.0 / SUM(1 - z) AS x0
+        FROM u)
+    SELECT n_users,
+           ROUND(y1 - y0, 6) AS reduced_form_diff,
+           ROUND(x1 - x0, 6) AS first_stage_diff,
+           CASE WHEN x1 - x0 <> 0 THEN ROUND((y1 - y0) / (x1 - x0), 6)
+                ELSE NULL END AS wald_late,
+           ABS(x1 - x0) < 0.5 AS weak_instrument
+    FROM s
+    """,
+)
+def causal_iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variable estimation in its simplest form — the WALD
+    estimator with a binary instrument: LATE = (E[y|z=1] - E[y|z=0]) /
+    (E[x|z=1] - E[x|z=0]), the ratio of the reduced form to the first
+    stage (2SLS collapses to exactly this with one binary instrument).
+    Here z is a deterministic assignment (user_id % 3), x the user's
+    click count (endogenous exposure), y their purchase revenue. The
+    ``weak_instrument`` flag reports the first-stage strength honestly
+    — with a hash-random instrument the first stage is near zero by
+    construction, which is precisely when the Wald ratio must NOT be
+    trusted (the diagnostic every IV analysis ships with).
+
+    One keyed aggregate to the per-user frame, one global DECIMAL-exact
+    collapse — both engines compute the ratio from identical sums, so
+    even a tiny denominator is reproducible."""
+    u = table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "click").cast("int")).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("y"),
+    ).select(
+        "x", "y", (F.pmod(F.col("user_id"), F.lit(3)) == 0).cast("int").alias("z")
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (dsum(F.when(F.col("z") == 1, F.col("y"))) / F.sum("z")).alias("y1"),
+        (dsum(F.when(F.col("z") == 0, F.col("y"))) / F.sum(1 - F.col("z"))).alias(
+            "y0"
+        ),
+        (
+            F.sum(F.when(F.col("z") == 1, F.col("x"))) * 1.0 / F.sum("z")
+        ).alias("x1"),
+        (
+            F.sum(F.when(F.col("z") == 0, F.col("x"))) * 1.0 / F.sum(1 - F.col("z"))
+        ).alias("x0"),
+    )
+    rf = F.col("y1") - F.col("y0")
+    fs = F.col("x1") - F.col("x0")
+    return s.select(
+        "n_users",
+        F.round(rf, 6).alias("reduced_form_diff"),
+        F.round(fs, 6).alias("first_stage_diff"),
+        # a zero first stage leaves the LATE undefined (and ANSI mode
+        # would raise): surface NULL, which weak_instrument explains
+        F.when(fs != 0, F.round(rf / fs, 6)).alias("wald_late"),
+        (F.abs(fs) < 0.5).alias("weak_instrument"),
+    )
+
+
+# --- Cox proportional hazards: one-step estimator ----------------------------
+
+
+@query(
+    "survival_cox_one_step",
+    oracle=f"""
+    WITH dur AS (
+        SELECT datediff('day', o.o_orderdate, l.l_shipdate) AS t,
+               CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0 END AS ev,
+               CAST(l.l_quantity AS DOUBLE) AS x
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE datediff('day', o.o_orderdate, l.l_shipdate) BETWEEN 0 AND 120),
+    per_t AS (
+        SELECT t,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(ev) AS DOUBLE) AS d,
+               SUM(x) AS sx,
+               SUM(x * x) AS sxx,
+               SUM(ev * x) AS sex
+        FROM dur GROUP BY t),
+    risk AS (
+        SELECT t, d, sex,
+               SUM(n)  OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS s0,
+               SUM(sx) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS s1,
+               SUM(sxx) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS s2
+        FROM per_t),
+    sums AS (
+        SELECT SUM(CASE WHEN d > 0 THEN sex - d * s1 / s0 ELSE 0 END) AS u,
+               SUM(CASE WHEN d > 0 THEN d * (s2 / s0 - (s1 / s0) * (s1 / s0))
+                        ELSE 0 END) AS i,
+               CAST(SUM(d) AS BIGINT) AS n_events
+        FROM risk)
+    SELECT n_events,
+           ROUND(u, 6) AS score_u,
+           ROUND(i, 6) AS info_i,
+           ROUND(u / i, 6) AS beta_one_step,
+           ROUND(EXP(u / i), 6) AS hazard_ratio
+    FROM sums
+    """,
+)
+def survival_cox_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards regression, ONE-STEP estimator: the
+    Newton step from beta=0 of the partial likelihood, beta_1 = U(0) /
+    I(0), with Breslow tie handling — U(0) sums each event's covariate
+    minus the risk-set mean, I(0) the risk-set covariate variances (the
+    one-step estimator is asymptotically efficient; further Newton
+    steps reuse the identical plan). Covariate: line quantity; event:
+    'F' status at order->ship latency t, 'O' lines right-censored —
+    the same duration frame as survival_kaplan_meier, which this
+    completes with a REGRESSION member beside the KM/Nelson-Aalen
+    estimators and the log-rank test.
+
+    Scale shape: one scan collapses to the per-duration frame (<=121
+    rows, calendar-bounded), risk-set S0/S1/S2 are suffix windows over
+    that bounded frame, and the covariate sums are integer-exact — the
+    classic 'aggregate to the bounded frame first' survival topology."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        (F.col("l_linestatus") == "F").cast("int").alias("ev"),
+        F.col("l_quantity").cast("double").alias("x"),
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    dur = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.datediff("l_shipdate", "o_orderdate").alias("t"), "ev", "x"
+        )
+        .filter((F.col("t") >= 0) & (F.col("t") <= 120))
+    )
+    per_t = dur.groupBy("t").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("ev").cast("double").alias("d"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("ev") * F.col("x")).alias("sex"),
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.select(
+        "t",
+        "d",
+        "sex",
+        F.sum("n").over(w).alias("s0"),
+        F.sum("sx").over(w).alias("s1"),
+        F.sum("sxx").over(w).alias("s2"),
+    )
+    r = F.col("s1") / F.col("s0")
+    sums = risk.agg(
+        F.sum(
+            F.when(F.col("d") > 0, F.col("sex") - F.col("d") * r).otherwise(0.0)
+        ).alias("u"),
+        F.sum(
+            F.when(
+                F.col("d") > 0, F.col("d") * (F.col("s2") / F.col("s0") - r * r)
+            ).otherwise(0.0)
+        ).alias("i"),
+        F.sum("d").cast("bigint").alias("n_events"),
+    )
+    return sums.select(
+        "n_events",
+        F.round("u", 6).alias("score_u"),
+        F.round("i", 6).alias("info_i"),
+        F.round(F.col("u") / F.col("i"), 6).alias("beta_one_step"),
+        F.round(F.exp(F.col("u") / F.col("i")), 6).alias("hazard_ratio"),
+    )

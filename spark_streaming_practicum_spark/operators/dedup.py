@@ -27,6 +27,7 @@ from ..catalog import table
 from ..functions.textfns import poly_hash, shingles, tokens
 from ..registry import query
 from ..functions.ranks import persisted as _persisted
+from ..functions.ranks import unpersist_tracked as _unpersist
 from .ml import _ASSIGN_SQL as _KM_ASSIGN_SQL
 from .ml import _UPDATE_SQL as _KM_UPDATE_SQL
 
@@ -810,7 +811,7 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         new_labels.count()
         changed = obs.get["n_changed"] or 0
-        labels.unpersist()
+        _unpersist(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -1996,7 +1997,13 @@ _CDC_W = 4  # rolling-window width in tokens
 _CDC_MASK = 8  # break when window hash % MASK == 0 -> ~8-token avg chunks
 
 # DuckDB mirror of functions/textfns.poly_hash over an arbitrary string
-# expression (same recurrence as operators/training._POLY_SQL).
+# expression. NOTE a tempting "optimization" — pre-hash each token once
+# and combine four token hashes arithmetically per window — is 15x
+# SLOWER in Spark: projection collapse inlines the token-hash transform
+# into every element_at reference inside the breakpoint lambda, so the
+# whole token-hash array recomputes per reference (measured 3.2 s ->
+# 50 s at sf0.1). The per-window char hash below evaluates each window
+# exactly once.
 _CDC_POLY = (
     "list_reduce(list_transform(generate_series(1, LENGTH({e})), "
     "q -> CAST(ascii(({e})[q:q]) AS BIGINT)), (acc, x) -> (acc * 131 + x) % 1000000007)"
@@ -2051,8 +2058,10 @@ def cdc_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle is the final per-source count-distinct. The rolling
     hash is the engine-portable polynomial hash, so DuckDB reproduces
     the exact boundaries."""
-    w = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.split("text", " ").alias("ws")
+    w = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "source", F.split("text", " ").alias("ws"))
     )
     n = F.size("ws")
     breaks = F.when(

@@ -21,6 +21,7 @@ from ..catalog import table
 from ..functions.vector import dot, l2_norm
 from ..registry import query
 from ..functions.ranks import persisted as _persisted
+from ..functions.ranks import unpersist_tracked as _unpersist
 
 QUERY_VEC_ID = 0
 TOP_K = 20
@@ -668,7 +669,7 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = scored.orderBy(F.col("mmr").desc(), "vec_id").limit(1).collect()[0]
         picked.append((rank, top["vec_id"], float(top["rel"]), float(top["mmr"])))
         selected.append((top["vec_id"], list(top["e"])))
-    cands.unpersist()
+    _unpersist(cands)
     out_schema = T.StructType(
         [
             T.StructField("rank", T.IntegerType(), False),

@@ -812,3 +812,129 @@ def ngram_draft_acceptance_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- naive Bayes language classifier (train + eval in one job) ---------------
+
+
+@query(
+    "nb_lang_classifier_eval",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+    cw AS (SELECT lang, w, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM tok GROUP BY lang, w),
+    cl AS (SELECT lang, SUM(c) AS cd FROM cw GROUP BY lang),
+    v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS vs FROM tok),
+    nd AS (SELECT lang, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n
+           FROM tok GROUP BY lang),
+    ndt AS (SELECT SUM(n) AS nt FROM nd),
+    lik AS (
+        SELECT l.lang, w.w,
+               CAST(LN((COALESCE(c.c, 0) + 1.0) / (l.cd + v.vs))
+                    AS DECIMAL(38,12)) AS ll
+        FROM cl l
+        CROSS JOIN (SELECT DISTINCT w FROM tok) w
+        CROSS JOIN v
+        LEFT JOIN cw c ON c.lang = l.lang AND c.w = w.w),
+    scored AS (
+        SELECT t.doc_id, t.lang AS true_lang, k.lang AS cand,
+               CAST(SUM(k.ll) AS DOUBLE)
+                 + LN(nd.n / ndt.nt) AS logpost
+        FROM tok t
+        JOIN lik k ON k.w = t.w
+        JOIN nd ON nd.lang = k.lang
+        CROSS JOIN ndt
+        GROUP BY t.doc_id, t.lang, k.lang, nd.n, ndt.nt),
+    pred AS (
+        SELECT doc_id, true_lang,
+               (ARRAY_AGG(cand ORDER BY ROUND(logpost, 6) DESC, cand ASC))[1]
+                   AS pred_lang
+        FROM scored GROUP BY doc_id, true_lang)
+    SELECT true_lang AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS accuracy
+    FROM pred
+    GROUP BY true_lang
+    ORDER BY true_lang
+    """,
+)
+def nb_lang_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes trained AND evaluated in one job: Laplace-
+    smoothed per-language word likelihoods over the corpus vocabulary,
+    document log-posteriors argmaxed against the true label, per-
+    language accuracy reported — the in-engine supervised classifier
+    (fastText's ancestor) a curation pipeline trains for quality or
+    language routing without leaving the warehouse.
+
+    Determinism across engines: each token's log-likelihood is cast to
+    DECIMAL(38,12) BEFORE the per-(doc, lang) sum, so the posterior is
+    an exact decimal total (float summation order can never flip an
+    argmax), and prediction ties break alphabetically after a 6dp
+    round. Scale shape: the likelihood table is (vocab x langs) —
+    broadcast-sized — and the scoring join fans each token out by
+    |langs| only inside the partial aggregate; the single corpus-scale
+    shuffle is the per-(doc, lang) sum."""
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    cw = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    cl = cw.groupBy("lang").agg(F.sum("c").alias("cd"))
+    vocab = tok.select("w").distinct()
+    v = vocab.agg(F.count(F.lit(1)).cast("double").alias("vs"))
+    nd = tok.groupBy("lang").agg(
+        F.count_distinct("doc_id").cast("double").alias("n")
+    )
+    ndt = nd.agg(F.sum("n").alias("nt"))
+    lik = (
+        cl.crossJoin(vocab)
+        .crossJoin(F.broadcast(v))
+        .join(cw, ["lang", "w"], "left")
+        .select(
+            "lang",
+            "w",
+            F.log((F.coalesce(F.col("c"), F.lit(0.0)) + 1.0) / (F.col("cd") + F.col("vs")))
+            .cast("decimal(38,12)")
+            .alias("ll"),
+        )
+    )
+    scored = (
+        tok.join(F.broadcast(lik.withColumnRenamed("lang", "cand")), "w")
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "cand")
+        .agg(F.sum("ll").cast("double").alias("sll"))
+        .join(F.broadcast(nd.withColumnRenamed("lang", "cand")), "cand")
+        .crossJoin(F.broadcast(ndt))
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            (F.col("sll") + F.log(F.col("n") / F.col("nt"))).alias("logpost"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("logpost"), 6).desc(), F.col("cand").asc()
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", "cand")
+    )
+    return (
+        pred.groupBy(F.col("true_lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("cand") == F.col("true_lang")).cast("int"))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.sum((F.col("cand") == F.col("true_lang")).cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("lang")
+    )

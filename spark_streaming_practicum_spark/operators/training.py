@@ -1341,9 +1341,20 @@ def split_group_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MOE_E = 8  # experts
 
 
+# Deterministic hash-logit stand-in: a multiplicative integer hash per
+# expert (distinct odd multipliers), pure arithmetic in both engines —
+# a per-char string hash here would dominate the query at 8 logits/row.
+_MOE_MULT = [2654435761, 2246822519, 3266489917, 668265263,
+             374761393, 2654435769, 2166136261, 40503]
+
+
 def _moe_logit_sql(e: int) -> str:
-    h = _POLY_SQL.format(e=f"'moe{e}:' || CAST(event_id AS VARCHAR)")
-    return f"(({h} % 1000) / 250.0 - 2.0)"
+    # event_id is folded mod 1e6+3 first so the product stays far from
+    # BIGINT overflow at any conceivable id range
+    return (
+        f"(((((event_id % 1000003) * {_MOE_MULT[e]} + {e * 7919 + 1})"
+        f" % 1000000007) % 1000) / 250.0 - 2.0)"
+    )
 
 
 @query(
@@ -1402,8 +1413,10 @@ def moe_router_load_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             (
                 F.pmod(
-                    poly_hash(
-                        F.concat(F.lit(f"moe{i}:"), F.col("event_id").cast("string"))
+                    F.pmod(
+                        F.pmod(F.col("event_id"), F.lit(1000003)) * _MOE_MULT[i]
+                        + (i * 7919 + 1),
+                        F.lit(1000000007),
                     ),
                     F.lit(1000),
                 )
