@@ -40,6 +40,11 @@ def _utc_pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[Spark
 # additions, then everything else in registration order.
 _NEWEST_FIRST = [
     # round 4: new / structurally changed
+    "ab_permutation_test",
+    "sketch_hll_handbuilt",
+    "ml_isotonic_calibration",
+    "drift_wasserstein_1d",
+    "eval_rank_biased_overlap",
     "nb_lang_classifier_eval",
     "survival_cox_one_step",
     "causal_iv_wald_estimate",

@@ -160,6 +160,10 @@ HEADLINE = [
     "retrieval_dirichlet_ql",
     "dedup_bloom_incremental",
     "minhash_merge_certificate",
+    "nb_lang_classifier_eval",
+    "survival_cox_one_step",
+    "ml_isotonic_calibration",
+    "drift_wasserstein_1d",
 ]
 
 

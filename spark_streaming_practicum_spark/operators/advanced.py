@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.textfns import poly_hash
 from ..registry import query
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -681,4 +682,134 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("est") - F.col("exact_ip").cast("double") <= bound
         ).alias("within_bound"),
+    )
+
+
+# --- hand-built HyperLogLog (relational registers) ---------------------------
+
+_HLL_M = 64  # registers
+_HLL_W = 30  # value-hash width in bits (portable poly hash < 2^30)
+_HLL_ALPHA = 0.709  # alpha_64
+
+# DuckDB mirrors of functions/textfns.poly_hash under the two salts
+_HLL_POLY_TMPL = (
+    "list_reduce(list_transform(generate_series(1, LENGTH({e})), "
+    "q -> CAST(ascii(({e})[q:q]) AS BIGINT)), (acc, x) -> (acc * 131 + x) % 1000000007)"
+)
+_HLL_POLY_A = _HLL_POLY_TMPL.format(e="'hllA:' || CAST(user_id AS VARCHAR)")
+_HLL_POLY_B = _HLL_POLY_TMPL.format(e="'hllB:' || CAST(user_id AS VARCHAR)")
+
+
+@query(
+    "sketch_hll_handbuilt",
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    hashed AS (
+        SELECT day, user_id,
+               ({_HLL_POLY_A}) % {_HLL_M} AS bucket,
+               ({_HLL_POLY_B}) % 1073741824 AS w
+        FROM keys),
+    rho AS (
+        SELECT day, bucket,
+               CASE WHEN w = 0 THEN {_HLL_W} + 1
+                    ELSE {_HLL_W} - LENGTH(bin(w)) + 1 END AS r
+        FROM hashed),
+    daily AS (SELECT day, bucket, MAX(r) AS mr FROM rho GROUP BY day, bucket),
+    merged AS (SELECT bucket, MAX(mr) AS mr FROM daily GROUP BY bucket),
+    direct AS (SELECT bucket, MAX(r) AS mr FROM rho GROUP BY bucket),
+    merge_ok AS (
+        SELECT COUNT(*) = 0 AS merge_equals_direct
+        FROM (SELECT bucket, mr FROM merged
+              EXCEPT SELECT bucket, mr FROM direct)),
+    est AS (
+        SELECT {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                 / (SUM(POW(2.0, -mr)) + ({_HLL_M} - COUNT(*))) AS raw,
+               {_HLL_M} - COUNT(*) AS v
+        FROM merged),
+    corrected AS (
+        SELECT CASE WHEN raw <= 2.5 * {_HLL_M} AND v > 0
+                    THEN {_HLL_M} * LN({_HLL_M} * 1.0 / v)
+                    ELSE raw END AS e
+        FROM est),
+    exact AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events)
+    SELECT x.n AS exact_distinct,
+           ROUND(c.e, 4) AS hll_estimate,
+           ROUND(ABS(c.e - x.n) / x.n, 6) AS rel_error,
+           m.merge_equals_direct,
+           ABS(c.e - x.n) / x.n <= 0.6 AS within_bound
+    FROM corrected c CROSS JOIN exact x CROSS JOIN merge_ok m
+    """,
+)
+def sketch_hll_handbuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from DataFrame primitives — registers ARE rows:
+    each key hashes to (bucket, 30-bit value), rho is the leading-zero
+    rank recovered EXACTLY via the base-2 digit count (LENGTH(bin(w)) =
+    floor(log2 w)+1 in both engines — no float log near power-of-two
+    edges), and a register is just MAX(rho) per bucket. Flajolet's
+    alpha_m bias-corrected harmonic mean plus the linear-counting
+    small-range branch gives the estimate; certificates pin (a)
+    MERGEABILITY — per-day partial sketches combined by elementwise MAX
+    equal the direct whole-set registers, the property that makes HLL a
+    100 TB rollup primitive — and (b) the measured relative error
+    within 4.5 sigma (1.04/sqrt(64) ~ 13%). Complements the built-in
+    DataSketches path (agg_hll_partitioned_merge) by showing the
+    sketch's algebra is nothing but groupBy/max.
+
+    One scan to (day, bucket, max rho); every later frame is <= m rows."""
+    e = table(spark, sf_dir, "events")
+    keys = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    bucket = F.pmod(
+        poly_hash(F.concat(F.lit("hllA:"), F.col("user_id").cast("string"))),
+        F.lit(_HLL_M),
+    )
+    w = F.pmod(
+        poly_hash(F.concat(F.lit("hllB:"), F.col("user_id").cast("string"))),
+        F.lit(1073741824),
+    )
+    rho = keys.select(
+        "day",
+        bucket.alias("bucket"),
+        F.when(w == 0, F.lit(_HLL_W + 1))
+        .otherwise(_HLL_W - F.length(F.conv(w.cast("string"), 10, 2)) + 1)
+        .alias("r"),
+    )
+    daily = rho.groupBy("day", "bucket").agg(F.max("r").alias("mr"))
+    merged = daily.groupBy("bucket").agg(F.max("mr").alias("mr"))
+    direct = rho.groupBy("bucket").agg(F.max("r").alias("mr"))
+    merge_ok = (
+        merged.exceptAll(direct)
+        .agg((F.count(F.lit(1)) == 0).alias("merge_equals_direct"))
+    )
+    est = merged.agg(
+        (
+            _HLL_ALPHA
+            * _HLL_M
+            * _HLL_M
+            / (F.sum(F.pow(2.0, -F.col("mr"))) + (_HLL_M - F.count(F.lit(1))))
+        ).alias("raw"),
+        (_HLL_M - F.count(F.lit(1))).alias("v"),
+    )
+    corrected = est.select(
+        F.when(
+            (F.col("raw") <= 2.5 * _HLL_M) & (F.col("v") > 0),
+            _HLL_M * F.log(_HLL_M * 1.0 / F.col("v")),
+        )
+        .otherwise(F.col("raw"))
+        .alias("e")
+    )
+    exact = e.agg(F.count_distinct("user_id").cast("bigint").alias("n"))
+    return (
+        corrected.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(merge_ok))
+        .select(
+            F.col("n").alias("exact_distinct"),
+            F.round(F.col("e"), 4).alias("hll_estimate"),
+            F.round(F.abs(F.col("e") - F.col("n")) / F.col("n"), 6).alias(
+                "rel_error"
+            ),
+            "merge_equals_direct",
+            (F.abs(F.col("e") - F.col("n")) / F.col("n") <= 0.6).alias(
+                "within_bound"
+            ),
+        )
     )

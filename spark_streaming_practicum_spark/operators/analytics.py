@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.aggs import dsum, dsum_sql
+from ..functions.textfns import poly_hash
 from ..registry import query
 from ..functions.ranks import persisted as _persisted
 
@@ -3743,4 +3744,189 @@ def survival_cox_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("i", 6).alias("info_i"),
         F.round(F.col("u") / F.col("i"), 6).alias("beta_one_step"),
         F.round(F.exp(F.col("u") / F.col("i")), 6).alias("hazard_ratio"),
+    )
+
+
+# --- 1-D Wasserstein (earth mover's) drift distance --------------------------
+
+
+@query(
+    "drift_wasserstein_1d",
+    oracle="""
+    WITH tagged AS (
+        SELECT value, CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS a
+        FROM events),
+    per_v AS (
+        SELECT value,
+               CAST(SUM(a) AS BIGINT) AS ca,
+               CAST(SUM(1 - a) AS BIGINT) AS cb
+        FROM tagged GROUP BY value),
+    cum AS (
+        SELECT value,
+               SUM(ca) OVER (ORDER BY value) AS cum_ca,
+               SUM(cb) OVER (ORDER BY value) AS cum_cb,
+               LEAD(value) OVER (ORDER BY value) AS nxt
+        FROM per_v),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per_v),
+    seg AS (
+        SELECT ABS(c.cum_ca * t.nb - c.cum_cb * t.na) * (c.nxt - c.value) AS m,
+               t.na, t.nb
+        FROM cum c CROSS JOIN tot t
+        WHERE c.nxt IS NOT NULL)
+    SELECT ROUND(CAST(SUM(CAST(m AS DECIMAL(38,10))) AS DOUBLE)
+                 / (MAX(na) * MAX(nb)), 6) AS wasserstein_1d,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b
+    FROM seg
+    """,
+)
+def drift_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth mover's) distance between the first- and
+    second-half-of-month value distributions: the integral of
+    |F_A - F_B| over the value axis — the drift metric that reports HOW
+    FAR mass moved where KS reports only the worst single point and PSI
+    quantizes into 10 bins. W1 = sum over adjacent distinct values of
+    |cum_A*n_B - cum_B*n_A| * gap / (n_A*n_B): the bracket is an exact
+    INTEGER per segment, the segment products accumulate in
+    DECIMAL(38,10), so both engines sum identical exact terms in any
+    order.
+
+    Scale shape: the per-value collapse is one keyed aggregate; the
+    cumulative counts use the two-pass range-partition prefix scan
+    (functions/ranks.py), never a single-partition window; the
+    next-value gap is an equi self-join on the scale-safe global row
+    number, not LEAD over one partition."""
+    from ..functions.ranks import global_cumulative_sums, global_row_number
+
+    e = table(spark, sf_dir, "events").select(
+        "value", F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("a")
+    )
+    per_v = e.groupBy("value").agg(
+        F.sum("a").cast("long").alias("ca"),
+        F.sum(1 - F.col("a")).cast("long").alias("cb"),
+    )
+    cum = global_cumulative_sums(per_v, [F.col("value")], ["ca", "cb"])
+    rn, _total = global_row_number(cum, [F.col("value")], rn_name="rn")
+    nxt = rn.select((F.col("rn") - 1).alias("rn"), F.col("value").alias("nxt"))
+    seg = rn.join(nxt, "rn").select(
+        "value",
+        "nxt",
+        "cum_ca",
+        "cum_cb",
+    )
+    tot = per_v.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    m = (
+        F.abs(F.col("cum_ca") * F.col("nb") - F.col("cum_cb") * F.col("na"))
+        * (F.col("nxt") - F.col("value"))
+    ).cast("decimal(38,10)")
+    return (
+        seg.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(m).cast("double") / (F.max("na") * F.max("nb")), 6
+            ).alias("wasserstein_1d"),
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+        )
+    )
+
+
+# --- permutation test with deterministic hash relabelings --------------------
+
+_PERM_R = 50
+
+
+def _perm_arm_sql(i: int) -> str:
+    # portable per-replicate relabeling: user-level (not row-level), so
+    # the permuted assignment respects the clustering structure
+    h = (
+        "list_reduce(list_transform(generate_series(1, LENGTH({e})), "
+        "q -> CAST(ascii(({e})[q:q]) AS BIGINT)), (acc, x) -> (acc * 131 + x) % 1000000007)"
+    ).format(e=f"'perm{i}:' || CAST(user_id AS VARCHAR)")
+    return f"({h} % 2)"
+
+
+@query(
+    "ab_permutation_test",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, user_id % 2 AS arm, value
+        FROM events WHERE event_type = 'purchase'),
+    obs AS (
+        SELECT CAST(SUM(CASE WHEN arm = 1 THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+                 / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+             - CAST(SUM(CASE WHEN arm = 0 THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+                 / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS d
+        FROM base),
+    perms AS (
+        {" UNION ALL ".join(
+            f'''SELECT {i} AS rep,
+               CAST(SUM(CASE WHEN {_perm_arm_sql(i)} = 1 THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+                 / SUM(CASE WHEN {_perm_arm_sql(i)} = 1 THEN 1 ELSE 0 END)
+             - CAST(SUM(CASE WHEN {_perm_arm_sql(i)} = 0 THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+                 / SUM(CASE WHEN {_perm_arm_sql(i)} = 0 THEN 1 ELSE 0 END) AS d
+            FROM base''' for i in range(_PERM_R))})
+    SELECT ROUND(o.d, 6) AS observed_diff,
+           CAST(SUM(CASE WHEN ABS(p.d) >= ABS(o.d) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_extreme,
+           ROUND((SUM(CASE WHEN ABS(p.d) >= ABS(o.d) THEN 1 ELSE 0 END) + 1.0)
+                 / ({_PERM_R} + 1), 6) AS p_value
+    FROM perms p CROSS JOIN obs o
+    GROUP BY o.d
+    """,
+)
+def ab_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the A/B mean difference with DETERMINISTIC
+    hash relabelings: each of {_PERM_R} replicates reassigns every USER
+    (not row — the relabeling respects clustering) to an arm by a
+    seeded portable hash, and the p-value is the add-one-smoothed
+    fraction of replicate |diffs| at least as extreme as the observed
+    one — the exact-style nonparametric test that needs no normality or
+    variance model, reproducible across engines and reruns because the
+    'random' permutations are hashes.
+
+    Plan: all {_PERM_R} replicate diffs are CONDITIONAL AGGREGATES in
+    ONE scan (the hash ladder pattern poisson_bootstrap_ci uses) —
+    never {_PERM_R} passes; sums accumulate in DECIMAL so replicate
+    means are order-exact in both engines."""
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.pmod(F.col("user_id"), F.lit(2)).alias("arm"), "value")
+    )
+
+    def mean_diff(arm_col):
+        s1 = F.sum(
+            F.when(arm_col == 1, F.col("value").cast("decimal(38,6)"))
+        ).cast("double")
+        n1 = F.sum(F.when(arm_col == 1, 1).otherwise(0))
+        s0 = F.sum(
+            F.when(arm_col == 0, F.col("value").cast("decimal(38,6)"))
+        ).cast("double")
+        n0 = F.sum(F.when(arm_col == 0, 1).otherwise(0))
+        return s1 / n1 - s0 / n0
+
+    perm_cols = [
+        mean_diff(
+            F.pmod(
+                poly_hash(
+                    F.concat(F.lit(f"perm{i}:"), F.col("user_id").cast("string"))
+                ),
+                F.lit(2),
+            )
+        ).alias(f"p{i}")
+        for i in range(_PERM_R)
+    ]
+    agg = base.agg(mean_diff(F.col("arm")).alias("obs"), *perm_cols)
+    extreme = [
+        (F.abs(F.col(f"p{i}")) >= F.abs(F.col("obs"))).cast("int")
+        for i in range(_PERM_R)
+    ]
+    n_ext = sum(extreme[1:], extreme[0])
+    return agg.select(
+        F.round("obs", 6).alias("observed_diff"),
+        n_ext.cast("bigint").alias("n_extreme"),
+        F.round((n_ext + 1.0) / (_PERM_R + 1), 6).alias("p_value"),
     )

@@ -1072,3 +1072,116 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("p5"), 6).alias("pass_at_5"),
         F.round(F.avg("p10"), 6).alias("pass_at_10"),
     )
+
+
+# --- rank-biased overlap (RBO) -----------------------------------------------
+
+_RBO_P = 0.9
+
+
+@query(
+    "eval_rank_biased_overlap",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < {{nq}}),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= {{nq}}),
+    full_rank AS (
+        SELECT q.qid, c.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND(list_cosine_similarity(c.e, q.qe), 6) DESC,
+                            c.vec_id) AS ra
+        FROM c, q),
+    trunc_rank AS (
+        SELECT q.qid, c.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND(list_cosine_similarity(
+                                c.e[1:{{sub}}], q.qe[1:{{sub}}]), 6) DESC,
+                            c.vec_id) AS rb
+        FROM c, q),
+    m AS (
+        SELECT f.qid, GREATEST(f.ra, t.rb) AS m
+        FROM (SELECT qid, vec_id, ra FROM full_rank WHERE ra <= {{k}}) f
+        JOIN (SELECT qid, vec_id, rb FROM trunc_rank WHERE rb <= {{k}}) t
+          ON t.qid = f.qid AND t.vec_id = f.vec_id),
+    depths AS (SELECT unnest(generate_series(1, {{k}})) AS d),
+    grid AS (SELECT qq.qid, dp.d
+             FROM (SELECT DISTINCT qid FROM m) qq CROSS JOIN depths dp),
+    xd AS (
+        SELECT g.qid, g.d,
+               CAST(SUM(CASE WHEN m.m <= g.d THEN 1 ELSE 0 END) AS DOUBLE) AS x
+        FROM grid g LEFT JOIN m ON m.qid = g.qid
+        GROUP BY g.qid, g.d)
+    SELECT qid,
+           ROUND((1 - {_RBO_P}) * SUM(POW({_RBO_P}, d - 1) * x / d), 6)
+               AS rbo_at_{{k}}
+    FROM xd
+    GROUP BY qid
+    ORDER BY qid
+    """.format(nq=N_QUERIES, sub=_MRL_SUBDIM, k=K),
+)
+def eval_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010), truncated at depth
+    {K}: RBO = (1-p) * sum_d p^(d-1) * X_d / d where X_d is the overlap
+    of the two rankings' top-d prefixes — the TOP-WEIGHTED ranking
+    similarity that Kendall/Spearman (which weight all positions
+    equally) can't give, and the standard way to quantify how much a
+    cheaper index (here: Matryoshka-truncated cosine) disturbs what
+    users actually see. X_d never needs per-depth rescans: an item in
+    both top-{K}s enters every prefix from depth m = max(ra, rb), so
+    X_d = #{{m <= d}} — one tiny depth-grid join over Q x {K} rows.
+
+    Same broadcast-query / corpus-scan ranking topology as the other
+    retrieval evals; ranks order by (rounded cosine, vec_id) so both
+    engines rank identical keys."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def ranked(sub: int | None, name: str):
+        e_col = F.col("e") if sub is None else F.slice("e", 1, sub)
+        qe_col = F.col("qe") if sub is None else F.slice("qe", 1, sub)
+        cos = F.round(dot(e_col, qe_col) / (l2_norm(e_col) * l2_norm(qe_col)), 6)
+        w = Window.partitionBy("qid").orderBy(cos.desc(), F.col("vec_id"))
+        return (
+            c.crossJoin(F.broadcast(q))
+            .withColumn(name, F.row_number().over(w))
+            .filter(F.col(name) <= K)
+            .select("qid", "vec_id", name)
+        )
+
+    m = (
+        ranked(None, "ra")
+        .join(ranked(_MRL_SUBDIM, "rb"), ["qid", "vec_id"])
+        .select("qid", F.greatest("ra", "rb").alias("m"))
+    )
+    depths = spark.range(1, K + 1).select(F.col("id").cast("int").alias("d"))
+    qids = m.select("qid").distinct()
+    grid = qids.crossJoin(F.broadcast(depths))
+    xd = (
+        grid.join(m, "qid", "left")
+        .groupBy("qid", "d")
+        .agg(
+            F.sum(F.when(F.col("m") <= F.col("d"), 1).otherwise(0))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    return (
+        xd.groupBy("qid")
+        .agg(
+            F.round(
+                (1 - _RBO_P)
+                * F.sum(F.pow(F.lit(_RBO_P), F.col("d") - 1) * F.col("x") / F.col("d")),
+                6,
+            ).alias(f"rbo_at_{K}")
+        )
+        .orderBy("qid")
+    )

@@ -1532,3 +1532,122 @@ def ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_total",
         )
     )
+
+
+# --- isotonic calibration (exact minimax on the binned frame) ----------------
+
+_ISO_BINS = 20
+
+
+@query(
+    "ml_isotonic_calibration",
+    oracle=f"""
+    WITH pts AS (
+        SELECT value AS s,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        FROM events),
+    mx AS (SELECT MAX(s) AS mx FROM pts),
+    binned AS (
+        SELECT LEAST({_ISO_BINS - 1},
+                     CAST(FLOOR(p.s * {_ISO_BINS} / m.mx) AS INT)) AS bin,
+               COUNT(*) AS n, SUM(p.y) AS sy
+        FROM pts p CROSS JOIN mx m
+        GROUP BY 1),
+    idx AS (
+        SELECT bin, n, sy,
+               ROW_NUMBER() OVER (ORDER BY bin) AS i,
+               SUM(n)  OVER (ORDER BY bin) AS cn,
+               SUM(sy) OVER (ORDER BY bin) AS cs
+        FROM binned),
+    p0 AS (SELECT 0 AS i, 0 AS cn, 0.0 AS cs
+           UNION ALL SELECT i, cn, cs FROM idx),
+    intervals AS (
+        SELECT l.i + 1 AS j, r.i AS k,
+               (r.cs - l.cs) / (r.cn - l.cn) AS mean
+        FROM p0 l JOIN idx r ON r.i > l.i),
+    triples AS (
+        SELECT b.i, v.j, v.k, v.mean
+        FROM idx b JOIN intervals v ON v.j <= b.i AND b.i <= v.k),
+    inner_min AS (
+        SELECT i, j, MIN(mean) AS m FROM triples GROUP BY i, j),
+    iso AS (SELECT i, MAX(m) AS iso FROM inner_min GROUP BY i)
+    SELECT b.bin,
+           CAST(b.n AS BIGINT) AS n,
+           ROUND(b.sy / b.n, 6) AS raw_rate,
+           ROUND(o.iso, 6) AS iso_rate
+    FROM idx b JOIN iso o ON o.i = b.i
+    ORDER BY b.bin
+    """,
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression calibration (the sklearn 'isotonic' method)
+    computed EXACTLY via the minimax identity: the isotonic fit at bin
+    i equals max_{{j<=i}} min_{{k>=i}} weighted-mean(y over bins j..k)
+    — closed form, so the sequential pool-adjacent-violators loop never
+    runs and both engines evaluate the identical expression grid. The
+    raw per-bin purchase rates (non-monotone in general) come out as
+    the best-fit NON-DECREASING rates, the post-hoc calibrator every
+    score-producing model ships with.
+
+    Scale shape: the only corpus-scale operation is the {_ISO_BINS}-bin
+    (count, sum) aggregate; prefix sums, the interval grid (<= B^2/2
+    rows), and the minimax reduction all run on bounded frames. At
+    100 TB the job is one scan + arithmetic on ~400 rows."""
+    pts = table(spark, sf_dir, "events").select(
+        F.col("value").alias("s"),
+        (F.col("event_type") == "purchase").cast("double").alias("y"),
+    )
+    mx = pts.agg(F.max("s").alias("mx"))
+    binned = (
+        pts.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.least(
+                F.lit(_ISO_BINS - 1),
+                F.floor(F.col("s") * _ISO_BINS / F.col("mx")).cast("int"),
+            ).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"))
+    )
+    # windows below run on the <= B-row bin frame — bounded by design
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    idx = binned.select(
+        "bin",
+        "n",
+        "sy",
+        F.row_number().over(Window.orderBy("bin")).alias("i"),
+        F.sum("n").over(wb).alias("cn"),
+        F.sum("sy").over(wb).alias("cs"),
+    )
+    p0 = idx.select("i", "cn", "cs").unionByName(
+        spark.range(1).select(
+            F.lit(0).alias("i"),
+            F.lit(0).cast("long").alias("cn"),
+            F.lit(0.0).alias("cs"),
+        )
+    )
+    intervals = (
+        p0.alias("l")
+        .join(idx.alias("r"), F.col("r.i") > F.col("l.i"))
+        .select(
+            (F.col("l.i") + 1).alias("j"),
+            F.col("r.i").alias("k"),
+            ((F.col("r.cs") - F.col("l.cs")) / (F.col("r.cn") - F.col("l.cn"))).alias(
+                "mean"
+            ),
+        )
+    )
+    triples = idx.select("i").join(
+        intervals, (F.col("j") <= F.col("i")) & (F.col("i") <= F.col("k"))
+    )
+    inner_min = triples.groupBy("i", "j").agg(F.min("mean").alias("m"))
+    iso = inner_min.groupBy("i").agg(F.max("m").alias("iso"))
+    return (
+        idx.join(iso, "i")
+        .select(
+            "bin",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("sy") / F.col("n"), 6).alias("raw_rate"),
+            F.round("iso", 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
