@@ -3851,23 +3851,27 @@ def _perm_arm_sql(i: int) -> str:
 @query(
     "ab_permutation_test",
     oracle=f"""
-    WITH base AS (
-        SELECT user_id, user_id % 2 AS arm, value
-        FROM events WHERE event_type = 'purchase'),
+    WITH per_user AS (
+        SELECT user_id,
+               user_id % 2 AS arm,
+               SUM(CAST(value AS DECIMAL(38,6))) AS su,
+               COUNT(*) AS cu
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id),
     obs AS (
-        SELECT CAST(SUM(CASE WHEN arm = 1 THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
-                 / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
-             - CAST(SUM(CASE WHEN arm = 0 THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
-                 / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS d
-        FROM base),
+        SELECT CAST(SUM(CASE WHEN arm = 1 THEN su END) AS DOUBLE)
+                 / SUM(CASE WHEN arm = 1 THEN cu ELSE 0 END)
+             - CAST(SUM(CASE WHEN arm = 0 THEN su END) AS DOUBLE)
+                 / SUM(CASE WHEN arm = 0 THEN cu ELSE 0 END) AS d
+        FROM per_user),
     perms AS (
         {" UNION ALL ".join(
             f'''SELECT {i} AS rep,
-               CAST(SUM(CASE WHEN {_perm_arm_sql(i)} = 1 THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
-                 / SUM(CASE WHEN {_perm_arm_sql(i)} = 1 THEN 1 ELSE 0 END)
-             - CAST(SUM(CASE WHEN {_perm_arm_sql(i)} = 0 THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
-                 / SUM(CASE WHEN {_perm_arm_sql(i)} = 0 THEN 1 ELSE 0 END) AS d
-            FROM base''' for i in range(_PERM_R))})
+               CAST(SUM(CASE WHEN {_perm_arm_sql(i)} = 1 THEN su END) AS DOUBLE)
+                 / SUM(CASE WHEN {_perm_arm_sql(i)} = 1 THEN cu ELSE 0 END)
+             - CAST(SUM(CASE WHEN {_perm_arm_sql(i)} = 0 THEN su END) AS DOUBLE)
+                 / SUM(CASE WHEN {_perm_arm_sql(i)} = 0 THEN cu ELSE 0 END) AS d
+            FROM per_user''' for i in range(_PERM_R))})
     SELECT ROUND(o.d, 6) AS observed_diff,
            CAST(SUM(CASE WHEN ABS(p.d) >= ABS(o.d) THEN 1 ELSE 0 END) AS BIGINT)
                AS n_extreme,
@@ -3887,25 +3891,32 @@ def ab_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance model, reproducible across engines and reruns because the
     'random' permutations are hashes.
 
-    Plan: all {_PERM_R} replicate diffs are CONDITIONAL AGGREGATES in
-    ONE scan (the hash ladder pattern poisson_bootstrap_ci uses) —
-    never {_PERM_R} passes; sums accumulate in DECIMAL so replicate
-    means are order-exact in both engines."""
-    base = (
+    Scale shape: the corpus collapses to the PER-USER (sum, count)
+    frame FIRST — one keyed aggregate — and all {_PERM_R} replicate
+    relabelings run as conditional aggregates over that bounded frame,
+    so the {_PERM_R} per-user hashes are computed over |users| rows,
+    never |events| (the naive all-in-one-aggregate form re-evaluated
+    every hash per event per referencing expression and went 8.4x at
+    the 20x probe; this form is flat). DECIMAL user sums keep replicate
+    means order-exact in both engines."""
+    per_user = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
-        .select("user_id", F.pmod(F.col("user_id"), F.lit(2)).alias("arm"), "value")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("su"),
+            F.count(F.lit(1)).alias("cu"),
+        )
+        .select(
+            "user_id", F.pmod(F.col("user_id"), F.lit(2)).alias("arm"), "su", "cu"
+        )
     )
 
     def mean_diff(arm_col):
-        s1 = F.sum(
-            F.when(arm_col == 1, F.col("value").cast("decimal(38,6)"))
-        ).cast("double")
-        n1 = F.sum(F.when(arm_col == 1, 1).otherwise(0))
-        s0 = F.sum(
-            F.when(arm_col == 0, F.col("value").cast("decimal(38,6)"))
-        ).cast("double")
-        n0 = F.sum(F.when(arm_col == 0, 1).otherwise(0))
+        s1 = F.sum(F.when(arm_col == 1, F.col("su"))).cast("double")
+        n1 = F.sum(F.when(arm_col == 1, F.col("cu")).otherwise(0))
+        s0 = F.sum(F.when(arm_col == 0, F.col("su"))).cast("double")
+        n0 = F.sum(F.when(arm_col == 0, F.col("cu")).otherwise(0))
         return s1 / n1 - s0 / n0
 
     perm_cols = [
@@ -3919,7 +3930,7 @@ def ab_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"p{i}")
         for i in range(_PERM_R)
     ]
-    agg = base.agg(mean_diff(F.col("arm")).alias("obs"), *perm_cols)
+    agg = per_user.agg(mean_diff(F.col("arm")).alias("obs"), *perm_cols)
     extreme = [
         (F.abs(F.col(f"p{i}")) >= F.abs(F.col("obs"))).cast("int")
         for i in range(_PERM_R)

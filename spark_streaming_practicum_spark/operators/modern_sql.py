@@ -584,3 +584,91 @@ def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY o_orderpriority",
         args={"tbl": "orders_param_v", "floor": 100000},
     )
+
+
+# --- MATCH_RECOGNIZE emulation (row-pattern matching) ------------------------
+
+# pattern: one-or-more views, then one-or-more clicks, then a purchase
+# (greedy, non-overlapping) — V+ C+ P in MATCH_RECOGNIZE terms
+_MR_PATTERN = "v+c+p"
+
+
+@query(
+    "seq_match_recognize_emulation",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(CASE event_type WHEN 'view' THEN 'v'
+                                          WHEN 'click' THEN 'c'
+                                          WHEN 'purchase' THEN 'p'
+                                          ELSE 'x' END, ''
+                          ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id),
+    matched AS (
+        SELECT user_id,
+               CAST(len(regexp_extract_all(s, '{_MR_PATTERN}')) AS BIGINT)
+                   AS n_matches,
+               LENGTH(s) AS n_events
+        FROM seq)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS users_with_match,
+           CAST(SUM(n_matches) AS BIGINT) AS total_matches,
+           CAST(MAX(n_matches) AS BIGINT) AS max_matches_per_user,
+           ROUND(SUM(n_matches) * 1.0 / SUM(n_events), 6) AS matches_per_event
+    FROM matched
+    """,
+)
+def seq_match_recognize_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching (SQL:2016 MATCH_RECOGNIZE, which Spark does
+    not ship) emulated with the standard relational trick: each user's
+    event history collapses to an ORDERED symbol string (v/c/p/x, total
+    order by (ts, event_id)), and the row pattern ``V+ C+ P`` becomes
+    the regex ``{_MR_PATTERN}`` counted per user with greedy
+    non-overlapping semantics — exactly MATCH_RECOGNIZE's default
+    ONE ROW PER MATCH / AFTER MATCH SKIP PAST LAST ROW behavior. The
+    funnel ops (window_funnel_within_time, seq_pattern_followed_by)
+    answer fixed-shape questions; this one takes an arbitrary
+    quantified pattern.
+
+    One shuffle to the per-user sequence (bounded by per-user history,
+    the same frame every sessionization op builds), then the regex runs
+    map-side per user; the rollup is a scalar aggregate."""
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("x")
+    )
+    seq = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", sym.alias("sym"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "sym"))
+                    ),
+                    lambda r: r["sym"],
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    matched = seq.select(
+        "user_id",
+        F.regexp_count("s", F.lit(_MR_PATTERN)).cast("bigint").alias("n_matches"),
+        F.length("s").alias("n_events"),
+    )
+    return matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum((F.col("n_matches") > 0).cast("int")).cast("bigint").alias(
+            "users_with_match"
+        ),
+        F.sum("n_matches").cast("bigint").alias("total_matches"),
+        F.max("n_matches").cast("bigint").alias("max_matches_per_user"),
+        F.round(F.sum("n_matches") / F.sum("n_events"), 6).alias(
+            "matches_per_event"
+        ),
+    )
