@@ -1651,3 +1651,218 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- gradient-boosted stumps (two unrolled rounds) ----------------------------
+
+_GBT_LR = 0.5
+
+
+@query(
+    "gbdt_stump_boosting",
+    oracle=f"""
+    WITH cells AS (
+        SELECT hour(ts) AS x1, dayofweek(ts) AS x2,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sq
+        FROM events GROUP BY 1, 2),
+    tot AS (SELECT SUM(n) AS nt, SUM(sy) AS syt FROM cells),
+    f0 AS (SELECT syt / nt AS f0 FROM tot),
+    r1 AS (SELECT c.*, c.sy - f.f0 * c.n AS r FROM cells c CROSS JOIN f0 f),
+    g1 AS (
+        SELECT feat, thr,
+               SUM(CASE WHEN v <= thr THEN r ELSE 0 END) AS rl,
+               SUM(CASE WHEN v <= thr THEN n ELSE 0 END) AS nl,
+               SUM(CASE WHEN v > thr THEN r ELSE 0 END) AS rr,
+               SUM(CASE WHEN v > thr THEN n ELSE 0 END) AS nr
+        FROM (SELECT 1 AS feat, x1 AS v, r, n FROM r1
+              UNION ALL SELECT 2, x2, r, n FROM r1) u
+        CROSS JOIN (SELECT DISTINCT x1 AS thr FROM cells
+                    UNION SELECT DISTINCT x2 FROM cells) t
+        GROUP BY feat, thr
+        HAVING SUM(CASE WHEN v <= thr THEN n ELSE 0 END) > 0
+           AND SUM(CASE WHEN v > thr THEN n ELSE 0 END) > 0),
+    b1 AS (
+        SELECT feat, thr, rl * rl / nl + rr * rr / nr AS gain,
+               {_GBT_LR} * rl / nl AS leaf_l, {_GBT_LR} * rr / nr AS leaf_r
+        FROM g1
+        ORDER BY ROUND(rl * rl / nl + rr * rr / nr, 6) DESC, feat, thr
+        LIMIT 1),
+    r2 AS (
+        SELECT c.x1, c.x2, c.n, c.sq,
+               c.sy,
+               f.f0 + CASE WHEN (CASE WHEN b.feat = 1 THEN c.x1 ELSE c.x2 END)
+                               <= b.thr
+                           THEN b.leaf_l ELSE b.leaf_r END AS pred1
+        FROM cells c CROSS JOIN f0 f CROSS JOIN b1 b),
+    r2r AS (SELECT *, sy - pred1 * n AS r FROM r2),
+    g2 AS (
+        SELECT feat, thr,
+               SUM(CASE WHEN v <= thr THEN r ELSE 0 END) AS rl,
+               SUM(CASE WHEN v <= thr THEN n ELSE 0 END) AS nl,
+               SUM(CASE WHEN v > thr THEN r ELSE 0 END) AS rr,
+               SUM(CASE WHEN v > thr THEN n ELSE 0 END) AS nr
+        FROM (SELECT 1 AS feat, x1 AS v, r, n FROM r2r
+              UNION ALL SELECT 2, x2, r, n FROM r2r) u
+        CROSS JOIN (SELECT DISTINCT x1 AS thr FROM cells
+                    UNION SELECT DISTINCT x2 FROM cells) t
+        GROUP BY feat, thr
+        HAVING SUM(CASE WHEN v <= thr THEN n ELSE 0 END) > 0
+           AND SUM(CASE WHEN v > thr THEN n ELSE 0 END) > 0),
+    b2 AS (
+        SELECT feat, thr, rl * rl / nl + rr * rr / nr AS gain,
+               {_GBT_LR} * rl / nl AS leaf_l, {_GBT_LR} * rr / nr AS leaf_r
+        FROM g2
+        ORDER BY ROUND(rl * rl / nl + rr * rr / nr, 6) DESC, feat, thr
+        LIMIT 1),
+    final AS (
+        SELECT SUM(c.sq - 2 * p.pred2 * c.sy + p.pred2 * p.pred2 * c.n) AS sse,
+               SUM(c.n) AS nt
+        FROM cells c
+        JOIN (SELECT r.x1, r.x2,
+                     r.pred1 + CASE WHEN (CASE WHEN b.feat = 1 THEN r.x1
+                                               ELSE r.x2 END) <= b.thr
+                                    THEN b.leaf_l ELSE b.leaf_r END AS pred2
+              FROM r2 r CROSS JOIN b2 b) p
+          ON p.x1 = c.x1 AND p.x2 = c.x2)
+    SELECT rnd,
+           feat AS feature,
+           CAST(thr AS BIGINT) AS threshold,
+           ROUND(gain, 4) AS gain,
+           ROUND(leaf_l, 6) AS leaf_left,
+           ROUND(leaf_r, 6) AS leaf_right,
+           ROUND(SQRT(f.sse / f.nt), 6) AS train_rmse_final
+    FROM (SELECT 1 AS rnd, * FROM b1 UNION ALL SELECT 2, * FROM b2) rounds
+    CROSS JOIN final f
+    ORDER BY rnd
+    """,
+)
+def gbdt_stump_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted decision stumps — two unrolled boosting rounds
+    of the XGBoost recipe on squared loss: start from the global mean,
+    fit the best single-split stump to the residuals (gain =
+    rl^2/nl + rr^2/nr, the exact SSE reduction), shrink by the 0.5
+    learning rate, re-fit on the new residuals. Features are hour and
+    day-of-week, so the ENTIRE boosting computation runs on the 24x7
+    contingency frame: one corpus scan collapses to per-cell
+    (n, sum y, sum y^2) with DECIMAL sums, and every split search,
+    residual update and the final train RMSE are arithmetic over <=168
+    rows + a ~31-row (feature, threshold) gain grid. Split argmax
+    orders by (rounded gain, feature, threshold) in both engines so
+    float noise cannot flip the chosen split."""
+    e = table(spark, sf_dir, "events")
+    cells = (
+        e.groupBy(
+            F.hour("ts").alias("x1"), F.dayofweek("ts").alias("x2")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sy"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sq"),
+        )
+        .transform(_persisted)
+    )
+    f0 = cells.agg((F.sum("sy") / F.sum("n")).alias("f0"))
+    thrs = (
+        cells.select(F.col("x1").alias("thr"))
+        .union(cells.select("x2"))
+        .distinct()
+    )
+
+    def best_stump(resid_cells: DataFrame) -> DataFrame:
+        u = resid_cells.select(
+            F.lit(1).alias("feat"), F.col("x1").alias("v"), "r", "n"
+        ).unionByName(
+            resid_cells.select(
+                F.lit(2).alias("feat"), F.col("x2").alias("v"), "r", "n"
+            )
+        )
+        g = (
+            u.crossJoin(F.broadcast(thrs))
+            .groupBy("feat", "thr")
+            .agg(
+                F.sum(F.when(F.col("v") <= F.col("thr"), F.col("r")).otherwise(0.0)).alias("rl"),
+                F.sum(F.when(F.col("v") <= F.col("thr"), F.col("n")).otherwise(0.0)).alias("nl"),
+                F.sum(F.when(F.col("v") > F.col("thr"), F.col("r")).otherwise(0.0)).alias("rr"),
+                F.sum(F.when(F.col("v") > F.col("thr"), F.col("n")).otherwise(0.0)).alias("nr"),
+            )
+            .filter((F.col("nl") > 0) & (F.col("nr") > 0))
+        )
+        gain = F.col("rl") * F.col("rl") / F.col("nl") + F.col("rr") * F.col("rr") / F.col("nr")
+        return (
+            g.select(
+                "feat",
+                "thr",
+                gain.alias("gain"),
+                (_GBT_LR * F.col("rl") / F.col("nl")).alias("leaf_l"),
+                (_GBT_LR * F.col("rr") / F.col("nr")).alias("leaf_r"),
+            )
+            .orderBy(F.round("gain", 6).desc(), "feat", "thr")
+            .limit(1)
+        )
+
+    r1 = cells.crossJoin(F.broadcast(f0)).select(
+        "x1", "x2", "n", "sy", "sq", (F.col("sy") - F.col("f0") * F.col("n")).alias("r")
+    )
+    b1 = best_stump(r1)
+
+    def side(b_prefix, x1c, x2c):
+        v = F.when(F.col(f"{b_prefix}.feat") == 1, x1c).otherwise(x2c)
+        return F.when(v <= F.col(f"{b_prefix}.thr"), F.col(f"{b_prefix}.leaf_l")).otherwise(
+            F.col(f"{b_prefix}.leaf_r")
+        )
+
+    r2 = (
+        cells.crossJoin(F.broadcast(f0))
+        .crossJoin(F.broadcast(b1.alias("b1")))
+        .select(
+            "x1",
+            "x2",
+            "n",
+            "sy",
+            "sq",
+            (F.col("f0") + side("b1", F.col("x1"), F.col("x2"))).alias("pred1"),
+        )
+    )
+    r2r = r2.withColumn("r", F.col("sy") - F.col("pred1") * F.col("n"))
+    b2 = best_stump(r2r)
+    final = (
+        r2.crossJoin(F.broadcast(b2.alias("b2")))
+        .select(
+            "n",
+            "sy",
+            "sq",
+            (F.col("pred1") + side("b2", F.col("x1"), F.col("x2"))).alias("pred2"),
+        )
+        .agg(
+            (
+                F.sqrt(
+                    F.sum(
+                        F.col("sq")
+                        - 2 * F.col("pred2") * F.col("sy")
+                        + F.col("pred2") * F.col("pred2") * F.col("n")
+                    )
+                    / F.sum("n")
+                )
+            ).alias("rmse")
+        )
+    )
+    rounds = b1.select(F.lit(1).alias("rnd"), "*").unionByName(
+        b2.select(F.lit(2).alias("rnd"), "*")
+    )
+    return (
+        rounds.crossJoin(F.broadcast(final))
+        .select(
+            "rnd",
+            F.col("feat").alias("feature"),
+            F.col("thr").cast("bigint").alias("threshold"),
+            F.round("gain", 4).alias("gain"),
+            F.round("leaf_l", 6).alias("leaf_left"),
+            F.round("leaf_r", 6).alias("leaf_right"),
+            F.round("rmse", 6).alias("train_rmse_final"),
+        )
+        .orderBy("rnd")
+    )
