@@ -27,6 +27,14 @@ def shingles(words: Column, n: int = 3) -> Column:
 
     Empty array when the document has fewer than ``n`` words (guards
     Spark's descending-sequence behavior for start > stop).
+
+    PERF CONTRACT: pass ``words`` as a PROJECTED COLUMN (``F.col``),
+    never an inline ``split``/``tokens`` expression. The lambda slices
+    ``words`` once per shingle position, and Catalyst does not CSE
+    subexpressions across higher-order-function lambda boundaries — an
+    inlined split is re-evaluated per position, turning the per-doc
+    cost from O(len) into O(len^2). Measured at the 20x probe lake:
+    ~20x wall-clock difference on the bigram explode (round 5).
     """
     count = F.size(words) - (n - 1)
     return F.when(

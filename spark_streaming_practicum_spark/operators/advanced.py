@@ -813,3 +813,131 @@ def sketch_hll_handbuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Misra-Gries / Space-Saving heavy hitters --------------------------------
+
+_MG_K = 16  # summary capacity per partition
+_MG_TOP = 10  # exact top-N emitted (N < K so the certificate binds)
+
+
+@query(
+    "sketch_misra_gries_heavyhitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+            FROM tok GROUP BY token),
+    top AS (
+        SELECT token, exact_count,
+               ROW_NUMBER() OVER (ORDER BY exact_count DESC, token ASC) AS rank
+        FROM cnt
+        QUALIFY rank <= {_MG_TOP})
+    SELECT rank, token, exact_count,
+           TRUE AS mg_underestimates,
+           TRUE AS mg_error_within_bound,
+           TRUE AS mg_recall_complete
+    FROM top
+    ORDER BY rank
+    """,
+)
+def sketch_misra_gries_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters as a MERGEABLE two-phase aggregate —
+    the one-pass, bounded-memory answer to "top tokens over 100 TB"
+    (counting every token exactly needs a |vocab|-sized shuffle; the MG
+    summary needs K counters per partition, period).
+
+    Phase 1 builds a valid MG(K) summary per input partition entirely
+    JVM-side, via the classic reduction (Agarwal et al., "Mergeable
+    Summaries", PODS'12): exact partition-local counts, keep the K
+    largest, subtract the (K+1)-th largest from each. Phase 2 merges
+    summaries by summing per-token — the merged result is again a valid
+    MG(K) summary, with total undercount bounded by sum_p n_p/(K+1)
+    <= n/(K+1). No driver state, no Python loop: the per-partition
+    top-K prune is a row_number window over (partition_id, token)
+    counts, a frame whose size is at most P x per-partition vocab,
+    already co-partitioned by the groupBy.
+
+    Output is the EXACT top-{_MG_TOP} (SQL-expressible, so the driver
+    hash-checks values); three booleans certify the sketch against the
+    exact counts, each a distributed aggregate the oracle pins TRUE:
+
+    - ``mg_underestimates``: every merged MG estimate <= its exact
+      count (MG never overcounts — a FALSE is a code bug);
+    - ``mg_error_within_bound``: every estimate is within n/(K+1) of
+      exact (the mergeable-summaries guarantee);
+    - ``mg_recall_complete``: every token with exact count > n/(K+1)
+      survives in the merged summary (the heavy-hitter guarantee).
+    """
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    # Phase 1: per-partition exact counts -> MG(K) summary.
+    pc = (
+        tok.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rank = Window.partitionBy("pid").orderBy(F.col("c").desc(), F.col("token").asc())
+    ranked = pc.withColumn("rk", F.row_number().over(w_rank))
+    kth1 = (
+        ranked.filter(F.col("rk") == _MG_K + 1)
+        .select("pid", F.col("c").alias("sub"))
+    )
+    summaries = (
+        ranked.filter(F.col("rk") <= _MG_K)
+        .join(kth1, "pid", "left")
+        .select(
+            "pid",
+            "token",
+            (F.col("c") - F.coalesce(F.col("sub"), F.lit(0))).alias("est"),
+        )
+        .filter(F.col("est") > 0)
+    )
+    # Phase 2: merge = sum per token (mergeable-summaries theorem).
+    merged = summaries.groupBy("token").agg(F.sum("est").alias("est"))
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+    n_total = tok.agg(F.count(F.lit(1)).alias("n"))
+    bound = F.col("n") / F.lit(_MG_K + 1)
+    audit = (
+        exact.join(merged, "token", "left")
+        .crossJoin(F.broadcast(n_total))
+        .agg(
+            F.min(
+                F.coalesce(F.col("est"), F.lit(0)) <= F.col("exact_count")
+            ).alias("mg_underestimates"),
+            F.min(
+                (F.col("exact_count") - F.coalesce(F.col("est"), F.lit(0))) <= bound
+            ).alias("mg_error_within_bound"),
+            F.min(
+                F.when(F.col("exact_count") > bound, F.col("est").isNotNull())
+                .otherwise(F.lit(True))
+            ).alias("mg_recall_complete"),
+        )
+    )
+    # top-N selection is a distributed TakeOrderedAndProject (limit
+    # after orderBy); the ranking window then runs over N rows, never
+    # the full vocabulary in one task.
+    top = (
+        exact.orderBy(F.col("exact_count").desc(), F.col("token").asc())
+        .limit(_MG_TOP)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_count").desc(), F.col("token").asc())
+            ),
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(audit))
+        .select(
+            "rank",
+            "token",
+            "exact_count",
+            "mg_underestimates",
+            "mg_error_within_bound",
+            "mg_recall_complete",
+        )
+        .orderBy("rank")
+    )

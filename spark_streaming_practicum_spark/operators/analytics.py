@@ -10,6 +10,8 @@ serves every stage, which is what keeps them linear at 100 TB.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3940,4 +3942,130 @@ def ab_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("obs", 6).alias("observed_diff"),
         n_ext.cast("bigint").alias("n_extreme"),
         F.round((n_ext + 1.0) / (_PERM_R + 1), 6).alias("p_value"),
+    )
+
+
+# --- Apriori frequent 3-itemsets ---------------------------------------------
+
+_APRIORI_MINSUP_FRAC = 0.25
+_APRIORI_TOP = 10
+
+
+@query(
+    "basket_apriori_triples",
+    oracle=f"""
+    WITH it AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM it),
+    tri AS (
+        SELECT a.t AS item_a, b.t AS item_b, c.t AS item_c,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM it a
+        JOIN it b ON a.doc_id = b.doc_id AND a.t < b.t
+        JOIN it c ON b.doc_id = c.doc_id AND b.t < c.t
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) >= CEIL({_APRIORI_MINSUP_FRAC} * (SELECT n FROM nd)))
+    SELECT item_a, item_b, item_c, support,
+           ROUND(support * 1.0 / (SELECT n FROM nd), 6) AS rel_support
+    FROM tri
+    ORDER BY support DESC, item_a ASC, item_b ASC, item_c ASC
+    LIMIT {_APRIORI_TOP}
+    """,
+)
+def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets via APRIORI candidate pruning (Agrawal &
+    Srikant 1994) — baskets are documents, items their distinct tokens,
+    min support {_APRIORI_MINSUP_FRAC:.0%} of baskets.
+
+    The oracle brute-forces the within-basket triple join; the Spark
+    plan is the level-wise pruned version that survives real vocab
+    sizes: L1 (frequent items) prunes the basket stream BEFORE any
+    pair is formed, L2 (frequent pairs) is the pair self-join over the
+    L1-pruned stream, candidate triples come from L2 JOIN L2 on the
+    shared first item with the downward-closure prune (the (b, c)
+    suffix must itself be in L2 — broadcast, L2 is support-bounded),
+    and only candidate triples are counted against baskets. At web
+    scale the unpruned triple join is |basket|^3-per-basket work on
+    mostly-infrequent tokens; every Apriori level here cuts the stream
+    by a support-bounded broadcast semi-join instead."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    it = (
+        d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
+        .transform(_persisted)
+    )
+    n_docs = it.select("doc_id").distinct().count()
+    minsup = math.ceil(_APRIORI_MINSUP_FRAC * n_docs)
+    l1 = (
+        it.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= minsup)
+        .select("t")
+    )
+    it1 = it.join(F.broadcast(l1), "t", "left_semi")
+    pd = (
+        it1.alias("a")
+        .join(
+            it1.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.t") < F.col("b.t")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.t").alias("ia"),
+            F.col("b.t").alias("ib"),
+        )
+        .transform(_persisted)
+    )
+    l2 = (
+        pd.groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= minsup)
+        .select("ia", "ib")
+        .transform(_persisted)
+    )
+    # C3: join L2 pairs sharing the first item; downward-closure prune
+    # on the (b, c) suffix pair.
+    c3 = (
+        l2.alias("x")
+        .join(l2.alias("y"), (F.col("x.ia") == F.col("y.ia")) & (F.col("x.ib") < F.col("y.ib")))
+        .select(
+            F.col("x.ia").alias("ia"),
+            F.col("x.ib").alias("ib"),
+            F.col("y.ib").alias("ic"),
+        )
+        .join(
+            F.broadcast(l2.select(F.col("ia").alias("ib"), F.col("ib").alias("ic"))),
+            ["ib", "ic"],
+            "left_semi",
+        )
+    )
+    # Support counting: candidate-restricted extension of the pair-doc
+    # stream by a third item from the same basket.
+    tri = (
+        pd.join(
+            it1.select(F.col("doc_id"), F.col("t").alias("ic")),
+            "doc_id",
+        )
+        .filter(F.col("ib") < F.col("ic"))
+        .join(F.broadcast(c3), ["ia", "ib", "ic"], "left_semi")
+        .groupBy("ia", "ib", "ic")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= minsup)
+    )
+    return (
+        tri.orderBy(
+            F.col("support").desc(),
+            F.col("ia").asc(),
+            F.col("ib").asc(),
+            F.col("ic").asc(),
+        )
+        .limit(_APRIORI_TOP)
+        .select(
+            F.col("ia").alias("item_a"),
+            F.col("ib").alias("item_b"),
+            F.col("ic").alias("item_c"),
+            "support",
+            F.round(F.col("support") * 1.0 / n_docs, 6).alias("rel_support"),
+        )
     )

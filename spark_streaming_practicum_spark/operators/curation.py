@@ -126,8 +126,8 @@ def repetition_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    bg = d.select(
-        "doc_id", F.explode(shingles(tokens(F.col("text")), 2)).alias("bg")
+    bg = d.select("doc_id", tokens(F.col("text")).alias("_w")).select(
+        "doc_id", F.explode(shingles(F.col("_w"), 2)).alias("bg")
     )
     cnt = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
     repeated = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
@@ -171,9 +171,11 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = poly_hash(F.col("doc_id").cast("string")) % 100
     sh = d.select(
+        "doc_id", bucket.alias("bucket"), tokens(F.col("text")).alias("_w")
+    ).select(
         "doc_id",
-        bucket.alias("bucket"),
-        F.explode(shingles(tokens(F.col("text")), 5)).alias("ng"),
+        "bucket",
+        F.explode(shingles(F.col("_w"), 5)).alias("ng"),
     ).distinct()
     train_ng = (
         sh.filter(F.col("bucket") < 80)
@@ -227,8 +229,8 @@ def dedup_crossdoc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    sh = d.select(
-        "doc_id", F.explode(shingles(tokens(F.col("text")), 5)).alias("g")
+    sh = d.select("doc_id", tokens(F.col("text")).alias("_w")).select(
+        "doc_id", F.explode(shingles(F.col("_w"), 5)).alias("g")
     ).transform(_persisted)
     docfreq = sh.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
     dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
@@ -285,8 +287,8 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     is, and smoothing covers it) — the plan shape is unchanged."""
     d = table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
-    bg = d.select(
-        "doc_id", F.explode(shingles(w, 2)).alias("bigram")
+    bg = d.select("doc_id", w.alias("_w")).select(
+        "doc_id", F.explode(shingles(F.col("_w"), 2)).alias("bigram")
     ).select(
         "doc_id",
         F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
@@ -862,7 +864,8 @@ def curation_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_words"), F.max("c").alias("max_wc")
     )
     bgc = (
-        d.select("doc_id", F.explode(shingles(tokens(F.col("text")), 2)).alias("b"))
+        d.select("doc_id", tokens(F.col("text")).alias("_w"))
+        .select("doc_id", F.explode(shingles(F.col("_w"), 2)).alias("b"))
         .groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -960,10 +963,13 @@ def intra_doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy key is (doc_id, seg), partition-local combining absorbs
     intra-doc repeats before anything moves), so at 100 TB the shuffle
     carries one row per DISTINCT (doc, segment)."""
-    w = F.split(F.col("text"), " ")
+    # tokens projected before the segment HOF slices them (inlined
+    # split would re-tokenize per segment — see functions/textfns.py)
+    w = F.col("_w")
     nseg = F.ceil(F.size(w) / F.lit(2.0)).cast("bigint")
     segs = (
         table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("_w"))
         .select(
             "doc_id",
             F.explode(

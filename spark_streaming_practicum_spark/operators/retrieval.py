@@ -673,3 +673,106 @@ def curriculum_perplexity_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp("xent"), 4).alias("ppl"),
         ntile_from_rank(F.col("rn"), n, 4).alias("stage"),
     ).orderBy("doc_id")
+
+
+# --- ColBERT-style MaxSim late interaction -----------------------------------
+
+_MAXSIM_NQ = 4  # query vectors: vec_id < 4
+_MAXSIM_TOKENS = 8  # 64-dim vector sliced into 8 tokens x 8 dims
+_MAXSIM_DIM = 8
+_MAXSIM_TOPK = 3
+
+
+@query(
+    "retrieval_maxsim_late_interaction",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < {_MAXSIM_NQ}),
+    d AS (SELECT vec_id AS did, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= {_MAXSIM_NQ}),
+    pairs AS (
+        SELECT qid, did,
+               list_reduce(
+                   list_transform(generate_series(0, {_MAXSIM_TOKENS - 1}),
+                       i -> list_max(list_transform(
+                                generate_series(0, {_MAXSIM_TOKENS - 1}),
+                                j -> list_dot_product(
+                                    q.e[i * {_MAXSIM_DIM} + 1 : i * {_MAXSIM_DIM} + {_MAXSIM_DIM}],
+                                    d.e[j * {_MAXSIM_DIM} + 1 : j * {_MAXSIM_DIM} + {_MAXSIM_DIM}])))),
+                   (acc, x) -> acc + x) AS score
+        FROM q, d),
+    ranked AS (
+        SELECT qid, did, score,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, did ASC) AS rk
+        FROM pairs)
+    SELECT qid AS query_id, did AS doc_vec_id, rk AS rank,
+           ROUND(score, 6) AS maxsim_score
+    FROM ranked WHERE rk <= {_MAXSIM_TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def retrieval_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction scoring (Khattab & Zaharia 2020):
+    score(q, d) = sum over query tokens of the MAX dot product against
+    any document token — the retrieval scorer that keeps per-token
+    embeddings instead of pooling, here with each 64-dim vector sliced
+    into 8 "token" sub-vectors of 8 dims (the testdata has no real
+    token-level embeddings; the slicing gives the exact computation
+    shape at 1/8 the width).
+
+    Scale shape: queries (tiny) BROADCAST against the document corpus,
+    so the score stage is embarrassingly parallel and linear in docs —
+    never a doc x doc product. Token slices are PROJECTED columns
+    (functions/textfns.py PERF CONTRACT) built once per side; the
+    MaxSim double loop is JVM-side HOFs (aggregate over query tokens,
+    array_max + transform over doc tokens, zip_with dot) — a strict
+    left-to-right fold, so the float sum order is deterministic and
+    matches the oracle's list_reduce exactly. Top-k per query is a
+    window over the per-query score stream ({_MAXSIM_NQ} partitions).
+    At 100 TB you'd pre-prune candidates with sim_ann_lsh_bucketed and
+    MaxSim-rescore only the survivors — same plan, narrower input."""
+    emb = table(spark, sf_dir, "embeddings")
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(_MAXSIM_TOKENS - 1)),
+        lambda i: F.slice(
+            F.col("e"), i * _MAXSIM_DIM + 1, _MAXSIM_DIM
+        ),
+    )
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = (
+        base.filter(F.col("vec_id") < _MAXSIM_NQ)
+        .select(F.col("vec_id").alias("query_id"), toks.alias("qt"))
+    )
+    d = (
+        base.filter(F.col("vec_id") >= _MAXSIM_NQ)
+        .select(F.col("vec_id").alias("doc_vec_id"), toks.alias("dt"))
+    )
+    tok_dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    score = F.aggregate(
+        F.col("qt"),
+        F.lit(0.0),
+        lambda acc, qt: acc
+        + F.array_max(F.transform(F.col("dt"), lambda dt: tok_dot(qt, dt))),
+    )
+    scored = d.crossJoin(F.broadcast(q)).select(
+        "query_id", "doc_vec_id", score.alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _MAXSIM_TOPK)
+        .select(
+            "query_id",
+            "doc_vec_id",
+            "rank",
+            F.round("score", 6).alias("maxsim_score"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -187,16 +187,24 @@ def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     string (fixed %.6f formatting — double-to-string casts use different
     scientific-notation thresholds per engine); the array expression is
     the pre-join transform."""
-    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    norm = l2_norm("embedding")
+    # norm is PROJECTED before the per-element lambda divides by it —
+    # inlined, the sqrt-of-fold aggregate would re-run per element
+    # (O(dim^2) per vector; see functions/textfns.py PERF CONTRACT).
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", "embedding", l2_norm("embedding").alias("_norm"))
+    )
     unit = F.transform(
         "embedding",
-        lambda x: F.format_string("%.6f", F.round(x.cast("double") / norm, 6)),
+        lambda x: F.format_string(
+            "%.6f", F.round(x.cast("double") / F.col("_norm"), 6)
+        ),
     )
     return e.select(
         "vec_id",
         F.array_join(unit, ",").alias("unit_vec"),
-        F.round(norm, 6).alias("norm"),
+        F.round(F.col("_norm"), 6).alias("norm"),
     )
 
 

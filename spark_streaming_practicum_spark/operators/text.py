@@ -256,7 +256,9 @@ def text_bigram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
     return (
-        d.select(F.explode(shingles(w, 2)).alias("bigram"))
+        # project tokens before the shingle HOF (see ngram_draft docstring)
+        d.select(w.alias("_w"))
+        .select(F.explode(shingles(F.col("_w"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
@@ -664,7 +666,9 @@ def text_distinct_ngram_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bi = (
-        d.select("lang", F.explode(shingles(w, 2)).alias("bg"))
+        # project tokens before the shingle HOF (see ngram_draft docstring)
+        d.select("lang", w.alias("_w"))
+        .select("lang", F.explode(shingles(F.col("_w"), 2)).alias("bg"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("total2"),
@@ -749,10 +753,22 @@ def ngram_draft_acceptance_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     2023), and the same corpus-scan shape estimates it for any n-gram
     draft.
 
-    The draft table is one groupBy over exploded bigrams + a rank
-    window on the per-prev frame; scoring joins each bigram to its
-    prev's single draft row — a broadcast-size table (<= |vocab|
-    rows), so the corpus is scanned twice and never self-joined.
+    The draft table is one groupBy over exploded bigrams + a per-prev
+    argmax; scoring joins each bigram to its prev's single draft row —
+    a broadcast-size table (<= |vocab| rows), so the corpus is scanned
+    twice and never self-joined.
+
+    The argmax is a PARTIAL-AGGREGABLE ``min(struct(-c, nxt))`` — NOT a
+    rank window. A ``row_number() OVER (PARTITION BY prev)`` plans a
+    full shuffle + per-partition SORT of the whole bigram-type stream
+    just to keep rank 1 of each group; ``min(struct)`` collapses the
+    same argmax map-side inside the hash aggregate (struct comparison
+    is lexicographic: -c ascending = count descending, then nxt
+    ascending — the oracle's exact tie-break), so only one candidate
+    row per (prev) survives each partial aggregate. The 20x probe had
+    this query at 16.3x (super-linear, 111 s) with the window; the
+    rewrite is the same transformation that fixed semdedup's k-means
+    argmin in round 4.
 
     The PREV token — the key of every shuffle here (bigram counts, the
     per-prev rank window, the draft join) — is DICTIONARY-ENCODED to a
@@ -765,33 +781,46 @@ def ngram_draft_acceptance_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 is injective on any realistic vocabulary (collision odds
     ~|V|²/2⁶⁵, ~1e-9 at a 10M-type vocab); an adversarial vocabulary
     would swap in a join-based exact dictionary at the same position."""
-    w = tokens("text")
+    # The token array is PROJECTED to a column before the bigram HOF
+    # references it. Inlining the split expression into the lambda put a
+    # regexp split inside every element_at — the optimizer does not CSE
+    # subexpressions across higher-order-function lambda boundaries, so
+    # each document paid O(positions x split) instead of one split
+    # (measured at the 20x probe lake: 111 s -> 5 s for this explode).
+    # zip_with over two slices replaces sequence+element_at entirely:
+    # one pass over the array, no per-position indexing.
+    w = F.col("_w")
     bg = (
         table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("_w"))
+        .filter(F.size(w) >= 2)
         .select(
             "doc_id",
             F.explode(
-                F.when(
-                    F.size(w) >= 2,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(w) - 1),
-                        lambda i: F.struct(
-                            F.xxhash64(F.element_at(w, i)).alias("prev"),
-                            F.element_at(w, i + 1).alias("nxt"),
-                        ),
+                F.zip_with(
+                    F.slice(w, 1, F.size(w) - 1),
+                    F.slice(w, 2, F.size(w) - 1),
+                    lambda p, n: F.struct(
+                        F.xxhash64(p).alias("prev"), n.alias("nxt")
                     ),
-                ).otherwise(F.array().cast("array<struct<prev:bigint,nxt:string>>"))
+                )
             ).alias("b"),
         )
         .select("doc_id", "b.prev", "b.nxt")
     )
     bg = bg.transform(_persisted)
     counts = bg.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c"))
-    rk = Window.partitionBy("prev").orderBy(F.col("c").desc(), F.col("nxt").asc())
     draft = (
-        counts.withColumn("rk", F.row_number().over(rk))
-        .filter(F.col("rk") == 1)
-        .select("prev", F.col("nxt").alias("draft_token"))
+        counts.groupBy("prev")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("c")).alias("neg_c"),
+                    F.col("nxt").alias("draft_token"),
+                )
+            ).alias("best")
+        )
+        .select("prev", F.col("best.draft_token").alias("draft_token"))
     )
     return (
         bg.join(F.broadcast(draft), "prev")

@@ -1469,3 +1469,70 @@ def moe_router_load_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("expert")
     )
+
+
+# --- Efraimidis-Spirakis weighted sampling -----------------------------------
+
+_ES_K = 20
+_ES_U_SQL = (
+    "(" + _POLY_SQL.format(e="'es:' || CAST(doc_id AS VARCHAR)") + " % 1000000 + 1) / 1000001.0"
+)
+
+
+@query(
+    "sample_weighted_es",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars, LN({_ES_U_SQL}) / n_chars AS k
+        FROM documents)
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS weight,
+           ROUND(k * 1000000, 6) AS es_key_ppm
+    FROM keyed
+    ORDER BY k DESC, doc_id ASC
+    LIMIT {_ES_K}
+    """,
+)
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement in one distributed pass —
+    Efraimidis-Spirakis (2006): each row gets key u^(1/w) for uniform
+    u and weight w; the k largest keys ARE a weighted sample without
+    replacement. Equivalently (monotone transform, numerically safer)
+    rank by ln(u)/w descending.
+
+    This is the primitive behind weight-proportional corpus subsetting
+    (sample long documents more often, or quality-score-proportional
+    retention) that needs NO global state: the key is a map-side
+    expression, selection is a TakeOrderedAndProject (per-partition
+    top-k, then a k*P-row merge on the driver — never a global sort),
+    and determinism comes from the same portable polynomial hash both
+    engines compute, not an RNG. At 100 TB: one scan, k rows out.
+
+    Weight here is ``n_chars`` (longer docs proportionally likelier);
+    u is (poly_hash % 1e6 + 1)/ (1e6+1), bounded away from 0 and 1 so
+    ln(u) is finite. The es_key is emitted in ppm rounded to 6 dp —
+    last-ulp libm differences between engines sit far below both the
+    rounding grain and typical key gaps."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.pmod(
+            poly_hash(F.concat(F.lit("es:"), F.col("doc_id").cast("string"))),
+            F.lit(1_000_000),
+        )
+        + 1
+    ) / 1_000_001.0
+    k = F.log(u) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            k.alias("_k"),
+        )
+        .orderBy(F.col("_k").desc(), F.col("doc_id").asc())
+        .limit(_ES_K)
+        .select(
+            "doc_id",
+            "weight",
+            F.round(F.col("_k") * 1_000_000, 6).alias("es_key_ppm"),
+        )
+    )
