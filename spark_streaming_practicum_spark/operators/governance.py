@@ -1172,3 +1172,71 @@ def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- Benford first-digit audit -----------------------------------------------
+
+
+@query(
+    "audit_benford_first_digit",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(SUBSTR(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS d
+        FROM lineitem
+        WHERE l_extendedprice >= 1),
+    cnt AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY d),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM cnt)
+    SELECT d AS digit, n,
+           ROUND(n / (SELECT t FROM tot), 6) AS observed_p,
+           ROUND(LOG10(1.0 + 1.0 / d), 6) AS benford_p,
+           ROUND(POW(n / (SELECT t FROM tot) - LOG10(1.0 + 1.0 / d), 2)
+                 / LOG10(1.0 + 1.0 / d) * (SELECT t FROM tot), 6) AS chi2_term
+    FROM cnt
+    ORDER BY digit
+    """,
+)
+def audit_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over monetary amounts — the
+    classic fabricated-data / ETL-corruption screen (Nigrini 2012):
+    natural multi-scale amounts follow P(d) = log10(1 + 1/d); uniform
+    or truncated generators don't, and the per-digit chi-square terms
+    localize WHICH digits deviate.
+
+    Entirely map-side + one 9-group aggregate: the first digit is
+    string arithmetic on the integer part (no float log10-of-value
+    edge cases at powers of ten), the expected-law column is a
+    constant expression, and the total is a 1-row broadcast. At 100 TB
+    this is a single scan emitting 9 rows — the cheapest full-corpus
+    integrity signal there is. (The synthetic TPC-H prices are NOT
+    Benford-distributed — the audit's point is the measured deviation,
+    not a pass/fail pin; every column is deterministic algebra both
+    engines reproduce bit-identically after rounding.)"""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") >= 1)
+    # FLOOR before the integer cast in BOTH engines: a bare
+    # double->bigint cast truncates in Spark but rounds in DuckDB, and
+    # amounts like 999.5 would land in different first-digit buckets.
+    v = li.select(
+        F.substring(
+            F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    cnt = v.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cnt.agg(F.sum("n").cast("double").alias("t"))
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    obs = F.col("n") / F.col("t")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            "n",
+            F.round(obs, 6).alias("observed_p"),
+            F.round(benford, 6).alias("benford_p"),
+            F.round(F.pow(obs - benford, 2) / benford * F.col("t"), 6).alias(
+                "chi2_term"
+            ),
+        )
+        .orderBy("digit")
+    )
