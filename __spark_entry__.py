@@ -59,6 +59,7 @@ _NEWEST_FIRST = [
     "audit_benford_first_digit",
     "robust_theil_sen_slope",
     "attribution_markov_removal",
+    "sketch_quantile_mergeable",
     # never-driver-sampled rotation, tranche 1 (ingest -> scalar ->
     # set -> window -> join): with the nine rows above, the driver's
     # 50-sample covers 41 of these first-timers per round

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.ranks import persisted as _persisted
 from ..functions.textfns import poly_hash
 from ..registry import query
 
@@ -940,4 +941,157 @@ def sketch_misra_gries_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFra
             "mg_recall_complete",
         )
         .orderBy("rank")
+    )
+
+
+# --- mergeable quantile sketch (equi-depth chunk summary) --------------------
+
+_QS_BUCKETS = 16  # parallel summary builders (hash-assigned)
+_QS_K = 64  # chunks per bucket summary
+_QS_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _qs_oracle() -> str:
+    arms = " UNION ALL ".join(
+        "SELECT CAST({q} AS DOUBLE) AS q, "
+        "ROUND((SELECT quantile_cont(x, {q}) FROM v), 6) AS exact_quantile, "
+        "TRUE AS rank_lower_ok, TRUE AS rank_upper_ok, "
+        "ROUND(1.0 / {k} + {b} * 1.0 / (SELECT n FROM nn), 6) AS rank_error_bound".format(
+            q=q, k=_QS_K, b=_QS_BUCKETS
+        )
+        for q in _QS_QS
+    )
+    return (
+        "WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem), "
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v) "
+        + arms
+        + " ORDER BY q"
+    )
+
+
+@query("sketch_quantile_mergeable", oracle=_qs_oracle())
+def sketch_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE summary — the sketch-family member (HLL,
+    CM, theta, bloom, minhash all exist here) that answers "p99 over
+    100 TB in one pass": each of {_QS_BUCKETS} hash-assigned builders
+    sorts its slice and keeps {_QS_K} equi-depth chunk boundaries
+    (chunk max + chunk count) — an equi-depth histogram, the practical
+    core of t-digest/GK-style summaries; merging is just unioning the
+    (value, count) rows and re-ranking the <= B*K-row frame with one
+    cumulative window. Query: the q-quantile estimate is the first
+    boundary whose merged cumulative weight reaches ceil(q*n).
+
+    Rank guarantee (certified in-query, booleans the oracle pins
+    TRUE): with slack = sum_b ceil(n_b/K) <= n/K + B,
+
+    - ``rank_upper_ok``: count(x <= v_hat) >= ceil(q*n) — the
+      estimate never lands below the target rank (its counted chunks
+      all lie at or below it);
+    - ``rank_lower_ok``: count(x < v_hat) < ceil(q*n) + n/K + B —
+      at most one straddling partial chunk per builder separates the
+      estimate from the target.
+
+    Both ranks are single distributed passes (5 broadcast thresholds
+    against the value stream). Output rows are the EXACT interpolated
+    quantiles (SQL-expressible -> value-hashed by the driver) plus the
+    analytic bound 1/K + B/n; the sketch estimate itself is
+    hash-assignment-dependent, so it feeds the booleans, not the
+    hashed columns — same certificate pattern as the dedup family.
+    At 100 TB: one scan + a B*K-row merge; exactness of the audit leg
+    costs one more scan that a production run would drop."""
+    import pandas as pd
+
+    vals = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_extendedprice").cast("double").alias("x"),
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_QS_BUCKETS))
+            .cast("int")
+            .alias("b"),
+        )
+        .transform(_persisted)
+    )
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf["x"].sort_values().to_numpy()
+        nb = len(xs)
+        k = min(_QS_K, nb) or 1
+        # equi-depth chunk ends: sizes differ by at most 1
+        import numpy as np
+
+        ends = np.ceil((np.arange(1, k + 1) * nb) / k).astype(int)
+        starts = np.concatenate(([0], ends[:-1]))
+        return pd.DataFrame(
+            {
+                "b": pdf["b"].iloc[0],
+                "ci": range(k),
+                "v": xs[ends - 1],
+                "c": ends - starts,
+            }
+        )
+
+    summary = vals.groupBy("b").applyInPandas(
+        summarize, "b int, ci int, v double, c long"
+    )
+    from pyspark.sql import Window as _W
+
+    cum = summary.withColumn(
+        "cumw",
+        F.sum("c").over(
+            _W.orderBy("v", "b", "ci").rowsBetween(_W.unboundedPreceding, 0)
+        ),
+    ).transform(_persisted)
+    n_row = vals.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    qs = spark.createDataFrame([(q,) for q in _QS_QS], "q double")
+    targets = qs.crossJoin(F.broadcast(n_row)).select(
+        "q", "n", F.ceil(F.col("q") * F.col("n")).cast("bigint").alias("t")
+    )
+    est = (
+        cum.crossJoin(F.broadcast(targets))
+        .filter(F.col("cumw") >= F.col("t"))
+        .groupBy("q", "n", "t")
+        .agg(F.min("v").alias("vhat"))
+    )
+    ranks = (
+        vals.crossJoin(F.broadcast(est))
+        .groupBy("q", "n", "t", "vhat")
+        .agg(
+            F.sum(F.when(F.col("x") <= F.col("vhat"), 1).otherwise(0)).alias(
+                "rank_hi"
+            ),
+            F.sum(F.when(F.col("x") < F.col("vhat"), 1).otherwise(0)).alias(
+                "rank_lo"
+            ),
+        )
+    )
+    exact = (
+        vals.groupBy()
+        .agg(
+            F.expr(
+                "percentile(x, array("
+                + ", ".join(str(q) for q in _QS_QS)
+                + "))"
+            ).alias("ex")
+        )
+        .select(F.posexplode("ex").alias("qi", "exact_q"))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(q) for q in _QS_QS]), F.col("qi") + 1
+            ).alias("q"),
+            "exact_q",
+        )
+    )
+    slack_bound = F.col("n") / _QS_K + F.lit(_QS_BUCKETS)
+    return (
+        ranks.join(exact, "q")
+        .select(
+            "q",
+            F.round("exact_q", 6).alias("exact_quantile"),
+            (F.col("rank_lo") < F.col("t") + slack_bound).alias("rank_lower_ok"),
+            (F.col("rank_hi") >= F.col("t")).alias("rank_upper_ok"),
+            F.round(1.0 / _QS_K + _QS_BUCKETS / F.col("n"), 6).alias(
+                "rank_error_bound"
+            ),
+        )
+        .orderBy("q")
     )

@@ -40,3 +40,21 @@ def pytest_addoption(parser):
         default=False,
         help="run Iceberg sink tests (needs Iceberg runtime JARs + catalog conf)",
     )
+
+
+# Session-wide built-plan cache: constructing a registered query is not
+# free (several run eager driver jobs while building), and three suites
+# sweep the whole registry (oracle parity, the hashable-schema check,
+# the CartesianProduct lint). Build each query's DataFrame once per
+# process and share. Lazy plans only — consumers collect/inspect as
+# they wish.
+_PLAN_CACHE: dict[str, object] = {}
+
+
+def built_query(name: str, spark, sf_dir: str | None = None):
+    from spark_streaming_practicum_spark.registry import all_queries
+
+    key = name
+    if key not in _PLAN_CACHE:
+        _PLAN_CACHE[key] = all_queries()[name].fn(spark, sf_dir or SF_DIR)
+    return _PLAN_CACHE[key]

@@ -37,18 +37,15 @@ ROWS_ONLY = sorted(name for name, d in DEFS.items() if d.oracle is None)
 
 # Query construction is not free: several operators run eager driver
 # jobs while BUILDING the plan (scaling counts, k-means seeds, MMR
-# rounds, checkpointed certificate slices). The parity test and the
-# hashable-schema test both need the same DataFrame — building it twice
-# doubled that cost across 400+ queries (round-4 verdict task 8). The
-# cache holds lazy plans keyed by name for the session-scoped
-# SparkSession; memory cost is plan objects, not data.
-_BUILT: dict[str, object] = {}
+# rounds, checkpointed certificate slices). The parity test, the
+# hashable-schema test and the plan lint all need the same DataFrame —
+# the session-wide cache in conftest builds each once (round-4 verdict
+# task 8).
+from .conftest import built_query as _conftest_built
 
 
 def _built(name, spark):
-    if name not in _BUILT:
-        _BUILT[name] = DEFS[name].fn(spark, SF_DIR)
-    return _BUILT[name]
+    return _conftest_built(name, spark)
 
 
 def _canon_cell(v):

@@ -17,7 +17,7 @@ from __future__ import annotations
 from spark_streaming_practicum_spark.plans import formatted_plan
 from spark_streaming_practicum_spark.registry import all_queries
 
-from .conftest import SF_DIR
+from .conftest import SF_DIR, built_query
 
 
 def test_no_cartesian_product_anywhere(spark):
@@ -25,7 +25,7 @@ def test_no_cartesian_product_anywhere(spark):
     for name, d in sorted(all_queries().items()):
         if name.startswith("stream_"):
             continue
-        plan = formatted_plan(d.fn(spark, SF_DIR))
+        plan = formatted_plan(built_query(name, spark))
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"unbounded cartesian products in: {offenders}"
