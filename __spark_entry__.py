@@ -60,6 +60,7 @@ _NEWEST_FIRST = [
     "robust_theil_sen_slope",
     "attribution_markov_removal",
     "sketch_quantile_mergeable",
+    "ts_sax_motif_pairs",
     # never-driver-sampled rotation, tranche 1 (ingest -> scalar ->
     # set -> window -> join): with the nine rows above, the driver's
     # 50-sample covers 41 of these first-timers per round

@@ -713,3 +713,166 @@ def ts_forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(metrics("trailing_mean7", F.col("ma7")))
         .orderBy("method")
     )
+
+
+# --- SAX motif discovery -----------------------------------------------------
+
+_SAX_LEN = 32  # subsequence length (first 32 events per user)
+_SAX_W = 4  # PAA segments
+_SAX_SEG = _SAX_LEN // _SAX_W
+# alphabet size 4: breakpoints at the standard-normal quartiles
+_SAX_BP = (-0.6745, 0.0, 0.6745)
+_SAX_DIST_MAX = 7.5  # z-norm Euclidean verify threshold (E[d] ~ sqrt(2L) ~ 8 for unrelated series)
+
+
+@query(
+    "ts_sax_motif_pairs",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    win AS (SELECT user_id, value, rn FROM seq WHERE rn <= {_SAX_LEN}),
+    full_u AS (SELECT user_id FROM win GROUP BY user_id
+               HAVING COUNT(*) = {_SAX_LEN}),
+    stats AS (
+        SELECT w.user_id,
+               AVG(value) AS mu,
+               SQRT(AVG(value * value) - AVG(value) * AVG(value)) AS sd
+        FROM win w JOIN full_u f ON w.user_id = f.user_id
+        GROUP BY w.user_id),
+    z AS (SELECT w.user_id, w.rn, (w.value - s.mu) / s.sd AS zv
+          FROM win w JOIN stats s ON w.user_id = s.user_id
+          WHERE s.sd > 0),
+    paa AS (
+        SELECT user_id, CAST(FLOOR((rn - 1) / {_SAX_SEG}) AS BIGINT) AS seg,
+               AVG(zv) AS m
+        FROM z GROUP BY 1, 2),
+    sym AS (
+        SELECT user_id, seg,
+               CASE WHEN m < {_SAX_BP[0]} THEN 'a'
+                    WHEN m < {_SAX_BP[1]} THEN 'b'
+                    WHEN m < {_SAX_BP[2]} THEN 'c'
+                    ELSE 'd' END AS s
+        FROM paa),
+    words AS (
+        SELECT user_id, STRING_AGG(s, '' ORDER BY seg) AS word
+        FROM sym GROUP BY user_id),
+    cand AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b, a.word
+        FROM words a JOIN words b
+          ON a.word = b.word AND a.user_id < b.user_id),
+    dist AS (
+        SELECT c.user_a, c.user_b, c.word,
+               SQRT(SUM((za.zv - zb.zv) * (za.zv - zb.zv))) AS d
+        FROM cand c
+        JOIN z za ON za.user_id = c.user_a
+        JOIN z zb ON zb.user_id = c.user_b AND za.rn = zb.rn
+        GROUP BY 1, 2, 3)
+    SELECT user_a, user_b, word, ROUND(d, 4) AS znorm_dist
+    FROM dist WHERE d <= {_SAX_DIST_MAX}
+    ORDER BY user_a, user_b
+    """,
+)
+def ts_sax_motif_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed time-series MOTIF discovery via SAX (Lin et al.
+    2003): each user's first {_SAX_LEN} event values are z-normalized,
+    compressed by piecewise aggregate approximation into {_SAX_W}
+    segment means, and discretized against the standard-normal
+    quartile breakpoints into a {_SAX_W}-letter SAX word. Users sharing a
+    word are motif CANDIDATES; candidates are verified with the exact
+    z-normalized Euclidean distance.
+
+    This is the time-series instance of the engine's house
+    bucket-then-verify pattern (MinHash/LSH for text, band-blocked
+    simhash, phash bands for images): the SAX word is the bucket key,
+    the candidate join is an equi-join on it (never all-pairs over
+    users), and the exact distance runs only inside buckets — SAX's
+    lower-bounding guarantee means equal words capture the close
+    pairs. At 100 TB the word-join is the only shuffle that matters
+    and its buckets are bounded by motif multiplicity, the same
+    bound MAX_BUCKET enforces for LSH. The z-stats use the population
+    variance in SINGLE-PASS form E[x^2]-E[x]^2 on both engines
+    (identical float algebra, so parity holds bit-for-bit after
+    rounding)."""
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") <= _SAX_LEN)
+        .select("user_id", "value", "rn")
+    )
+    full_u = (
+        seq.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == _SAX_LEN)
+        .select("user_id")
+    )
+    win = seq.join(F.broadcast(full_u), "user_id")
+    stats = win.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.sqrt(
+            F.avg(F.col("value") * F.col("value"))
+            - F.avg("value") * F.avg("value")
+        ).alias("sd"),
+    )
+    z = (
+        win.join(stats, "user_id")
+        .filter(F.col("sd") > 0)
+        .select(
+            "user_id",
+            "rn",
+            ((F.col("value") - F.col("mu")) / F.col("sd")).alias("zv"),
+        )
+        .transform(_persisted)
+    )
+    paa = z.groupBy(
+        "user_id",
+        F.floor((F.col("rn") - 1) / _SAX_SEG).cast("bigint").alias("seg"),
+    ).agg(F.avg("zv").alias("m"))
+    sym = paa.select(
+        "user_id",
+        "seg",
+        F.when(F.col("m") < _SAX_BP[0], "a")
+        .when(F.col("m") < _SAX_BP[1], "b")
+        .when(F.col("m") < _SAX_BP[2], "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    words = sym.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "s"))),
+                lambda r: r["s"],
+            ),
+            "",
+        ).alias("word")
+    )
+    cand = (
+        words.alias("a")
+        .join(
+            words.alias("b"),
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.word").alias("word"),
+        )
+    )
+    za = z.select(F.col("user_id").alias("user_a"), "rn", F.col("zv").alias("za"))
+    zb = z.select(F.col("user_id").alias("user_b"), "rn", F.col("zv").alias("zb"))
+    return (
+        cand.join(za, "user_a")
+        .join(zb, ["user_b", "rn"])
+        .groupBy("user_a", "user_b", "word")
+        .agg(
+            F.sqrt(F.sum((F.col("za") - F.col("zb")) * (F.col("za") - F.col("zb")))).alias("d")
+        )
+        .filter(F.col("d") <= _SAX_DIST_MAX)
+        .select("user_a", "user_b", "word", F.round("d", 4).alias("znorm_dist"))
+        .orderBy("user_a", "user_b")
+    )
