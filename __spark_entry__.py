@@ -61,6 +61,7 @@ _NEWEST_FIRST = [
     "attribution_markov_removal",
     "sketch_quantile_mergeable",
     "ts_sax_motif_pairs",
+    "ml_dbscan_grid_clusters",
     # never-driver-sampled rotation, tranche 1 (ingest -> scalar ->
     # set -> window -> join): with the nine rows above, the driver's
     # 50-sample covers 41 of these first-timers per round

@@ -1866,3 +1866,145 @@ def gbdt_stump_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnd")
     )
+
+
+# --- grid-density clustering (DBSCAN on cells) -------------------------------
+
+_DB_EPS = 0.1
+_DB_MINPTS = 5
+_DB_OFF = 1000  # coordinate offset for the positive cell encoding
+_DB_ENC = 1_000_000  # cell id = (cx+OFF)*ENC + (cy+OFF)
+
+
+def _dbscan_oracle() -> str:
+    return f"""
+    WITH pts AS (
+        SELECT vec_id,
+               CAST(FLOOR(CAST(embedding[1] AS DOUBLE) / {_DB_EPS}) AS BIGINT) AS cx,
+               CAST(FLOOR(CAST(embedding[2] AS DOUBLE) / {_DB_EPS}) AS BIGINT) AS cy
+        FROM embeddings),
+    cells AS (SELECT cx, cy, COUNT(*) AS c FROM pts GROUP BY cx, cy),
+    dense AS (
+        SELECT (cx + {_DB_OFF}) * {_DB_ENC} + (cy + {_DB_OFF}) AS cid, cx, cy, c
+        FROM cells WHERE c >= {_DB_MINPTS}),
+    edges AS (
+        SELECT a.cid AS ca, b.cid AS cb
+        FROM dense a JOIN dense b
+          ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1),
+    cc AS (
+        WITH RECURSIVE reach(cid, lab) AS (
+            SELECT cid, cid FROM dense
+            UNION
+            SELECT e.cb, r.lab FROM reach r JOIN edges e ON e.ca = r.cid)
+        SELECT cid, MIN(lab) AS lab FROM reach GROUP BY cid),
+    clusters AS (
+        SELECT cc.lab AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(d.c) AS BIGINT) AS n_points
+        FROM cc JOIN dense d ON cc.cid = d.cid
+        GROUP BY cc.lab),
+    noise AS (
+        SELECT CAST(-1 AS BIGINT) AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_points
+        FROM cells WHERE c < {_DB_MINPTS})
+    SELECT * FROM clusters
+    UNION ALL SELECT * FROM noise
+    ORDER BY n_points DESC, cluster_id
+    """
+
+
+@query("ml_dbscan_grid_clusters", oracle=_dbscan_oracle())
+def ml_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering via the GRID relaxation of DBSCAN
+    (cell-density clustering / GriDBSCAN family): bucket points into
+    eps-cells on the first two embedding dims, call a cell dense at
+    >= {_DB_MINPTS} points, connect dense cells through their
+    8-neighborhood, and emit each connected component as a cluster
+    (sparse cells aggregate into the noise row, cluster_id -1).
+
+    Scale shape: the per-point work is ONE map-side cell assignment +
+    one groupBy — no point-to-point distance joins, which is what
+    makes this the DBSCAN form that survives 100 TB (exact DBSCAN's
+    eps-range join is quadratic in dense regions). The dense-cell
+    graph is RESOLUTION-bounded, not data-bounded — at most
+    (span/eps)^2 cells regardless of row count — so its connected
+    components run as bounded driver-state union-find (same trade as
+    MMR / the Markov matrix), while every data-sized stage stays
+    distributed. The adjacency join is an equi-join on exploded
+    neighbor offsets (key arithmetic, no inequality join). Labels are
+    the MIN positive-encoded cell id per component — deterministic,
+    so the oracle's recursive-CTE propagation lands on identical ids."""
+    pts = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            F.floor(F.element_at("embedding", 1).cast("double") / _DB_EPS)
+            .cast("bigint")
+            .alias("cx"),
+            F.floor(F.element_at("embedding", 2).cast("double") / _DB_EPS)
+            .cast("bigint")
+            .alias("cy"),
+        )
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("c")).transform(_persisted)
+    dense = cells.filter(F.col("c") >= _DB_MINPTS).select(
+        ((F.col("cx") + _DB_OFF) * _DB_ENC + (F.col("cy") + _DB_OFF)).alias("cid"),
+        "cx",
+        "cy",
+        "c",
+    )
+    # 8-neighborhood adjacency as an equi-join on shifted keys: explode
+    # the 9 offsets on one side, join on the shifted cell id.
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    shifted = dense.select(
+        "cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        ((F.col("cx") + dx + _DB_OFF) * _DB_ENC + (F.col("cy") + dy + _DB_OFF)).alias(
+                            "ncid"
+                        )
+                    )
+                    for dx, dy in offs
+                ]
+            )
+        ).alias("o"),
+    ).select("cid", F.col("o.ncid").alias("ncid"))
+    nbr = dense.select(F.col("cid").alias("ncid"))
+    edges = shifted.join(nbr, "ncid").select("cid", "ncid")
+    # dense-cell graph: resolution-bounded — union-find on the driver.
+    cell_rows = {r["cid"]: r["c"] for r in dense.collect()}
+    parent = {cid: cid for cid in cell_rows}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges.collect():
+        ra, rb = find(r["cid"]), find(r["ncid"])
+        if ra != rb:
+            # union by smaller root so the final label is the min id
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    from collections import defaultdict
+
+    agg: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for cid, c in cell_rows.items():
+        lab = find(cid)
+        agg[lab][0] += 1
+        agg[lab][1] += c
+    noise = cells.filter(F.col("c") < _DB_MINPTS).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_points"),
+    )
+    nrow = noise.collect()[0]
+    out = [
+        (int(lab), int(v[0]), int(v[1])) for lab, v in agg.items()
+    ] + [(-1, int(nrow["n_cells"]), int(nrow["n_points"]))]
+    return spark.createDataFrame(
+        sorted(out, key=lambda t: (-t[2], t[0])),
+        "cluster_id bigint, n_cells bigint, n_points bigint",
+    )
