@@ -2146,3 +2146,82 @@ def cdc_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- SymSpell delete-neighborhood blocking -----------------------------------
+
+
+@query(
+    "linkage_symspell_edit1",
+    oracle="""
+    WITH names AS (SELECT DISTINCT c_name AS t FROM customer),
+    keys AS (
+        SELECT DISTINCT t,
+               CASE WHEN i = 0 THEN t
+                    ELSE SUBSTR(t, 1, i - 1) || SUBSTR(t, i + 1) END AS k
+        FROM names, unnest(generate_series(0, LENGTH(t))) AS u(i)),
+    cand AS (
+        SELECT DISTINCT a.t AS name_a, b.t AS name_b
+        FROM keys a JOIN keys b ON a.k = b.k AND a.t < b.t),
+    pairs AS (
+        SELECT name_a, name_b FROM cand
+        WHERE levenshtein(name_a, name_b) = 1)
+    SELECT name_a, name_b FROM pairs
+    ORDER BY name_a, name_b
+    LIMIT 200
+    """,
+)
+def linkage_symspell_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 record linkage via SYMSPELL delete-neighborhood
+    blocking (Garbe's SymSpell, the production spelling/linkage
+    blocker): every string emits its single-deletion variants (plus
+    itself) as join keys; any pair at Damerau/Levenshtein distance 1
+    is GUARANTEED to share a key (b is a delete of a; or substitution
+    at i => delete_i(a) = delete_i(b)), so the candidate join is an
+    equi-join on the delete key and the exact distance runs only on
+    candidates.
+
+    The third blocking strategy in this family, with complementary
+    scale behavior: sorted-neighborhood bounds candidates by window
+    size but misses prefix-divergent typos; Levenshtein-with-length
+    blocking (fuzzy_join_blocked_levenshtein) buckets coarsely; delete
+    keys bound each bucket by the alphabet size at one position
+    (~10 here) with NO recall loss at distance 1. Key count is
+    len(t)+1 per string — the shuffle is O(total chars), map-side
+    generated by a projected-column HOF. At 100 TB the same keys mine
+    near-duplicate titles/URLs; distance-2 doubles the delete depth,
+    same plan."""
+    names = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_name").alias("t"))
+        .distinct()
+    )
+    keys = (
+        names.select(
+            "t",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.length("t")),
+                        lambda i: F.when(i == 0, F.col("t")).otherwise(
+                            F.concat(
+                                F.substring(F.col("t"), F.lit(1), i - 1),
+                                F.substr(F.col("t"), i + 1),
+                            )
+                        ),
+                    )
+                )
+            ).alias("k"),
+        )
+    )
+    a = keys.select(F.col("t").alias("name_a"), "k")
+    b = keys.select(F.col("t").alias("name_b"), "k")
+    return (
+        a.join(b, "k")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") == 1)
+        .orderBy("name_a", "name_b")
+        .limit(200)
+    )
