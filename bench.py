@@ -164,6 +164,19 @@ HEADLINE = [
     "survival_cox_one_step",
     "ml_isotonic_calibration",
     "drift_wasserstein_1d",
+    # round-5 additions
+    "sketch_misra_gries_heavyhitters",
+    "sketch_quantile_mergeable",
+    "sample_weighted_es",
+    "graph_hits_hubs_authorities",
+    "retrieval_maxsim_late_interaction",
+    "basket_apriori_triples",
+    "audit_benford_first_digit",
+    "robust_theil_sen_slope",
+    "attribution_markov_removal",
+    "ts_sax_motif_pairs",
+    "ml_dbscan_grid_clusters",
+    "linkage_symspell_edit1",
 ]
 
 
