@@ -1,0 +1,183 @@
+"""Round-5 operator properties and plan shapes.
+
+House convention: each round's new operators get dedicated assertions
+beyond the oracle-parity sweep — the MATHEMATICAL guarantee each
+certificate rides on, checked under conditions the oracle run doesn't
+vary (partitioning, brute-force ground truth, conservation laws).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from spark_streaming_practicum_spark.catalog import table
+from spark_streaming_practicum_spark.plans import formatted_plan
+from spark_streaming_practicum_spark.registry import all_queries
+
+from .conftest import SF_DIR, built_query
+
+DEFS = all_queries()
+
+
+# --- Misra-Gries: guarantees are partition-layout independent ----------------
+
+
+def test_mg_certificates_hold_under_any_partitioning(spark):
+    # The MG guarantee must survive adversarial partition counts: the
+    # per-partition summaries change completely between 2 and 32
+    # partitions, the three booleans must not.
+    rows = built_query("sketch_misra_gries_heavyhitters", spark).collect()
+    assert rows and all(
+        r["mg_underestimates"]
+        and r["mg_error_within_bound"]
+        and r["mg_recall_complete"]
+        for r in rows
+    )
+
+
+# --- quantile sketch: rank certificates + exactness of the audit leg ---------
+
+
+def test_quantile_sketch_certificates_and_monotone(spark):
+    rows = built_query("sketch_quantile_mergeable", spark).collect()
+    assert [r["q"] for r in rows] == sorted(r["q"] for r in rows)
+    qs = [r["exact_quantile"] for r in rows]
+    assert qs == sorted(qs), "exact quantiles must be monotone in q"
+    assert all(r["rank_lower_ok"] and r["rank_upper_ok"] for r in rows)
+
+
+# --- ES sampling: top-k must plan as TakeOrdered, not a global sort ----------
+
+
+def test_weighted_es_is_take_ordered(spark):
+    plan = formatted_plan(built_query("sample_weighted_es", spark))
+    assert "TakeOrderedAndProject" in plan
+
+
+# --- SymSpell: delete-key blocking loses NOTHING at distance 1 ---------------
+
+
+def _lev(a: str, b: str) -> int:
+    # classic DP, small strings only (test-side ground truth)
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[n]
+
+
+def test_symspell_recall_equals_brute_force(spark):
+    names = sorted(
+        r["c_name"]
+        for r in table(spark, SF_DIR, "customer").select("c_name").distinct().collect()
+    )
+    truth = sorted(
+        (a, b)
+        for a, b in itertools.combinations(names, 2)
+        if _lev(a, b) == 1
+    )[:200]
+    got = [
+        (r["name_a"], r["name_b"])
+        for r in built_query("linkage_symspell_edit1", spark).collect()
+    ]
+    assert got == truth, (
+        f"SymSpell blocking missed pairs: truth {len(truth)}, got {len(got)}"
+    )
+
+
+# --- grid DBSCAN: conservation + label minimality ----------------------------
+
+
+def test_dbscan_conserves_points_and_labels_are_min(spark):
+    rows = built_query("ml_dbscan_grid_clusters", spark).collect()
+    total = table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_points"] for r in rows) == total
+    labs = [r["cluster_id"] for r in rows if r["cluster_id"] != -1]
+    assert len(labs) == len(set(labs))
+    assert all(r["n_cells"] >= 1 for r in rows if r["cluster_id"] != -1)
+
+
+# --- Markov removal: removing a channel can only lose conversion mass --------
+
+
+def test_markov_removal_never_gains_conversion(spark):
+    rows = built_query("attribution_markov_removal", spark).collect()
+    assert rows
+    for r in rows:
+        assert r["p_conversion_removed"] <= r["p_conversion_base"] + 1e-12
+        assert 0.0 <= r["removal_effect"] <= 1.0 + 1e-12
+
+
+# --- MaxSim: broadcast topology, never an unbounded cartesian ----------------
+
+
+def test_maxsim_broadcasts_queries(spark):
+    plan = formatted_plan(built_query("retrieval_maxsim_late_interaction", spark))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+# --- HITS: score frames stay joined by key, normalizers broadcast ------------
+
+
+def test_hits_scores_bounded_and_normalized(spark):
+    rows = built_query("graph_hits_hubs_authorities", spark).collect()
+    assert rows
+    hubs = [r["hub"] for r in rows]
+    auths = [r["authority"] for r in rows]
+    assert max(hubs) == 1.0 and max(auths) == 1.0  # L-inf normalized
+    assert all(0.0 <= v <= 1.0 for v in hubs + auths)
+
+
+# --- Benford: distribution algebra -------------------------------------------
+
+
+def test_benford_probabilities_sum_to_one(spark):
+    rows = built_query("audit_benford_first_digit", spark).collect()
+    assert abs(sum(r["observed_p"] for r in rows) - 1.0) < 1e-4
+    assert all(r["chi2_term"] >= 0 for r in rows)
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+
+
+# --- Apriori: downward closure actually holds in the output ------------------
+
+
+def test_apriori_triples_satisfy_downward_closure(spark):
+    tri = built_query("basket_apriori_triples", spark).collect()
+    if not tri:
+        return
+    d = table(spark, SF_DIR, "documents")
+    it = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    )
+    n_docs = it.select("doc_id").distinct().count()
+    for r in tri[:3]:  # spot-check the top rows
+        for pair in ((r["item_a"], r["item_b"]), (r["item_a"], r["item_c"]), (r["item_b"], r["item_c"])):
+            cnt = (
+                it.filter(F.col("t") == pair[0])
+                .select("doc_id")
+                .join(it.filter(F.col("t") == pair[1]).select("doc_id"), "doc_id")
+                .count()
+            )
+            assert cnt >= r["support"], "pair support below triple support"
+
+
+# --- SAX: every returned pair shares its bucket word by construction ---------
+
+
+def test_sax_pairs_share_word_and_distance_bounded(spark):
+    rows = built_query("ts_sax_motif_pairs", spark).collect()
+    from spark_streaming_practicum_spark.operators.timeseries import _SAX_DIST_MAX
+
+    for r in rows:
+        assert r["znorm_dist"] <= _SAX_DIST_MAX + 1e-9
+        assert len(r["word"]) > 0
