@@ -723,6 +723,14 @@ _SAX_SEG = _SAX_LEN // _SAX_W
 # alphabet size 4: breakpoints at the standard-normal quartiles
 _SAX_BP = (-0.6745, 0.0, 0.6745)
 _SAX_DIST_MAX = 7.5  # z-norm Euclidean verify threshold (E[d] ~ sqrt(2L) ~ 8 for unrelated series)
+# Hot-word guard (same role as dedup's MAX_BUCKET): a SAX word shared
+# by w users emits w^2 candidate pairs x L distance rows; words hotter
+# than this are giant commonplace-shape buckets, not motifs — they are
+# excluded from candidate generation, deterministically in both
+# engines. Caught by the round-5 20x probe: 116x at 20x without the
+# cap (the central words absorb most of a gaussian-ish corpus), 
+# linear with it.
+_SAX_MAX_BUCKET = 64
 
 
 @query(
@@ -759,9 +767,14 @@ _SAX_DIST_MAX = 7.5  # z-norm Euclidean verify threshold (E[d] ~ sqrt(2L) ~ 8 fo
     words AS (
         SELECT user_id, STRING_AGG(s, '' ORDER BY seg) AS word
         FROM sym GROUP BY user_id),
+    cold AS (
+        SELECT w.user_id, w.word
+        FROM words w JOIN (SELECT word FROM words GROUP BY word
+                           HAVING COUNT(*) <= {_SAX_MAX_BUCKET}) g
+          ON w.word = g.word),
     cand AS (
         SELECT a.user_id AS user_a, b.user_id AS user_b, a.word
-        FROM words a JOIN words b
+        FROM cold a JOIN cold b
           ON a.word = b.word AND a.user_id < b.user_id),
     dist AS (
         SELECT c.user_a, c.user_b, c.word,
@@ -850,10 +863,15 @@ def ts_sax_motif_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("word")
     )
+    # hot-word cap: the count rides the join's own word partitioning
+    wcount = words.withColumn(
+        "wc", F.count(F.lit(1)).over(Window.partitionBy("word"))
+    )
+    cold = wcount.filter(F.col("wc") <= _SAX_MAX_BUCKET).drop("wc")
     cand = (
-        words.alias("a")
+        cold.alias("a")
         .join(
-            words.alias("b"),
+            cold.alias("b"),
             (F.col("a.word") == F.col("b.word"))
             & (F.col("a.user_id") < F.col("b.user_id")),
         )
