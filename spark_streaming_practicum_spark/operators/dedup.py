@@ -2216,12 +2216,19 @@ def linkage_symspell_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = keys.select(F.col("t").alias("name_a"), "k")
     b = keys.select(F.col("t").alias("name_b"), "k")
+    # levenshtein BEFORE distinct: the edit-distance check is a cheap
+    # per-row JVM computation, while distinct is a shuffle — filtering
+    # first shrinks the shuffle to true pairs only (a pair appears via
+    # 2-3 shared keys, so the dedup factor is small; the lev prune is
+    # large).
     return (
         a.join(b, "k")
-        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.levenshtein("name_a", "name_b") == 1)
+        )
         .select("name_a", "name_b")
         .distinct()
-        .filter(F.levenshtein("name_a", "name_b") == 1)
         .orderBy("name_a", "name_b")
         .limit(200)
     )
