@@ -62,6 +62,9 @@ _NEWEST_FIRST = [
     "sketch_quantile_mergeable",
     "ts_sax_motif_pairs",
     "ml_dbscan_grid_clusters",
+    "linkage_symspell_edit1",
+    "causal_uplift_two_model",
+    "agg_time_decayed_leaderboard",
     # never-driver-sampled rotation, tranche 1 (ingest -> scalar ->
     # set -> window -> join): with the nine rows above, the driver's
     # 50-sample covers 41 of these first-timers per round

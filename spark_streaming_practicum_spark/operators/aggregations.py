@@ -925,3 +925,82 @@ def agg_group_logsumexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- time-decayed leaderboard ------------------------------------------------
+
+_DECAY_CAP = 40  # days; weights below 2^-40 round to zero anyway
+
+
+@query(
+    "agg_time_decayed_leaderboard",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS m FROM events),
+    w AS (
+        SELECT event_type,
+               CAST(1 AS BIGINT) << ({_DECAY_CAP} - LEAST(
+                   datediff('day', CAST(ts AS DATE), (SELECT m FROM mx)),
+                   {_DECAY_CAP})) AS wt
+        FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(wt) AS BIGINT) AS decayed_weight,
+           ROUND(SUM(wt) / POW(2.0, {_DECAY_CAP}), 6) AS decayed_score
+    FROM w
+    GROUP BY event_type
+    ORDER BY decayed_weight DESC, event_type ASC
+    """,
+)
+def agg_time_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed event leaderboard (half-life 1 day)
+    — the "what's hot NOW" aggregate behind trending dashboards, in a
+    form that is EXACT and engine-portable: the per-event weight
+    2^-(days_old) is a dyadic rational, computed as the INTEGER
+    2^({_DECAY_CAP} - days) via a bit shift and summed as a plain
+    BIGINT — no libm pow in the aggregate, so there is no float
+    summation order or last-ulp divergence to paper over; the float
+    division by 2^{_DECAY_CAP} happens once per output row, after the
+    aggregation. Weights older than {_DECAY_CAP} days clamp to 1
+    (contribution below the display rounding anyway).
+
+    One scan, one map-side shift, one 5-group aggregate; the max-date
+    is a 1-row broadcast. The same construction gives an exact
+    mergeable decayed counter for any power-of-2 decay at any scale
+    (incremental refresh: multiply the old counter by the elapsed-day
+    shift and add the new day's integer sum)."""
+    e = table(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.col("ts").cast("date")).alias("m"))
+    w = (
+        e.crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            # shiftleft needs a literal shift; pow(2, k) for integer
+            # k <= 52 is IEEE-exact, so the long cast is lossless
+            F.pow(
+                F.lit(2.0),
+                _DECAY_CAP
+                - F.least(
+                    F.datediff(F.col("m"), F.col("ts").cast("date")),
+                    F.lit(_DECAY_CAP),
+                ),
+            )
+            .cast("long")
+            .alias("wt"),
+        )
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("wt").cast("bigint").alias("decayed_weight"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "decayed_weight",
+            F.round(F.col("decayed_weight") / F.pow(2.0, _DECAY_CAP), 6).alias(
+                "decayed_score"
+            ),
+        )
+        .orderBy(F.col("decayed_weight").desc(), F.col("event_type").asc())
+    )

@@ -4390,3 +4390,104 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, p_conversion_base double, "
         "p_conversion_removed double, removal_effect double",
     )
+
+
+# --- two-model uplift ---------------------------------------------------------
+
+
+@query(
+    "causal_uplift_two_model",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               (user_id * 2654435761) % 2 = 0 AS treated,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+               NTILE(4) OVER (ORDER BY SUM(CAST(value AS DECIMAL(38,6))), user_id)
+                   AS segment
+        FROM events
+        GROUP BY user_id),
+    seg AS (
+        SELECT segment,
+               CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+               CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+               SUM(CASE WHEN treated THEN converted ELSE 0 END) * 1.0
+                   / SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS p_t,
+               SUM(CASE WHEN NOT treated THEN converted ELSE 0 END) * 1.0
+                   / SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS p_c
+        FROM u GROUP BY segment)
+    SELECT segment, n_t, n_c,
+           ROUND(p_t, 6) AS p_treated,
+           ROUND(p_c, 6) AS p_control,
+           ROUND(p_t - p_c, 6) AS uplift,
+           ROUND(1.96 * SQRT(p_t * (1 - p_t) / n_t + p_c * (1 - p_c) / n_c), 6)
+               AS ci_halfwidth
+    FROM seg
+    ORDER BY segment
+    """,
+)
+def causal_uplift_two_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-model (T-learner) UPLIFT estimation per engagement segment —
+    the causal question behind every targeting decision: not "who
+    converts" but "whose conversion the treatment CHANGES". Treatment
+    assignment is a deterministic user-hash split (the same integer
+    Fibonacci mix as the Theil-Sen sample — an RCT the data happens to
+    encode); per engagement quartile (NTILE over total event value)
+    the uplift is P(convert|T) - P(convert|C) with a two-proportion
+    Wald 95% interval.
+
+    One groupBy(user) + one 4-group aggregate; the NTILE rides the
+    two-pass distributed rank helper, not a single-partition window.
+    Completes the causal family (diff-in-diff, IV/Wald, propensity
+    strata) with the heterogeneous-treatment-effect member."""
+    from ..functions.ranks import global_row_number, ntile_from_rank
+
+    u = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("tot"),
+        )
+        .withColumn(
+            "treated",
+            (F.col("user_id") * F.lit(2654435761).cast("bigint")) % 2 == 0,
+        )
+    )
+    ranked, n = global_row_number(
+        u, [F.col("tot").asc(), F.col("user_id").asc()], rn_name="u_rn"
+    )
+    seg = ranked.withColumn(
+        "segment", ntile_from_rank(F.col("u_rn"), n, 4)
+    )
+    agg = seg.groupBy("segment").agg(
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(~F.col("treated"), 1).otherwise(0)).cast("bigint").alias("n_c"),
+        # try_divide: a tiny stratum can be single-arm (all treated or
+        # all control) — DuckDB's x/0 yields NULL, mirror it exactly.
+        F.try_divide(
+            F.sum(F.when(F.col("treated"), F.col("converted")).otherwise(0)) * 1.0,
+            F.sum(F.when(F.col("treated"), 1).otherwise(0)),
+        ).alias("p_t"),
+        F.try_divide(
+            F.sum(F.when(~F.col("treated"), F.col("converted")).otherwise(0)) * 1.0,
+            F.sum(F.when(~F.col("treated"), 1).otherwise(0)),
+        ).alias("p_c"),
+    )
+    return agg.select(
+        "segment",
+        "n_t",
+        "n_c",
+        F.round("p_t", 6).alias("p_treated"),
+        F.round("p_c", 6).alias("p_control"),
+        F.round(F.col("p_t") - F.col("p_c"), 6).alias("uplift"),
+        F.round(
+            1.96
+            * F.sqrt(
+                F.try_divide(F.col("p_t") * (1 - F.col("p_t")), F.col("n_t"))
+                + F.try_divide(F.col("p_c") * (1 - F.col("p_c")), F.col("n_c"))
+            ),
+            6,
+        ).alias("ci_halfwidth"),
+    ).orderBy("segment")
