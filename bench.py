@@ -177,6 +177,8 @@ HEADLINE = [
     "ts_sax_motif_pairs",
     "ml_dbscan_grid_clusters",
     "linkage_symspell_edit1",
+    "causal_uplift_two_model",
+    "agg_time_decayed_leaderboard",
 ]
 
 
