@@ -66,8 +66,9 @@ _NEWEST_FIRST = [
     "causal_uplift_two_model",
     "agg_time_decayed_leaderboard",
     # never-driver-sampled rotation, tranche 1 (ingest -> scalar ->
-    # set -> window -> join): with the nine rows above, the driver's
-    # 50-sample covers 41 of these first-timers per round
+    # set -> window -> join): with the 18 rows above (redemption + 3
+    # changed + 14 new), the driver's 50-sample reaches 32 of these —
+    # 46 first-time names total this round
     "ingest_route_valid_agg",
     "ingest_dead_letter_reasons",
     "ingest_valid_roundtrip_sample",
@@ -141,9 +142,6 @@ _NEWEST_FIRST = [
     "stream_tws_map_state_type_counts",
     "semdedup_cluster_prune",
     "stream_tws_event_counts",
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "ngram_draft_acceptance_rate",
     "curriculum_perplexity_stages",
     "crosslingual_margin_mining",
     "sketch_join_size_estimate",
