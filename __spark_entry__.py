@@ -65,10 +65,17 @@ _NEWEST_FIRST = [
     "linkage_symspell_edit1",
     "causal_uplift_two_model",
     "agg_time_decayed_leaderboard",
+    "join_yannakakis_semijoin_reduce",
+    "opt_zonemap_skipping_audit",
+    "window_running_distinct_types",
+    "agg_weighted_median_groups",
+    "sql_collation_case_insensitive",
+    "opt_join_cardinality_estimate",
+    "mm_audio_constellation_match",
     # never-driver-sampled rotation, tranche 1 (ingest -> scalar ->
-    # set -> window -> join): with the 18 rows above (redemption + 3
-    # changed + 14 new), the driver's 50-sample reaches 32 of these —
-    # 46 first-time names total this round
+    # set -> window -> join): with the 23 rows above (redemption + 3
+    # changed + 19 new), the driver's 50-sample reaches 27 of these —
+    # 46 first-time names total this round (5 late adds shifted the split)
     "ingest_route_valid_agg",
     "ingest_dead_letter_reasons",
     "ingest_valid_roundtrip_sample",

@@ -179,6 +179,13 @@ HEADLINE = [
     "linkage_symspell_edit1",
     "causal_uplift_two_model",
     "agg_time_decayed_leaderboard",
+    "join_yannakakis_semijoin_reduce",
+    "opt_zonemap_skipping_audit",
+    "window_running_distinct_types",
+    "agg_weighted_median_groups",
+    "sql_collation_case_insensitive",
+    "opt_join_cardinality_estimate",
+    "mm_audio_constellation_match",
 ]
 
 

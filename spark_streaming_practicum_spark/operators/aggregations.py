@@ -1004,3 +1004,55 @@ def agg_time_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("decayed_weight").desc(), F.col("event_type").asc())
     )
+
+
+@query(
+    "agg_weighted_median_groups",
+    oracle="""
+    WITH pre AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS price,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))) AS w
+        FROM lineitem GROUP BY 1, 2),
+    c AS (
+        SELECT flag, price,
+               SUM(w) OVER (PARTITION BY flag ORDER BY price ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(w) OVER (PARTITION BY flag) AS tot
+        FROM pre)
+    SELECT flag, MIN(price) AS weighted_median
+    FROM c WHERE cum + cum >= tot GROUP BY flag
+    """,
+)
+def agg_weighted_median_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median of extended price per return flag:
+    the smallest price whose cumulative weight reaches half the group
+    total.
+
+    Scale shape: a pre-aggregate collapses the fact stream to one row
+    per (group, distinct price) BEFORE any sort — map-side combine does
+    most of the work — then the cumulative window sorts only the
+    collapsed distinct-value relation per group. Weights ride exact
+    DECIMAL(38,6) and the half-total test is `cum + cum >= tot`
+    (addition, not division) so both engines decide the crossing row
+    bit-identically."""
+    li = table(spark, sf_dir, "lineitem")
+    pre = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("w"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy(F.col("price").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("flag")
+    c = pre.select(
+        "flag",
+        "price",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_tot).alias("tot"),
+    )
+    return (
+        c.filter(F.col("cum") + F.col("cum") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(F.min("price").alias("weighted_median"))
+    )

@@ -297,3 +297,218 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+_ZM_LO = "TIMESTAMP '1996-01-01 00:00:00'"
+_ZM_HI = "TIMESTAMP '1997-01-01 00:00:00'"
+
+_ZM_CLS_SQL = f"""
+               CASE WHEN max_ship < {_ZM_LO} OR min_ship >= {_ZM_HI}
+                         OR max_price <= 20000.0 THEN 'skip'
+                    WHEN min_ship >= {_ZM_LO} AND max_ship < {_ZM_HI}
+                         AND min_price > 20000.0 THEN 'full'
+                    ELSE 'scan' END"""
+
+
+@query(
+    "opt_zonemap_skipping_audit",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT 'natural' AS layout, l_orderkey // 256 AS chunk_id,
+               l_shipdate, l_extendedprice
+        FROM lineitem
+        UNION ALL
+        SELECT 'date_clustered' AS layout,
+               CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS chunk_id,
+               l_shipdate, l_extendedprice
+        FROM lineitem),
+    zm AS (
+        SELECT layout, chunk_id,
+               MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+               MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+               COUNT(*) AS n_rows
+        FROM chunks GROUP BY 1, 2),
+    cls AS (SELECT *, {_ZM_CLS_SQL} AS zone_class FROM zm)
+    SELECT layout, zone_class,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows
+    FROM cls GROUP BY layout, zone_class
+    """,
+)
+def opt_zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (file-statistics) skipping audit for the predicate
+    `l_shipdate in [1996, 1997) AND l_extendedprice > 20000`, contrasted
+    across two physical layouts of the SAME table.
+
+    Chunks stand in for parquet files; per chunk the audit keeps only
+    min/max envelopes — the footer stats a lakehouse format stores per
+    file — and classifies each chunk `skip` (envelope disjoint from the
+    predicate: file never opened), `full` (envelope contained: qualifies
+    without evaluating the predicate), or `scan`. Layout `natural`
+    (insertion order, chunk = orderkey div 256) leaves shipdate
+    uncorrelated with chunk, so every envelope spans the whole year
+    range and nothing skips; layout `date_clustered` (chunk = ship
+    month, i.e. the reference's hidden day-partitioning at A19 coarsened
+    to months) makes ~5/6 of chunks skip on the date bound alone. At
+    100 TB this is THE pruning mechanism, and the audit is one scan +
+    a #files-sized aggregate that prices exactly what a re-cluster
+    (`zorder_cluster_keys`) buys for a given predicate."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_extendedprice")
+    chunks = li.select(
+        F.lit("natural").alias("layout"),
+        F.expr("l_orderkey div 256").alias("chunk_id"),
+        "l_shipdate",
+        "l_extendedprice",
+    ).unionAll(
+        li.select(
+            F.lit("date_clustered").alias("layout"),
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).cast("bigint").alias("chunk_id"),
+            "l_shipdate",
+            "l_extendedprice",
+        )
+    )
+    zm = chunks.groupBy("layout", "chunk_id").agg(
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    cls = zm.withColumn(
+        "zone_class",
+        F.when(
+            (F.col("max_ship") < lo) | (F.col("min_ship") >= hi) | (F.col("max_price") <= 20000.0),
+            F.lit("skip"),
+        )
+        .when(
+            (F.col("min_ship") >= lo) & (F.col("max_ship") < hi) & (F.col("min_price") > 20000.0),
+            F.lit("full"),
+        )
+        .otherwise(F.lit("scan")),
+    )
+    return cls.groupBy("layout", "zone_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+@query(
+    "opt_join_cardinality_estimate",
+    oracle="""
+    WITH s AS (
+        SELECT (SELECT COUNT(*) FROM orders)   AS n_o,
+               (SELECT COUNT(DISTINCT o_custkey)  FROM orders)   AS d_o,
+               (SELECT COUNT(*) FROM customer) AS n_c,
+               (SELECT COUNT(DISTINCT c_custkey)  FROM customer) AS d_c,
+               (SELECT COUNT(*) FROM lineitem) AS n_l,
+               (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS d_lo,
+               (SELECT COUNT(DISTINCT o_orderkey) FROM orders)   AS d_oo,
+               (SELECT COUNT(DISTINCT l_partkey)  FROM lineitem) AS d_lp,
+               (SELECT COUNT(*) FROM part)     AS n_p,
+               (SELECT COUNT(DISTINCT p_partkey)  FROM part)     AS d_p),
+    est AS (
+        SELECT 'orders_x_customer' AS join_name,
+               CAST(n_o AS DOUBLE) * n_c / GREATEST(d_o, d_c)  AS est_rows FROM s
+        UNION ALL
+        SELECT 'lineitem_x_orders',
+               CAST(n_l AS DOUBLE) * n_o / GREATEST(d_lo, d_oo) FROM s
+        UNION ALL
+        SELECT 'lineitem_x_part',
+               CAST(n_l AS DOUBLE) * n_p / GREATEST(d_lp, d_p)  FROM s),
+    act AS (
+        SELECT 'orders_x_customer' AS join_name, COUNT(*) AS actual_rows
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'lineitem_x_orders', COUNT(*)
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'lineitem_x_part', COUNT(*)
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT e.join_name,
+           ROUND(e.est_rows, 4) AS est_rows,
+           CAST(a.actual_rows AS BIGINT) AS actual_rows,
+           ROUND(GREATEST(e.est_rows / a.actual_rows,
+                          a.actual_rows / e.est_rows), 4) AS q_error
+    FROM est e JOIN act a ON e.join_name = a.join_name
+    """,
+)
+def opt_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer audit: the textbook equi-join cardinality
+    estimate |A JOIN B| = |A|x|B| / max(ndv_a, ndv_b) against the TRUE
+    join size, reported as q-error (max of over/under-estimate factor)
+    for three TPC-H join shapes.
+
+    This is the number a CBO bets shuffle sizes on at 100 TB — a
+    q-error near 1 on the key joins is WHY Catalyst/AQE can order
+    orders-before-part safely. Stats here are exact countDistinct for
+    oracle determinism (a production engine uses HLL ndv — same
+    estimator, sketched input); the three actual joins the audit
+    ground-truths against are count-only (no payload columns survive
+    the probe, so each is a narrow keys-only shuffle)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    s = (
+        o.agg(
+            F.count(F.lit(1)).alias("n_o"),
+            F.countDistinct("o_custkey").alias("d_o"),
+            F.countDistinct("o_orderkey").alias("d_oo"),
+        )
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_c"), F.countDistinct("c_custkey").alias("d_c")))
+        .crossJoin(
+            li.agg(
+                F.count(F.lit(1)).alias("n_l"),
+                F.countDistinct("l_orderkey").alias("d_lo"),
+                F.countDistinct("l_partkey").alias("d_lp"),
+            )
+        )
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_p"), F.countDistinct("p_partkey").alias("d_p")))
+    )
+    est = (
+        s.select(
+            F.lit("orders_x_customer").alias("join_name"),
+            (F.col("n_o").cast("double") * F.col("n_c") / F.greatest("d_o", "d_c")).alias("est_rows"),
+        )
+        .unionAll(
+            s.select(
+                F.lit("lineitem_x_orders"),
+                F.col("n_l").cast("double") * F.col("n_o") / F.greatest("d_lo", "d_oo"),
+            )
+        )
+        .unionAll(
+            s.select(
+                F.lit("lineitem_x_part"),
+                F.col("n_l").cast("double") * F.col("n_p") / F.greatest("d_lp", "d_p"),
+            )
+        )
+    )
+    act = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+        .select(F.lit("orders_x_customer").alias("join_name"), "actual_rows")
+        .unionAll(
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .agg(F.count(F.lit(1)).alias("actual_rows"))
+            .select(F.lit("lineitem_x_orders"), "actual_rows")
+        )
+        .unionAll(
+            li.join(p, li.l_partkey == p.p_partkey)
+            .agg(F.count(F.lit(1)).alias("actual_rows"))
+            .select(F.lit("lineitem_x_part"), "actual_rows")
+        )
+    )
+    return est.join(act, "join_name").select(
+        "join_name",
+        F.round("est_rows", 4).alias("est_rows"),
+        F.col("actual_rows").cast("bigint").alias("actual_rows"),
+        F.round(
+            F.greatest(
+                F.col("est_rows") / F.col("actual_rows"),
+                F.col("actual_rows") / F.col("est_rows"),
+            ),
+            4,
+        ).alias("q_error"),
+    )

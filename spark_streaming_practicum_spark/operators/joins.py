@@ -524,3 +524,58 @@ def _interval_overlap_pairs(
             (F.col("s_start") <= F.col("i_end")) & (F.col("i_start") <= F.col("s_end"))
         )
     )
+
+
+@query(
+    "join_yannakakis_semijoin_reduce",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def join_yannakakis_semijoin_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yannakakis semijoin-reduction program for the acyclic chain
+    region -> nation -> customer -> orders (same answer as the plain
+    4-way join the oracle runs).
+
+    Pass 1 (bottom-up reduction, all map-side): nation is reduced by the
+    filtered region, customer by the reduced nation, and the date-filtered
+    orders fact is LEFT-SEMI-reduced by the surviving customer keys — a
+    broadcast semijoin that ships only a distinct-key set (~240 MB even
+    at 100 TB scale; if a lower-selectivity reducer outgrew the broadcast
+    ceiling, dropping the hint degrades to a keys-only shuffle, never a
+    wide one), so the fact scan drops non-qualifying rows BEFORE any
+    wide join materializes. Pass 2 (top-down join) then runs over the reduced fact,
+    and Yannakakis guarantees no intermediate exceeds the final output.
+    Versus joining first and filtering later, the shuffle carries ~1/5 of
+    the orders (region selectivity) and none of the dropped rows' widths."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r.select("r_regionkey")), F.col("n_regionkey") == F.col("r_regionkey"), "leftsemi"
+    )
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(n.select("n_nationkey")), F.col("c_nationkey") == F.col("n_nationkey"), "leftsemi"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o_red = o.join(
+        F.broadcast(c.select("c_custkey").distinct()), F.col("o_custkey") == F.col("c_custkey"), "leftsemi"
+    )
+    return (
+        o_red.join(c.select("c_custkey", "c_nationkey"), o_red.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(table(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )

@@ -672,3 +672,49 @@ def seq_match_recognize_emulation(spark: SparkSession, sf_dir: str) -> DataFrame
             "matches_per_event"
         ),
     )
+
+
+@query(
+    "sql_collation_case_insensitive",
+    oracle="""
+    WITH mixed AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type) ELSE p_type END AS t
+        FROM part),
+    grp AS (
+        SELECT lower(t) AS k, COUNT(DISTINCT t) AS n_forms
+        FROM mixed GROUP BY 1)
+    SELECT CAST((SELECT COUNT(DISTINCT t) FROM mixed) AS BIGINT) AS n_binary,
+           CAST(COUNT(*) AS BIGINT) AS n_ci,
+           CAST(SUM(CASE WHEN n_forms > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_groups_with_variants
+    FROM grp
+    """,
+)
+def sql_collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION support (`collate(col, 'UTF8_LCASE')`): distinct
+    counts and grouping under a case-insensitive collation, demonstrated
+    on a deterministically case-perturbed p_type column (even partkeys
+    upper-cased).
+
+    Collation-aware comparison happens INSIDE the binary comparator —
+    grouping/distinct on a collated column hashes the collation key
+    directly, with no `lower()` projection materialized, and at 100 TB
+    that also means the shuffle key is the collation key (one shuffle,
+    same as any keyed agg). The oracle mirrors the UTF8_LCASE semantics
+    with `lower()`, which is exactly the mapping this collation defines."""
+    mixed = table(spark, sf_dir, "part").select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_type"))
+        .otherwise(F.col("p_type"))
+        .alias("t")
+    )
+    grp = mixed.groupBy(F.expr("collate(t, 'UTF8_LCASE')").alias("k")).agg(
+        F.countDistinct("t").alias("n_forms")
+    )
+    return mixed.agg(F.countDistinct("t").cast("bigint").alias("n_binary")).crossJoin(
+        grp.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ci"),
+            F.sum((F.col("n_forms") > 1).cast("int")).cast("bigint").alias(
+                "n_groups_with_variants"
+            ),
+        )
+    )

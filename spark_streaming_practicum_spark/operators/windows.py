@@ -319,3 +319,54 @@ def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "sum_value")
     )
+
+
+@query(
+    "window_running_distinct_types",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_so_far
+    FROM (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts ASC, event_id ASC) AS rn
+          FROM events)
+    """,
+)
+def window_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over each user's event timeline — how many
+    distinct event types the user has touched as of each event — via the
+    first-occurrence trick: flag the first (user, type) row, then a
+    cumulative SUM of flags.
+
+    Spark has no `COUNT(DISTINCT) OVER`, and the naive
+    `size(collect_set() OVER)` materializes a growing set per row
+    (O(timeline²) memory on a power user). The two-window rewrite is
+    exact, carries one int per row, and both windows hash-partition on
+    the high-cardinality user_id — no global sort, no skewed state.
+
+    One shuffle, not two: the explicit repartition on user_id satisfies
+    BOTH windows' clustering (hash(user_id) co-locates (user_id,
+    event_type) groups too — a coarser partitioning satisfies the finer
+    ClusteredDistribution), so Catalyst inserts no second Exchange for
+    the (user, type) window, only a re-sort (plan-pinned in
+    tests/test_round5_plans.py)."""
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .repartition("user_id")
+    )
+    return (
+        ev.withColumn("is_first", (F.row_number().over(w_first) == 1).cast("int"))
+        .withColumn("n_types_so_far", F.sum("is_first").over(w_run).cast("bigint"))
+        .select("event_id", "user_id", "event_type", "n_types_so_far")
+    )

@@ -181,3 +181,128 @@ def test_sax_pairs_share_word_and_distance_bounded(spark):
     for r in rows:
         assert r["znorm_dist"] <= _SAX_DIST_MAX + 1e-9
         assert len(r["word"]) > 0
+
+
+# --- Yannakakis: reduction pass is semijoins + broadcasts, never a wide SMJ --
+
+
+def test_yannakakis_plan_is_semijoin_reduced(spark):
+    plan = formatted_plan(built_query("join_yannakakis_semijoin_reduce", spark))
+    assert "LeftSemi" in plan, "reduction pass must be a semijoin"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "reduced fact must never wide-shuffle here"
+
+
+def test_yannakakis_matches_plain_join(spark):
+    # Same answer as the unreduced 4-way join (Yannakakis is a pure
+    # physical rewrite).
+    red = {
+        (r["n_name"], r["n_orders"], round(r["revenue"], 4))
+        for r in built_query("join_yannakakis_semijoin_reduce", spark).collect()
+    }
+    o = table(spark, SF_DIR, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    plain = (
+        o.join(table(spark, SF_DIR, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(table(spark, SF_DIR, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(table(spark, SF_DIR, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("revenue"),
+        )
+    )
+    exp = {(r["n_name"], r["n_orders"], round(r["revenue"], 4)) for r in plain.collect()}
+    assert red == exp
+
+
+# --- zone-map audit: clustering must actually buy skipping -------------------
+
+
+def test_zonemap_date_clustering_skips_most_rows(spark):
+    rows = built_query("opt_zonemap_skipping_audit", spark).collect()
+    by = {(r["layout"], r["zone_class"]): r for r in rows}
+    # natural layout: orderkey chunks are date-uncorrelated -> nothing skips
+    assert ("natural", "skip") not in by
+    # date-clustered layout: out-of-window months all skip
+    nat_total = sum(r["n_rows"] for r in rows if r["layout"] == "natural")
+    dc_skip = by.get(("date_clustered", "skip"))
+    assert dc_skip is not None and dc_skip["n_rows"] > nat_total * 0.5
+
+
+# --- running distinct: one shuffle, no per-row growing set -------------------
+
+
+def test_running_distinct_single_exchange_no_collect_set(spark):
+    df = built_query("window_running_distinct_types", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, "both windows must reuse the user_id shuffle"
+    assert "collect_set" not in plan
+    # per-user final value equals the user's true distinct-type count
+    final = (
+        df.groupBy("user_id").agg(F.max("n_types_so_far").alias("got")).collect()
+    )
+    truth = {
+        r["user_id"]: r["n"]
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n"))
+        .collect()
+    }
+    assert all(truth[r["user_id"]] == r["got"] for r in final)
+
+
+# --- weighted median: crossing-point definition holds ------------------------
+
+
+def test_weighted_median_is_weight_crossing_point(spark):
+    rows = built_query("agg_weighted_median_groups", spark).collect()
+    li = table(spark, SF_DIR, "lineitem")
+    for r in rows:
+        flag, med = r["flag"], r["weighted_median"]
+        g = li.filter(F.col("l_returnflag") == flag)
+        tot = g.agg(F.sum("l_quantity")).collect()[0][0]
+        below = g.filter(F.col("l_extendedprice") < med).agg(F.sum("l_quantity")).collect()[0][0] or 0
+        upto = g.filter(F.col("l_extendedprice") <= med).agg(F.sum("l_quantity")).collect()[0][0]
+        # smallest crossing point: strictly-below mass < half <= mass up to it
+        assert 2 * below < tot <= 2 * upto
+
+
+# --- CBO cardinality audit: key joins must be near-exact ---------------------
+
+
+def test_join_cardinality_qerror_tight_on_key_joins(spark):
+    rows = {r["join_name"]: r for r in built_query("opt_join_cardinality_estimate", spark).collect()}
+    # orders.custkey -> customer.custkey is a PK-FK join: the textbook
+    # estimator must be exact (q_error == 1.0); same for lineitem->orders.
+    assert rows["orders_x_customer"]["q_error"] == 1.0
+    assert rows["lineitem_x_orders"]["q_error"] == 1.0
+    assert rows["lineitem_x_part"]["q_error"] < 1.5
+
+
+# --- constellation fingerprint: bucketed join only, finds true near-dups -----
+
+
+def test_constellation_match_is_bucketed_and_finds_neardups(spark):
+    df = built_query("mm_audio_constellation_match", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert rows, "corpus has near-dups; the fingerprint index must find some"
+    # alignment score can never exceed total matches
+    assert all(r["aligned_matches"] <= r["total_matches"] for r in rows)
+    # the strongest match must be a genuinely similar pair
+    import difflib
+
+    best = max(rows, key=lambda r: r["aligned_matches"])
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id").isin([best["doc_a"], best["doc_b"]]))
+        .collect()
+    }
+    sim = difflib.SequenceMatcher(None, texts[best["doc_a"]], texts[best["doc_b"]]).ratio()
+    assert sim > 0.5, f"top fingerprint match is not similar (ratio={sim})"
