@@ -72,6 +72,8 @@ _NEWEST_FIRST = [
     "sql_collation_case_insensitive",
     "opt_join_cardinality_estimate",
     "mm_audio_constellation_match",
+    "ts_holt_linear_forecast",
+    "ml_gmm_em_step",
     # never-driver-sampled rotation, tranche 1 (ingest -> scalar ->
     # set -> window -> join): with the 23 rows above (redemption + 3
     # changed + 19 new), the driver's 50-sample reaches 27 of these —

@@ -186,6 +186,8 @@ HEADLINE = [
     "sql_collation_case_insensitive",
     "opt_join_cardinality_estimate",
     "mm_audio_constellation_match",
+    "ts_holt_linear_forecast",
+    "ml_gmm_em_step",
 ]
 
 

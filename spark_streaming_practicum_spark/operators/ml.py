@@ -2008,3 +2008,108 @@ def ml_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(out, key=lambda t: (-t[2], t[0])),
         "cluster_id bigint, n_cells bigint, n_points bigint",
     )
+
+
+@query(
+    "ml_gmm_em_step",
+    oracle="""
+    WITH init AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        FROM events),
+    par AS (
+        SELECT n, sx / n AS mu, SQRT(sxx / n - (sx / n) * (sx / n)) AS sd
+        FROM init),
+    resp AS (
+        SELECT e.value AS x, p.n, p.sd,
+               EXP(-(e.value - (p.mu - p.sd)) * (e.value - (p.mu - p.sd))
+                   / (2 * p.sd * p.sd)) AS d1,
+               EXP(-(e.value - (p.mu + p.sd)) * (e.value - (p.mu + p.sd))
+                   / (2 * p.sd * p.sd)) AS d2
+        FROM events e CROSS JOIN par p),
+    r AS (
+        SELECT x, n, sd,
+               d1 / (d1 + d2) AS r1, d2 / (d1 + d2) AS r2
+        FROM resp),
+    m AS (
+        SELECT MAX(n) AS n,
+               CAST(SUM(CAST(r1 AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(r2 AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(r1 * x AS DECIMAL(38,12))) AS DOUBLE) AS s1x,
+               CAST(SUM(CAST(r2 * x AS DECIMAL(38,12))) AS DOUBLE) AS s2x,
+               CAST(SUM(CAST(r1 * x * x AS DECIMAL(38,12))) AS DOUBLE) AS s1xx,
+               CAST(SUM(CAST(r2 * x * x AS DECIMAL(38,12))) AS DOUBLE) AS s2xx
+        FROM r)
+    SELECT ROUND(s1 / n, 6) AS w1_new,
+           ROUND(s2 / n, 6) AS w2_new,
+           ROUND(s1x / s1, 6) AS mu1_new,
+           ROUND(s2x / s2, 6) AS mu2_new,
+           ROUND(SQRT(s1xx / s1 - (s1x / s1) * (s1x / s1)), 6) AS sigma1_new,
+           ROUND(SQRT(s2xx / s2 - (s2x / s2) * (s2x / s2)), 6) AS sigma2_new
+    FROM m
+    """,
+)
+def ml_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact EM step for a 1-D two-component Gaussian mixture over
+    event values, from the deterministic symmetric init mu -+ sd (shared
+    sigma, equal weights — the normalization constants cancel in the
+    E-step so responsibilities need only two EXPs per row).
+
+    Scale shape: E-step is pure per-row arithmetic against a broadcast
+    1-row parameter frame; the M-step is ONE aggregation computing all
+    six weighted moments in a single pass (sigma via E[x^2] - mu^2, so
+    no second scan at the new means). Every float sum rides the house
+    DECIMAL(38,12) truncation, making the result independent of
+    partition/summation order — the property that lets the same plan
+    run on 32 threads or 1000 executors and hash-match the oracle."""
+    e = table(spark, sf_dir, "events")
+
+    def d12(col):
+        return F.sum(col.cast("decimal(38,12)")).cast("double")
+
+    init = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        d12(F.col("value")).alias("sx"),
+        d12(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    par = init.select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("mu"),
+        F.sqrt(F.col("sxx") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))).alias("sd"),
+    )
+    x = F.col("value")
+    mu1 = F.col("mu") - F.col("sd")
+    mu2 = F.col("mu") + F.col("sd")
+    two_var = 2 * F.col("sd") * F.col("sd")
+    resp = e.crossJoin(F.broadcast(par)).select(
+        x.alias("x"),
+        "n",
+        F.exp(-(x - mu1) * (x - mu1) / two_var).alias("d1"),
+        F.exp(-(x - mu2) * (x - mu2) / two_var).alias("d2"),
+    )
+    r = resp.select(
+        "x",
+        "n",
+        (F.col("d1") / (F.col("d1") + F.col("d2"))).alias("r1"),
+        (F.col("d2") / (F.col("d1") + F.col("d2"))).alias("r2"),
+    )
+    m = r.agg(
+        F.max("n").alias("n"),
+        d12(F.col("r1")).alias("s1"),
+        d12(F.col("r2")).alias("s2"),
+        d12(F.col("r1") * F.col("x")).alias("s1x"),
+        d12(F.col("r2") * F.col("x")).alias("s2x"),
+        d12(F.col("r1") * F.col("x") * F.col("x")).alias("s1xx"),
+        d12(F.col("r2") * F.col("x") * F.col("x")).alias("s2xx"),
+    )
+    s1x_over = F.col("s1x") / F.col("s1")
+    s2x_over = F.col("s2x") / F.col("s2")
+    return m.select(
+        F.round(F.col("s1") / F.col("n"), 6).alias("w1_new"),
+        F.round(F.col("s2") / F.col("n"), 6).alias("w2_new"),
+        F.round(s1x_over, 6).alias("mu1_new"),
+        F.round(s2x_over, 6).alias("mu2_new"),
+        F.round(F.sqrt(F.col("s1xx") / F.col("s1") - s1x_over * s1x_over), 6).alias("sigma1_new"),
+        F.round(F.sqrt(F.col("s2xx") / F.col("s2") - s2x_over * s2x_over), 6).alias("sigma2_new"),
+    )

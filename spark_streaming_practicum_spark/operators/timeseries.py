@@ -894,3 +894,107 @@ def ts_sax_motif_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_a", "user_b", "word", F.round("d", 4).alias("znorm_dist"))
         .orderBy("user_a", "user_b")
     )
+
+
+_HOLT_ALPHA, _HOLT_BETA = 0.5, 0.25  # dyadic: exactly representable doubles
+
+
+@query(
+    "ts_holt_linear_forecast",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               AVG(value) AS v
+        FROM events GROUP BY 1, 2),
+    idx AS (
+        SELECT event_type, day, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+        FROM daily),
+    rec AS (
+        SELECT event_type, i, v, l AS l, b AS b, CAST(NULL AS DOUBLE) AS fc
+        FROM (SELECT event_type, i, v, v AS l, CAST(0.0 AS DOUBLE) AS b FROM idx WHERE i = 1)
+        UNION ALL
+        SELECT event_type, i, v,
+               l_new AS l,
+               {_HOLT_BETA} * (l_new - l_prev) + (1 - {_HOLT_BETA}) * b_prev AS b,
+               fc
+        FROM (SELECT x.event_type, x.i, x.v,
+                     {_HOLT_ALPHA} * x.v
+                         + (1 - {_HOLT_ALPHA}) * (r.l + r.b) AS l_new,
+                     r.l AS l_prev, r.b AS b_prev,
+                     r.l + r.b AS fc
+              FROM rec r JOIN idx x
+                ON x.event_type = r.event_type AND x.i = r.i + 1))
+    SELECT r.event_type, x.day,
+           ROUND(r.l, 6) AS level, ROUND(r.b, 6) AS trend,
+           ROUND(r.fc, 6) AS forecast,
+           ROUND(r.v - r.fc, 6) AS forecast_error
+    FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i
+    """,
+)
+def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing with one-step-ahead
+    forecasts per daily event-type series (level + trend recurrence;
+    init l_1 = y_1, b_1 = 0; alpha/beta dyadic so both engines compute
+    bit-identical doubles).
+
+    Unlike EWMA (`ts_ewma_daily`), Holt's COUPLED recurrence has no
+    cumulative-sum closed form, so this is the canonical
+    `applyInPandas` shape: the keyed daily pre-aggregate shrinks the
+    fact stream first (map-side combine), then each series smooths
+    sequentially inside one Arrow batch — series are the parallel unit,
+    time is the sequential unit, which is exactly how a 1000-executor
+    cluster should split this work. The oracle runs the same recurrence
+    as a DuckDB recursive CTE — same float ops in the same order."""
+    import pandas as pd
+
+    a, bcoef = _HOLT_ALPHA, _HOLT_BETA
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.avg("value").alias("v"))
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        lvl, tr, fc, err = [], [], [], []
+        l = b = None
+        for _, row in pdf.iterrows():
+            v = row["v"]
+            if l is None:
+                l, b = v, 0.0
+                fc.append(None)
+                err.append(None)
+            else:
+                f = l + b
+                l_new = a * v + (1 - a) * (l + b)
+                b = bcoef * (l_new - l) + (1 - bcoef) * b
+                l = l_new
+                fc.append(f)
+                err.append(v - f)
+            lvl.append(l)
+            tr.append(b)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "day": pdf["day"],
+                "level": lvl,
+                "trend": tr,
+                "forecast": fc,
+                "forecast_error": err,
+            }
+        )
+
+    raw = daily.groupBy("event_type").applyInPandas(
+        smooth,
+        schema="event_type string, day date, level double, trend double, "
+        "forecast double, forecast_error double",
+    )
+    # rounding JVM-side so Spark and DuckDB share tie-break semantics
+    return raw.select(
+        "event_type",
+        "day",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+        F.round("forecast_error", 6).alias("forecast_error"),
+    )

@@ -306,3 +306,35 @@ def test_constellation_match_is_bucketed_and_finds_neardups(spark):
     }
     sim = difflib.SequenceMatcher(None, texts[best["doc_a"]], texts[best["doc_b"]]).ratio()
     assert sim > 0.5, f"top fingerprint match is not similar (ratio={sim})"
+
+
+# --- Holt: applyInPandas shape + the recurrence's defining identity ----------
+
+
+def test_holt_forecast_is_prev_level_plus_trend(spark):
+    rows = built_query("ts_holt_linear_forecast", spark).collect()
+    by_series = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+        by_series.setdefault(r["event_type"], []).append(r)
+    assert by_series
+    for series in by_series.values():
+        assert series[0]["forecast"] is None  # no forecast before data
+        for prev, cur in zip(series, series[1:]):
+            assert cur["forecast"] is not None
+            # one-step forecast == previous level + previous trend (mod rounding)
+            assert abs(cur["forecast"] - (prev["level"] + prev["trend"])) < 2e-6
+
+
+def test_holt_plan_is_grouped_pandas(spark):
+    plan = built_query("ts_holt_linear_forecast", spark)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # series = parallel unit
+
+
+# --- GMM EM: mixture algebra after one step ----------------------------------
+
+
+def test_gmm_step_is_valid_mixture(spark):
+    row = built_query("ml_gmm_em_step", spark).collect()[0]
+    assert abs(row["w1_new"] + row["w2_new"] - 1.0) < 1e-5
+    assert row["mu1_new"] < row["mu2_new"]  # symmetric init keeps order
+    assert row["sigma1_new"] > 0 and row["sigma2_new"] > 0
