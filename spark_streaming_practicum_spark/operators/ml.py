@@ -2113,3 +2113,104 @@ def ml_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("s1xx") / F.col("s1") - s1x_over * s1x_over), 6).alias("sigma1_new"),
         F.round(F.sqrt(F.col("s2xx") / F.col("s2") - s2x_over * s2x_over), 6).alias("sigma2_new"),
     )
+
+
+@query(
+    "ml_ols_normal_equation",
+    oracle="""
+    WITH m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sx1,
+               CAST(SUM(CAST(l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sx2,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS s11,
+               CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+               CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS s12,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS s1y,
+               CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS s2y,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        FROM lineitem),
+    solved AS (
+        SELECT *,
+               n * (s11 * s22 - s12 * s12)
+             - sx1 * (sx1 * s22 - s12 * sx2)
+             + sx2 * (sx1 * s12 - s11 * sx2) AS det,
+               (s11 * s22 - s12 * s12) AS a11,
+               (sx2 * s12 - sx1 * s22) AS a12,
+               (sx1 * s12 - sx2 * s11) AS a13,
+               (n * s22 - sx2 * sx2)   AS a22,
+               (sx2 * sx1 - n * s12)   AS a23,
+               (n * s11 - sx1 * sx1)   AS a33
+        FROM m),
+    beta AS (
+        SELECT *,
+               (a11 * sy + a12 * s1y + a13 * s2y) / det AS b0,
+               (a12 * sy + a22 * s1y + a23 * s2y) / det AS b1,
+               (a13 * sy + a23 * s1y + a33 * s2y) / det AS b2
+        FROM solved)
+    SELECT ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2,
+           ROUND(1 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+                     / (syy - sy * sy / n), 6) AS r2
+    FROM beta
+    """,
+)
+def ml_ols_normal_equation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form two-feature OLS (extendedprice ~ quantity + discount)
+    via the normal equations: ONE pass computes the nine mergeable
+    moments (decimal-exact, so partition order can't move a bit), then
+    the 3x3 system is solved with explicit adjugate arithmetic on the
+    driver-free scalar frame. R^2 falls out of the same moments
+    (SSE = Syy - b.Xty — the normal-equation identity), so the whole
+    fit is a single aggregation even at 100 TB: no gradient iterations,
+    no second scan, and the moment vector is exactly what a map-side
+    combiner or a streaming sink would merge."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def d12(col):
+        return F.sum(col.cast("decimal(38,12)")).cast("double")
+
+    q, disc, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        d12(q).alias("sx1"),
+        d12(disc).alias("sx2"),
+        d12(y).alias("sy"),
+        d12(q * q).alias("s11"),
+        d12(disc * disc).alias("s22"),
+        d12(q * disc).alias("s12"),
+        d12(q * y).alias("s1y"),
+        d12(disc * y).alias("s2y"),
+        d12(y * y).alias("syy"),
+    )
+    c = F.col
+    solved = m.select(
+        "*",
+        (
+            c("n") * (c("s11") * c("s22") - c("s12") * c("s12"))
+            - c("sx1") * (c("sx1") * c("s22") - c("s12") * c("sx2"))
+            + c("sx2") * (c("sx1") * c("s12") - c("s11") * c("sx2"))
+        ).alias("det"),
+        (c("s11") * c("s22") - c("s12") * c("s12")).alias("a11"),
+        (c("sx2") * c("s12") - c("sx1") * c("s22")).alias("a12"),
+        (c("sx1") * c("s12") - c("sx2") * c("s11")).alias("a13"),
+        (c("n") * c("s22") - c("sx2") * c("sx2")).alias("a22"),
+        (c("sx2") * c("sx1") - c("n") * c("s12")).alias("a23"),
+        (c("n") * c("s11") - c("sx1") * c("sx1")).alias("a33"),
+    )
+    beta = solved.select(
+        "*",
+        ((c("a11") * c("sy") + c("a12") * c("s1y") + c("a13") * c("s2y")) / c("det")).alias("b0"),
+        ((c("a12") * c("sy") + c("a22") * c("s1y") + c("a23") * c("s2y")) / c("det")).alias("b1"),
+        ((c("a13") * c("sy") + c("a23") * c("s1y") + c("a33") * c("s2y")) / c("det")).alias("b2"),
+    )
+    return beta.select(
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        F.round(
+            1
+            - (c("syy") - c("b0") * c("sy") - c("b1") * c("s1y") - c("b2") * c("s2y"))
+            / (c("syy") - c("sy") * c("sy") / c("n")),
+            6,
+        ).alias("r2"),
+    )
