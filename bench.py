@@ -188,6 +188,8 @@ HEADLINE = [
     "mm_audio_constellation_match",
     "ts_holt_linear_forecast",
     "ml_gmm_em_step",
+    "ml_ols_normal_equation",
+    "graph_random_walk_deterministic",
 ]
 
 

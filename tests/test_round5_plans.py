@@ -338,3 +338,55 @@ def test_gmm_step_is_valid_mixture(spark):
     assert abs(row["w1_new"] + row["w2_new"] - 1.0) < 1e-5
     assert row["mu1_new"] < row["mu2_new"]  # symmetric init keeps order
     assert row["sigma1_new"] > 0 and row["sigma2_new"] > 0
+
+
+# --- OLS normal equations: must agree with numpy lstsq -----------------------
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    row = built_query("ml_ols_normal_equation", spark).collect()[0]
+    pdf = (
+        table(spark, SF_DIR, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    X = np.column_stack(
+        [np.ones(len(pdf)), pdf["l_quantity"].values, pdf["l_discount"].values]
+    )
+    beta, *_ = np.linalg.lstsq(X, pdf["l_extendedprice"].values, rcond=None)
+    assert abs(row["b0"] - beta[0]) < 1e-3
+    assert abs(row["b1"] - beta[1]) < 1e-3
+    assert abs(row["b2"] - beta[2]) < 1e-3
+    assert 0.0 <= row["r2"] <= 1.0
+
+
+# --- random walk: edges real, result partition-invariant ---------------------
+
+
+def test_random_walk_hops_are_real_edges_and_deterministic(spark):
+    df = built_query("graph_random_walk_deterministic", spark)
+    rows = {(r["c0"], r["s1"], r["c2"], r["s3"]) for r in df.collect()}
+    assert rows
+    edges = {
+        (r["c"], r["s"])
+        for r in table(spark, SF_DIR, "lineitem")
+        .join(table(spark, SF_DIR, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .collect()
+    }
+    for c0, s1, c2, s3 in rows:
+        assert (c0, s1) in edges and (c2, s1) in edges and (c2, s3) in edges
+    # partition-count invariance: the walk is a function of the graph only
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        rows3 = {
+            (r["c0"], r["s1"], r["c2"], r["s3"])
+            for r in DEFS["graph_random_walk_deterministic"].fn(spark, SF_DIR).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert rows3 == rows
