@@ -76,6 +76,8 @@ _NEWEST_FIRST = [
     "ml_gmm_em_step",
     "ml_ols_normal_equation",
     "graph_random_walk_deterministic",
+    "sketch_bloom_fpr_audit",
+    "text_rake_keyphrases",
     # never-driver-sampled rotation, tranche 1 (ingest -> scalar ->
     # set -> window -> join): with the 23 rows above (redemption + 3
     # changed + 19 new), the driver's 50-sample reaches 27 of these —

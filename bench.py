@@ -190,6 +190,8 @@ HEADLINE = [
     "ml_gmm_em_step",
     "ml_ols_normal_equation",
     "graph_random_walk_deterministic",
+    "sketch_bloom_fpr_audit",
+    "text_rake_keyphrases",
 ]
 
 

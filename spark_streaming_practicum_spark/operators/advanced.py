@@ -1095,3 +1095,121 @@ def sketch_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+_BLOOM_M = 16384  # filter bits
+_BLOOM_K = 3  # hash functions
+_BLOOM_P = 1_000_000_007
+# per-hash multiplier/offset pairs (distinct odd multipliers)
+_BLOOM_SALTS = [(2654435761, 97), (40503, 1009), (1099087573, 30011)]
+
+
+def _bloom_pos_sql(key: str, i: int) -> str:
+    a, b = _BLOOM_SALTS[i]
+    return f"((({key} % {_BLOOM_P}) * {a} + {b}) % {_BLOOM_P}) % {_BLOOM_M}"
+
+
+@query(
+    "sketch_bloom_fpr_audit",
+    oracle=f"""
+    WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    nonmembers AS (
+        -- shifted keys: guaranteed absent from members, same cardinality
+        SELECT c_custkey + 1000000 AS k FROM customer),
+    bits AS (
+        SELECT DISTINCT pos FROM members,
+        LATERAL (VALUES ({_bloom_pos_sql('k', 0)}),
+                        ({_bloom_pos_sql('k', 1)}),
+                        ({_bloom_pos_sql('k', 2)})) AS t(pos)),
+    probe AS (
+        SELECT n.k,
+               MIN(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS hit
+        FROM nonmembers n,
+        LATERAL (VALUES ({_bloom_pos_sql('n.k', 0)}),
+                        ({_bloom_pos_sql('n.k', 1)}),
+                        ({_bloom_pos_sql('n.k', 2)})) AS t(pos)
+        LEFT JOIN bits b ON b.pos = t.pos
+        GROUP BY n.k),
+    member_probe AS (
+        SELECT m.k,
+               MIN(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS hit
+        FROM members m,
+        LATERAL (VALUES ({_bloom_pos_sql('m.k', 0)}),
+                        ({_bloom_pos_sql('m.k', 1)}),
+                        ({_bloom_pos_sql('m.k', 2)})) AS t(pos)
+        LEFT JOIN bits b ON b.pos = t.pos
+        GROUP BY m.k)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nonmembers) AS n_probes,
+           (SELECT ROUND(AVG(hit), 6) FROM probe) AS empirical_fpr,
+           (SELECT ROUND(POW((SELECT COUNT(*) FROM bits) * 1.0 / {_BLOOM_M},
+                             {_BLOOM_K}), 6)) AS theoretical_fpr,
+           (SELECT COUNT(*) = 0 FROM member_probe WHERE hit = 0)
+               AS no_false_negatives
+    """,
+)
+def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-built Bloom filter (m=16384, k=3, portable multiplicative
+    hashes — the same cross-engine hash discipline as
+    `sketch_hll_handbuilt`) with its two defining certificates measured
+    in-query: ZERO false negatives on the member set, and empirical
+    false-positive rate on true non-members vs the fill-ratio theory
+    value (bits_set/m)^k.
+
+    The filter is held RELATIONALLY — the distinct set of set bit
+    positions — so build and probe are both keyed joins: at 100 TB the
+    filter relation is at most m rows (here 16 KB of positions,
+    broadcastable), the probe is a map-side join against it, and the
+    whole audit is the plan a production gate (`dedup_bloom_incremental`
+    uses the same relational-bloom idea) should be validated with
+    before trusting its FPR budget."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    members = o.select(F.col("o_custkey").alias("k")).distinct()
+    # shifted keys: guaranteed absent from members, same cardinality
+    # (the natural anti-join set is empty in this lake - every customer
+    # has orders - and an FPR audit needs a non-member population)
+    nonmembers = c.select((F.col("c_custkey") + 1000000).alias("k"))
+
+    def positions(df):
+        cols = [
+            (((F.col("k") % _BLOOM_P) * F.lit(a) + F.lit(b)) % _BLOOM_P % _BLOOM_M)
+            for a, b in _BLOOM_SALTS
+        ]
+        return df.select("k", F.explode(F.array(*cols)).alias("pos"))
+
+    bits = positions(members).select("pos").distinct()
+
+    def probe(df):
+        return (
+            positions(df)
+            .join(bits.withColumn("_hit", F.lit(1)), "pos", "left")
+            .groupBy("k")
+            .agg(F.min(F.coalesce(F.col("_hit"), F.lit(0))).alias("hit"))
+        )
+
+    neg = probe(nonmembers).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.round(F.avg("hit"), 6).alias("empirical_fpr"),
+    )
+    fn = probe(members).agg(
+        (F.sum((F.col("hit") == 0).cast("int")) == 0).alias("no_false_negatives")
+    )
+    stats = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members")).crossJoin(
+        bits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
+    )
+    return (
+        stats.crossJoin(neg)
+        .crossJoin(fn)
+        .select(
+            "n_members",
+            "bits_set",
+            "n_probes",
+            "empirical_fpr",
+            F.round(
+                F.pow(F.col("bits_set") * F.lit(1.0) / _BLOOM_M, _BLOOM_K), 6
+            ).alias("theoretical_fpr"),
+            "no_false_negatives",
+        )
+    )

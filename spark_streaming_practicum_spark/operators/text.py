@@ -967,3 +967,96 @@ def nb_lang_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_RAKE_TOPK = 3
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+@query(
+    "text_rake_keyphrases",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, i - 1 AS p, w[i] AS word,
+               CASE WHEN w[i] IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END AS stop
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             unnest(generate_series(1, len(w))) AS t(i)),
+    seg AS (
+        SELECT doc_id, p, word, stop,
+               SUM(stop) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS UNBOUNDED PRECEDING) AS phrase_id
+        FROM pos),
+    phrase_words AS (SELECT doc_id, phrase_id, p, word FROM seg WHERE stop = 0),
+    phrase_len AS (
+        SELECT doc_id, phrase_id, COUNT(*) AS plen
+        FROM phrase_words GROUP BY doc_id, phrase_id),
+    word_stats AS (
+        SELECT pw.doc_id, pw.word,
+               COUNT(*) AS freq, SUM(pl.plen) AS degree
+        FROM phrase_words pw
+        JOIN phrase_len pl ON pl.doc_id = pw.doc_id AND pl.phrase_id = pw.phrase_id
+        GROUP BY pw.doc_id, pw.word),
+    scored AS (
+        SELECT pw.doc_id, pw.phrase_id,
+               MIN(pw.p) AS first_pos,
+               STRING_AGG(pw.word, ' ' ORDER BY pw.p) AS phrase,
+               ROUND(CAST(SUM(CAST(ws.degree * 1.0 / ws.freq AS DECIMAL(38,12))) AS DOUBLE), 6) AS rake_score
+        FROM phrase_words pw
+        JOIN word_stats ws ON ws.doc_id = pw.doc_id AND ws.word = pw.word
+        GROUP BY pw.doc_id, pw.phrase_id),
+    ranked AS (
+        SELECT doc_id, phrase, rake_score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY rake_score DESC, first_pos ASC) AS rk
+        FROM scored)
+    SELECT doc_id, CAST(rk AS INT) AS rk, phrase, rake_score
+    FROM ranked WHERE rk <= {_RAKE_TOPK}
+    """,
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): stopword-delimited
+    candidate phrases, per-document word co-occurrence stats
+    (degree/frequency), phrase score = sum of member word scores, top-3
+    phrases per document (first-position tie-break).
+
+    Everything is per-document relational algebra — posexplode, one
+    cumulative window for phrase segmentation, two keyed aggregates —
+    so the whole extractor shuffles on doc_id only and scales exactly
+    like the tokenize stage of the pipeline. Complements
+    `keyphrase_textrank` (graph centrality) with the degree/frequency
+    heuristic that needs NO iteration at all."""
+    d = table(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("w"))
+    pos = d.select(
+        "doc_id",
+        F.posexplode("w").alias("p", "word"),
+    ).withColumn("stop", F.col("word").isin(*EN_STOPWORDS).cast("int"))
+    w_seg = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = pos.withColumn("phrase_id", F.sum("stop").over(w_seg))
+    pw = seg.filter(F.col("stop") == 0).select("doc_id", "phrase_id", "p", "word")
+    plen = pw.groupBy("doc_id", "phrase_id").agg(F.count(F.lit(1)).alias("plen"))
+    ws = (
+        pw.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree"))
+    )
+    scored = (
+        pw.join(ws, ["doc_id", "word"])
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.min("p").alias("first_pos"),
+            F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("p", "word"))).getField("word")).alias("phrase"),
+            F.round(F.sum((F.col("degree") * 1.0 / F.col("freq")).cast("decimal(38,12)")).cast("double"), 6).alias("rake_score"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("rake_score").desc(), F.col("first_pos").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rk") <= _RAKE_TOPK)
+        .select("doc_id", "rk", "phrase", "rake_score")
+    )

@@ -390,3 +390,36 @@ def test_random_walk_hops_are_real_edges_and_deterministic(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert rows3 == rows
+
+
+# --- Bloom FPR audit: defining filter guarantees -----------------------------
+
+
+def test_bloom_audit_certificates(spark):
+    row = built_query("sketch_bloom_fpr_audit", spark).collect()[0]
+    assert row["no_false_negatives"] is True  # Bloom's hard guarantee
+    assert row["bits_set"] <= 16384  # filter relation bounded by m
+    assert row["n_probes"] > 0
+    # empirical FPR sane vs fill-ratio theory (deterministic hashes over
+    # sequential keys can sit below theory; never wildly above)
+    assert row["empirical_fpr"] <= 4 * row["theoretical_fpr"] + 0.005
+
+
+# --- RAKE: phrases are stopword-free, ranking is dense per doc ---------------
+
+
+def test_rake_phrases_stopword_free_and_ranked(spark):
+    from spark_streaming_practicum_spark.functions.textfns import EN_STOPWORDS
+
+    rows = built_query("text_rake_keyphrases", spark).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        assert not (set(r["phrase"].split()) & set(EN_STOPWORDS))
+    for doc_rows in by_doc.values():
+        rks = sorted(r["rk"] for r in doc_rows)
+        assert rks == list(range(1, len(rks) + 1))  # dense 1..k
+        ordered = sorted(doc_rows, key=lambda r: r["rk"])
+        scores = [r["rake_score"] for r in ordered]
+        assert scores == sorted(scores, reverse=True)
