@@ -78,6 +78,8 @@ _NEWEST_FIRST = [
     "graph_random_walk_deterministic",
     "sketch_bloom_fpr_audit",
     "text_rake_keyphrases",
+    "opt_agg_pushdown_eager",
+    "ts_interval_islands_merge",
     # never-driver-sampled rotation, tranche 1 (ingest -> scalar ->
     # set -> window -> join): with the 23 rows above (redemption + 3
     # changed + 19 new), the driver's 50-sample reaches 27 of these —

@@ -192,6 +192,8 @@ HEADLINE = [
     "graph_random_walk_deterministic",
     "sketch_bloom_fpr_audit",
     "text_rake_keyphrases",
+    "opt_agg_pushdown_eager",
+    "ts_interval_islands_merge",
 ]
 
 

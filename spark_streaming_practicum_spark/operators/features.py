@@ -512,3 +512,48 @@ def opt_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
             4,
         ).alias("q_error"),
     )
+
+
+@query(
+    "opt_agg_pushdown_eager",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def opt_agg_pushdown_eager(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eager aggregation (Yan & Larson 1995): the per-nation revenue
+    rollup with the aggregate pushed BELOW the join — orders collapse to
+    one row per custkey first, then join the (much smaller) partial
+    aggregate up through customer to nation.
+
+    Same answer as the oracle's join-then-aggregate plan, but the
+    customer join probes |distinct custkeys| rows instead of |orders|,
+    and the join shuffle carries two numeric columns instead of order
+    payloads. At 100 TB the pre-agg runs map-side-combined on the fact
+    scan, so the only wide data movement is the already-reduced
+    (custkey, cnt, sum) stream — the rewrite CBOs apply when group keys
+    functionally determine the join key. COUNT(*) re-derives as
+    SUM(cnt) above the join; revenue stays a DECIMAL partial sum, so
+    the two plans are bit-identical, not just approximately equal."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    pre = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev"),
+    )
+    return (
+        pre.join(c, pre.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_orders"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )

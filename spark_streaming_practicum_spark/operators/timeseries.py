@@ -998,3 +998,83 @@ def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("forecast", 6).alias("forecast"),
         F.round("forecast_error", 6).alias("forecast_error"),
     )
+
+
+_ISL_SPAN_DAYS = 7  # each shipment keeps its supplier busy for a week
+
+
+@query(
+    "ts_interval_islands_merge",
+    oracle=f"""
+    WITH iv AS (
+        SELECT l_suppkey AS k, l_shipdate AS s,
+               l_shipdate + INTERVAL {_ISL_SPAN_DAYS} DAY AS e
+        FROM lineitem),
+    flagged AS (
+        SELECT k, s, e,
+               CASE WHEN s > MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv),
+    grp AS (
+        SELECT k, s, e,
+               SUM(new_island) OVER (PARTITION BY k ORDER BY s, e
+                                     ROWS UNBOUNDED PRECEDING) AS island_id
+        FROM flagged),
+    islands AS (
+        SELECT k, island_id, MIN(s) AS island_start, MAX(e) AS island_end,
+               COUNT(*) AS n_intervals
+        FROM grp GROUP BY k, island_id)
+    SELECT k AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(n_intervals) AS BIGINT) AS max_intervals_in_island,
+           CAST(SUM(datediff('day', island_start, island_end)) AS BIGINT)
+               AS busy_days
+    FROM islands GROUP BY k
+    """,
+)
+def ts_interval_islands_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing: each shipment occupies its
+    supplier for 7 days; overlapping/adjacent busy windows merge into
+    islands via the running-max-end trick (an interval starts a new
+    island iff its start exceeds the max end of everything before it),
+    then one cumulative flag-sum labels islands with NO self-join.
+
+    This is the scalable form of interval merging: the naive
+    overlap-pair self-join is O(n^2) per key, while this plan is a
+    single shuffle on the (high-cardinality) supplier key plus two
+    window passes — the same shape a calendar/uptime/session-coverage
+    rollup takes at 100 TB. First-occurrence NULL handling rides the
+    CASE (NULL max -> not > -> 0) identically in both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    iv = li.select(
+        F.col("l_suppkey").alias("k"),
+        F.col("l_shipdate").alias("s"),
+        (F.col("l_shipdate") + F.expr(f"INTERVAL {_ISL_SPAN_DAYS} DAYS")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("k")
+        .orderBy(F.col("s").asc(), F.col("e").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("k")
+        .orderBy(F.col("s").asc(), F.col("e").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = flagged.withColumn("island_id", F.sum("new_island").over(w_run))
+    islands = grp.groupBy("k", "island_id").agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    return islands.groupBy(F.col("k").alias("suppkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.max("n_intervals").cast("bigint").alias("max_intervals_in_island"),
+        F.sum(F.datediff("island_end", "island_start")).cast("bigint").alias("busy_days"),
+    )

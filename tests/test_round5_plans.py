@@ -239,6 +239,9 @@ def test_zonemap_date_clustering_skips_most_rows(spark):
 def test_running_distinct_single_exchange_no_collect_set(spark):
     df = built_query("window_running_distinct_types", spark)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # once the cached frame has executed, AQE prints "== Final Plan ==" +
+    # "== Initial Plan ==" sections; judge the final plan only
+    plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("Exchange") == 1, "both windows must reuse the user_id shuffle"
     assert "collect_set" not in plan
     # per-user final value equals the user's true distinct-type count
@@ -423,3 +426,57 @@ def test_rake_phrases_stopword_free_and_ranked(spark):
         ordered = sorted(doc_rows, key=lambda r: r["rk"])
         scores = [r["rake_score"] for r in ordered]
         assert scores == sorted(scores, reverse=True)
+
+
+# --- eager aggregation: the pre-agg must reach the customer join reduced -----
+
+
+def test_eager_agg_joins_partial_aggregate(spark):
+    df = built_query("opt_agg_pushdown_eager", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # two HashAggregate levels for the pre-agg + final rollup
+    assert plan.count("HashAggregate") >= 3
+    # equality against the join-then-agg formulation
+    o = table(spark, SF_DIR, "orders")
+    c = table(spark, SF_DIR, "customer")
+    n = table(spark, SF_DIR, "nation")
+    plain = {
+        (r["n_name"], r["n_orders"], round(r["revenue"], 4))
+        for r in o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("revenue"),
+        )
+        .collect()
+    }
+    got = {(r["n_name"], r["n_orders"], round(r["revenue"], 4)) for r in df.collect()}
+    assert got == plain
+
+
+# --- interval islands: coverage algebra --------------------------------------
+
+
+def test_interval_islands_invariants(spark):
+    rows = built_query("ts_interval_islands_merge", spark).collect()
+    assert rows
+    per_supp_ship_days = {
+        r["k"]: (r["n"], r["span"])
+        for r in table(spark, SF_DIR, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.datediff(F.max("l_shipdate"), F.min("l_shipdate")) + 7).alias("span"),
+        )
+        .collect()
+    }
+    for r in rows:
+        n, span = per_supp_ship_days[r["suppkey"]]
+        assert 1 <= r["n_islands"] <= n
+        assert r["max_intervals_in_island"] <= n
+        # busy days: at least one island span (7d), at most the full hull
+        assert 7 <= r["busy_days"] <= span
+        # each island covers >= 7 days, so busy_days >= 7 * n_islands
+        assert r["busy_days"] >= 7 * r["n_islands"]
