@@ -81,9 +81,9 @@ _NEWEST_FIRST = [
     "opt_agg_pushdown_eager",
     "ts_interval_islands_merge",
     # never-driver-sampled rotation, tranche 1 (ingest -> scalar ->
-    # set -> window -> join): with the 23 rows above (redemption + 3
-    # changed + 19 new), the driver's 50-sample reaches 27 of these —
-    # 46 first-time names total this round (5 late adds shifted the split)
+    # set -> window -> join): with the 33 rows above (redemption + 3
+    # changed + 29 new), the driver's 50-sample reaches 17 of these —
+    # 46 first-time names total this round
     "ingest_route_valid_agg",
     "ingest_dead_letter_reasons",
     "ingest_valid_roundtrip_sample",
