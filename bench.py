@@ -194,6 +194,7 @@ HEADLINE = [
     "text_rake_keyphrases",
     "opt_agg_pushdown_eager",
     "ts_interval_islands_merge",
+    "ab_cuped_variance_reduction",
 ]
 
 

@@ -4491,3 +4491,136 @@ def causal_uplift_two_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ci_halfwidth"),
     ).orderBy("segment")
+
+
+_CUPED_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"  # pre-period | experiment
+
+
+@query(
+    "ab_cuped_variance_reduction",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(SUM(CASE WHEN ts < {_CUPED_SPLIT}
+                             THEN CAST(value AS DECIMAL(38,12)) END) AS DOUBLE)
+                   AS pre_raw,
+               CAST(SUM(CASE WHEN ts >= {_CUPED_SPLIT}
+                             THEN CAST(value AS DECIMAL(38,12)) END) AS DOUBLE)
+                   AS post_raw
+        FROM events GROUP BY user_id),
+    pp AS (
+        SELECT user_id, arm,
+               COALESCE(pre_raw, 0.0) AS pre, COALESCE(post_raw, 0.0) AS post
+        FROM per_user),
+    mom AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(pre AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(post AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(pre * pre AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(post * post AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(pre * post AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        FROM pp),
+    theta AS (
+        SELECT n, sx / n AS mx, sy / n AS my,
+               (sxy / n - (sx / n) * (sy / n))
+                   / (sxx / n - (sx / n) * (sx / n)) AS th,
+               sxx / n - (sx / n) * (sx / n) AS var_pre,
+               syy / n - (sy / n) * (sy / n) AS var_post,
+               sxy / n - (sx / n) * (sy / n) AS cov_xy
+        FROM mom),
+    arms AS (
+        SELECT arm, COUNT(*) AS n_a,
+               CAST(SUM(CAST(pre AS DECIMAL(38,12))) AS DOUBLE) AS sx_a,
+               CAST(SUM(CAST(post AS DECIMAL(38,12))) AS DOUBLE) AS sy_a
+        FROM pp GROUP BY arm),
+    wide AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN sy_a / n_a END) AS mpost0,
+               MAX(CASE WHEN arm = 1 THEN sy_a / n_a END) AS mpost1,
+               MAX(CASE WHEN arm = 0 THEN sx_a / n_a END) AS mpre0,
+               MAX(CASE WHEN arm = 1 THEN sx_a / n_a END) AS mpre1
+        FROM arms)
+    SELECT ROUND(t.th, 6) AS theta,
+           ROUND(w.mpost1 - w.mpost0, 6) AS lift_raw,
+           ROUND((w.mpost1 - t.th * (w.mpre1 - t.mx))
+               - (w.mpost0 - t.th * (w.mpre0 - t.mx)), 6) AS lift_cuped,
+           ROUND(t.var_post, 6) AS var_post,
+           ROUND(t.var_post - t.cov_xy * t.cov_xy / t.var_pre, 6) AS var_cuped,
+           ROUND(t.cov_xy * t.cov_xy / (t.var_pre * t.var_post), 6)
+               AS variance_reduction
+    FROM theta t CROSS JOIN wide w
+    """,
+)
+def ab_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013): variance-reduced experiment readout
+    using each user's pre-period activity as the control covariate.
+    theta = cov(pre, post)/var(pre); adjusted metric
+    post - theta*(pre - mean_pre); variance shrinks by exactly
+    rho^2 = cov^2/(var_pre*var_post) — reported in-query alongside the
+    raw and adjusted lifts (arms hash-assigned by user parity, same
+    convention as `ab_test_welch_ttest`).
+
+    Scale shape: one keyed aggregate to the per-user (pre, post) frame,
+    then ONE global decimal-moment aggregate (order-independent sums, so
+    theta is bit-stable under any partitioning) plus a 2-row arm
+    rollup. No per-user state survives the reduction — this is the
+    100 TB experimentation plan: the covariance adjustment costs one
+    extra pass over a frame that aggregation already built."""
+    e = table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+    def d12(col):
+        return F.sum(col.cast("decimal(38,12)")).cast("double")
+
+    per_user = e.groupBy("user_id").agg(
+        d12(F.when(F.col("ts") < split, F.col("value"))).alias("pre_raw"),
+        d12(F.when(F.col("ts") >= split, F.col("value"))).alias("post_raw"),
+    )
+    pp = per_user.select(
+        "user_id",
+        (F.col("user_id") % 2).alias("arm"),
+        F.coalesce("pre_raw", F.lit(0.0)).alias("pre"),
+        F.coalesce("post_raw", F.lit(0.0)).alias("post"),
+    )
+    mom = pp.agg(
+        F.count(F.lit(1)).alias("n"),
+        d12(F.col("pre")).alias("sx"),
+        d12(F.col("post")).alias("sy"),
+        d12(F.col("pre") * F.col("pre")).alias("sxx"),
+        d12(F.col("post") * F.col("post")).alias("syy"),
+        d12(F.col("pre") * F.col("post")).alias("sxy"),
+    )
+    c = F.col
+    theta = mom.select(
+        "n",
+        (c("sx") / c("n")).alias("mx"),
+        ((c("sxy") / c("n") - (c("sx") / c("n")) * (c("sy") / c("n")))
+         / (c("sxx") / c("n") - (c("sx") / c("n")) * (c("sx") / c("n")))).alias("th"),
+        (c("sxx") / c("n") - (c("sx") / c("n")) * (c("sx") / c("n"))).alias("var_pre"),
+        (c("syy") / c("n") - (c("sy") / c("n")) * (c("sy") / c("n"))).alias("var_post"),
+        (c("sxy") / c("n") - (c("sx") / c("n")) * (c("sy") / c("n"))).alias("cov_xy"),
+    )
+    arms = pp.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_a"),
+        d12(F.col("pre")).alias("sx_a"),
+        d12(F.col("post")).alias("sy_a"),
+    )
+    wide = arms.agg(
+        F.max(F.when(c("arm") == 0, c("sy_a") / c("n_a"))).alias("mpost0"),
+        F.max(F.when(c("arm") == 1, c("sy_a") / c("n_a"))).alias("mpost1"),
+        F.max(F.when(c("arm") == 0, c("sx_a") / c("n_a"))).alias("mpre0"),
+        F.max(F.when(c("arm") == 1, c("sx_a") / c("n_a"))).alias("mpre1"),
+    )
+    return theta.crossJoin(wide).select(
+        F.round("th", 6).alias("theta"),
+        F.round(c("mpost1") - c("mpost0"), 6).alias("lift_raw"),
+        F.round(
+            (c("mpost1") - c("th") * (c("mpre1") - c("mx")))
+            - (c("mpost0") - c("th") * (c("mpre0") - c("mx"))),
+            6,
+        ).alias("lift_cuped"),
+        F.round("var_post", 6).alias("var_post"),
+        F.round(c("var_post") - c("cov_xy") * c("cov_xy") / c("var_pre"), 6).alias("var_cuped"),
+        F.round(c("cov_xy") * c("cov_xy") / (c("var_pre") * c("var_post")), 6).alias(
+            "variance_reduction"
+        ),
+    )

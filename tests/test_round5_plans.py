@@ -480,3 +480,16 @@ def test_interval_islands_invariants(spark):
         assert 7 <= r["busy_days"] <= span
         # each island covers >= 7 days, so busy_days >= 7 * n_islands
         assert r["busy_days"] >= 7 * r["n_islands"]
+
+
+# --- CUPED: variance can only shrink, by exactly rho^2 -----------------------
+
+
+def test_cuped_variance_identity(spark):
+    row = built_query("ab_cuped_variance_reduction", spark).collect()[0]
+    assert 0.0 <= row["variance_reduction"] <= 1.0
+    assert row["var_cuped"] <= row["var_post"]
+    # var_cuped == var_post * (1 - rho^2), up to output rounding
+    assert abs(
+        row["var_cuped"] - row["var_post"] * (1 - row["variance_reduction"])
+    ) <= max(1e-3, row["var_post"] * 1e-5)
