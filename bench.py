@@ -195,6 +195,8 @@ HEADLINE = [
     "opt_agg_pushdown_eager",
     "ts_interval_islands_merge",
     "ab_cuped_variance_reduction",
+    "graph_clustering_coefficient",
+    "lm_stupid_backoff_trigram",
 ]
 
 

@@ -1060,3 +1060,132 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _RAKE_TOPK)
         .select("doc_id", "rk", "phrase", "rake_score")
     )
+
+
+_SB_ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007)
+
+
+@query(
+    "lm_stupid_backoff_trigram",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (
+        SELECT doc_id, i, w[i] AS w3, w[i-1] AS w2, w[i-2] AS w1
+        FROM w, unnest(generate_series(1, len(w))) AS t(i)),
+    uni AS (SELECT w3 AS g1, COUNT(*) AS c1 FROM tok GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS t FROM tok),
+    bi AS (SELECT w2 AS g1, w3 AS g2, COUNT(*) AS c2 FROM tok
+           WHERE i >= 2 GROUP BY 1, 2),
+    tri AS (SELECT w1 AS g1, w2 AS g2, w3 AS g3, COUNT(*) AS c3 FROM tok
+            WHERE i >= 3 GROUP BY 1, 2, 3),
+    scored AS (
+        SELECT k.doc_id,
+               CASE
+                 WHEN t3.c3 IS NOT NULL THEN LN(t3.c3 * 1.0 / b12.c2)
+                 WHEN b23.c2 IS NOT NULL
+                     THEN LN({_SB_ALPHA} * b23.c2 / u2.c1)
+                 ELSE LN({_SB_ALPHA} * {_SB_ALPHA} * u3.c1 / tot.t)
+               END AS lp
+        FROM tok k
+        CROSS JOIN tot
+        LEFT JOIN tri t3 ON t3.g1 = k.w1 AND t3.g2 = k.w2 AND t3.g3 = k.w3
+        LEFT JOIN bi b12 ON b12.g1 = k.w1 AND b12.g2 = k.w2
+        LEFT JOIN bi b23 ON b23.g1 = k.w2 AND b23.g2 = k.w3
+        LEFT JOIN uni u2 ON u2.g1 = k.w2
+        JOIN uni u3 ON u3.g1 = k.w3
+        WHERE k.i >= 3)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           ROUND(CAST(SUM(CAST(lp AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def lm_stupid_backoff_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff language-model scoring (Brants et al.
+    2007, the web-scale LM that dropped KN smoothing for a fixed 0.4
+    backoff because it's embarrassingly parallel): corpus n-gram counts
+    via three keyed aggregates, then every trigram position left-joins
+    its counts and backs off trigram -> bigram -> unigram. Per-doc
+    average log-score is the classic perplexity-style quality signal a
+    pretraining pipeline uses for corpus filtering.
+
+    Scale shape: counts and probe joins all shuffle on n-gram keys
+    (dictionary-encode to 64-bit hashes at 100 TB, as
+    `ngram_draft_acceptance_rate` does); the backoff CASE is evaluated
+    columnar-side; the per-doc reduce rides DECIMAL sums so summation
+    order can't move the score. Complements `lm_kneser_ney_bigrams`
+    (trained weights) with the scoring-side pass."""
+    d = table(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("w"))
+    tok = d.select(
+        "doc_id",
+        F.posexplode("w").alias("i0", "w3"),
+        F.col("w").alias("_w"),
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        "w3",
+        F.when(F.col("i0") >= 1, F.element_at("_w", F.col("i0"))).alias("w2"),
+        F.when(F.col("i0") >= 2, F.element_at("_w", F.col("i0") - 1)).alias("w1"),
+    ).transform(_persisted)
+    uni = tok.groupBy(F.col("w3").alias("g1")).agg(F.count(F.lit(1)).alias("c1"))
+    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+    bi = (
+        tok.filter(F.col("i") >= 2)
+        .groupBy(F.col("w2").alias("g1"), F.col("w3").alias("g2"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    tri = (
+        tok.filter(F.col("i") >= 3)
+        .groupBy(F.col("w1").alias("g1"), F.col("w2").alias("g2"), F.col("w3").alias("g3"))
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    k = tok.filter(F.col("i") >= 3).alias("k")
+    t3 = tri.alias("t3")
+    b12 = bi.alias("b12")
+    b23 = bi.alias("b23")
+    u2 = uni.alias("u2")
+    u3 = uni.alias("u3")
+    a = F.lit(_SB_ALPHA)
+    scored = (
+        k.crossJoin(F.broadcast(tot))
+        .join(
+            t3,
+            (F.col("t3.g1") == F.col("k.w1"))
+            & (F.col("t3.g2") == F.col("k.w2"))
+            & (F.col("t3.g3") == F.col("k.w3")),
+            "left",
+        )
+        .join(
+            b12,
+            (F.col("b12.g1") == F.col("k.w1")) & (F.col("b12.g2") == F.col("k.w2")),
+            "left",
+        )
+        .join(
+            b23,
+            (F.col("b23.g1") == F.col("k.w2")) & (F.col("b23.g2") == F.col("k.w3")),
+            "left",
+        )
+        .join(u2, F.col("u2.g1") == F.col("k.w2"), "left")
+        .join(u3, F.col("u3.g1") == F.col("k.w3"))
+        .select(
+            F.col("k.doc_id").alias("doc_id"),
+            F.when(
+                F.col("t3.c3").isNotNull(),
+                F.log(F.col("t3.c3") * 1.0 / F.col("b12.c2")),
+            )
+            .when(
+                F.col("b23.c2").isNotNull(),
+                F.log(a * F.col("b23.c2") / F.col("u2.c1")),
+            )
+            .otherwise(F.log(a * a * F.col("u3.c1") / F.col("t")))
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.round(
+            F.sum(F.col("lp").cast("decimal(38,12)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("avg_logprob"),
+    )

@@ -493,3 +493,37 @@ def test_cuped_variance_identity(spark):
     assert abs(
         row["var_cuped"] - row["var_post"] * (1 - row["variance_reduction"])
     ) <= max(1e-3, row["var_post"] * 1e-5)
+
+
+# --- clustering coefficient: bounded, consistent with triangle count ---------
+
+
+def test_clustering_coefficient_bounds(spark):
+    rows = built_query("graph_clustering_coefficient", spark).collect()
+    assert len(rows) == 25  # every nation reported
+    for r in rows:
+        assert 0.0 <= r["clustering_coeff"] <= 1.0
+        if r["degree"] < 2:
+            assert r["clustering_coeff"] == 0.0
+    tri = {
+        r["nation"]: r["n_triangles"]
+        for r in built_query("graph_triangle_count", spark).collect()
+    }
+    for r in rows:
+        assert r["n_triangles"] == tri[r["nation"]]
+
+
+# --- stupid backoff: self-scored corpus must have finite, negative scores ----
+
+
+def test_stupid_backoff_scores_negative_and_complete(spark):
+    rows = built_query("lm_stupid_backoff_trigram", spark).collect()
+    n_docs = (
+        table(spark, SF_DIR, "documents")
+        .filter(F.size(F.split("text", r"\s+")) >= 3)
+        .count()
+    )
+    assert len(rows) == n_docs  # every >=3-token doc scored
+    for r in rows:
+        assert r["avg_logprob"] < 0.0  # probabilities < 1
+        assert r["n_scored"] >= 1
