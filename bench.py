@@ -197,6 +197,8 @@ HEADLINE = [
     "ab_cuped_variance_reduction",
     "graph_clustering_coefficient",
     "lm_stupid_backoff_trigram",
+    "window_alert_hysteresis",
+    "sql_session_variables",
 ]
 
 

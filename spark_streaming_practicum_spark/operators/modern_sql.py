@@ -718,3 +718,43 @@ def sql_collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_above_threshold
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables (DECLARE / SET VAR): the threshold
+    and date cutoff live in typed session variables referenced by the
+    query text — the parameterization mechanism that replaces string
+    interpolation for dashboard/report SQL (injection-safe, typed,
+    Catalyst sees constants and still folds/pushes them down).
+
+    The variable references resolve at analysis time, so the plan is
+    IDENTICAL to literal SQL — predicate pushdown into the scan
+    included. The oracle inlines the same constants."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_threshold DOUBLE")
+    spark.sql("SET VAR price_threshold = 150000.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE date_cutoff TIMESTAMP")
+    spark.sql("SET VAR date_cutoff = TIMESTAMP '1996-01-01 00:00:00'")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_totalprice > price_threshold THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_above_threshold
+        FROM orders
+        WHERE o_orderdate >= date_cutoff
+        GROUP BY o_orderpriority
+        """
+    )

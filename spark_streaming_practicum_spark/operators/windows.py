@@ -370,3 +370,55 @@ def window_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("n_types_so_far", F.sum("is_first").over(w_run).cast("bigint"))
         .select("event_id", "user_id", "event_type", "n_types_so_far")
     )
+
+
+_HYST_HI, _HYST_LO = 80.0, 30.0  # alert above hi, clear below lo
+
+
+@query(
+    "window_alert_hysteresis",
+    oracle=f"""
+    WITH sig AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN value > {_HYST_HI} THEN 1
+                    WHEN value < {_HYST_LO} THEN 0 END AS edge
+        FROM events),
+    st AS (
+        SELECT user_id, event_id, value,
+               COALESCE(LAST_VALUE(edge IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS UNBOUNDED PRECEDING), 0) AS alert_state
+        FROM sig)
+    SELECT user_id, event_id, value, CAST(alert_state AS INT) AS alert_state
+    FROM st
+    """,
+)
+def window_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold hysteresis alerting (alert latches on value > 80,
+    clears only below 30 — the debounce pattern every monitoring system
+    uses so values oscillating inside the band don't flap).
+
+    Looks like a sequential state machine, but the latch state is just
+    the LAST CROSSING SEEN: rows inside the band emit NULL, crossings
+    emit 0/1, and `last_value(..., ignoreNulls)` over the ordered
+    user timeline replays the machine exactly — one user-keyed window,
+    no UDF, no iteration, and the identical plan runs as a streaming
+    aggregation over a watermark. The edge CASE has no ELSE, so the
+    band's NULLs are what the window skips."""
+    e = table(spark, sf_dir, "events")
+    edge = F.when(F.col("value") > _HYST_HI, F.lit(1)).when(
+        F.col("value") < _HYST_LO, F.lit(0)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.coalesce(
+            F.last(edge, ignorenulls=True).over(w), F.lit(0)
+        ).cast("int").alias("alert_state"),
+    )

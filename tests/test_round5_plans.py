@@ -527,3 +527,37 @@ def test_stupid_backoff_scores_negative_and_complete(spark):
     for r in rows:
         assert r["avg_logprob"] < 0.0  # probabilities < 1
         assert r["n_scored"] >= 1
+
+
+# --- hysteresis: latch semantics replayed correctly --------------------------
+
+
+def test_hysteresis_matches_sequential_replay(spark):
+    rows = built_query("window_alert_hysteresis", spark).collect()
+    ev = sorted(
+        table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    got = {(r["user_id"], r["event_id"]): r["alert_state"] for r in rows}
+    state, cur_user = 0, None
+    for r in ev:
+        if r["user_id"] != cur_user:
+            cur_user, state = r["user_id"], 0
+        if r["value"] > 80.0:
+            state = 1
+        elif r["value"] < 30.0:
+            state = 0
+        assert got[(r["user_id"], r["event_id"])] == state
+
+
+# --- session variables: plan folds the variable into the scan ----------------
+
+
+def test_session_variables_pushdown(spark):
+    df = built_query("sql_session_variables", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # the date_cutoff variable must fold to a pushable literal filter
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:300]
