@@ -85,6 +85,7 @@ _NEWEST_FIRST = [
     "lm_stupid_backoff_trigram",
     "window_alert_hysteresis",
     "sql_session_variables",
+    "stream_tws_alert_hysteresis",
     # never-driver-sampled rotation, tranche 1 (ingest -> scalar ->
     # set -> window -> join): with the 33 rows above (redemption + 3
     # changed + 29 new), the driver's 50-sample reaches 17 of these —

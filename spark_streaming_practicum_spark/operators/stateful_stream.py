@@ -101,6 +101,32 @@ def _register_tws() -> None:
         """,
     )(stream_tws_list_state_topvals)
     query(
+        "stream_tws_alert_hysteresis",
+        oracle="""
+        WITH sig AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN value > 80.0 THEN 1
+                        WHEN value < 30.0 THEN 0 END AS edge
+            FROM events),
+        st AS (
+            SELECT user_id, ts, event_id,
+                   COALESCE(LAST_VALUE(edge IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING), 0) AS alert_state
+            FROM sig)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_seen,
+               CAST(MAX(CASE WHEN rn = 1 THEN alert_state END) AS BIGINT)
+                   AS alert_state,
+               CAST(SUM(alert_state) AS BIGINT) AS n_alert_events
+        FROM (SELECT user_id, alert_state,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM st)
+        GROUP BY user_id
+        """,
+    )(stream_tws_alert_hysteresis)
+    query(
         "stream_tws_initial_state_counts",
         oracle="""
         SELECT user_id, COUNT(*) AS n_events
@@ -258,5 +284,26 @@ def stream_tws_initial_state_counts(spark: SparkSession, sf_dir: str) -> DataFra
         .select("user_id", "n_events")
     )
 
+
+
+
+def stream_tws_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of `window_alert_hysteresis`
+    (operators/windows.py): the two-threshold latch held in a typed
+    ValueState via transformWithStateInPandas, proving the batch window
+    rewrite and the streaming state machine compute the SAME answer —
+    final latch state, events seen, and events spent alerting per user,
+    oracled against the batch last_value(ignore nulls) SQL. Update-mode
+    re-emissions collapse to each user's max events-seen row (monotone
+    in stream time)."""
+    from ..streaming.tws_processor import running_hysteresis
+
+    emitted = _run_tws(spark, sf_dir, running_hysteresis)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_seen", "alert_state", "n_alert_events")
+    )
 
 _register_tws()

@@ -269,3 +269,66 @@ def warm_start_event_counts(events_stream: DataFrame, initial_state) -> DataFram
             initialState=initial_state,
         )
     )
+
+
+HYST_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("n_seen", LongType(), True),
+        StructField("alert_state", LongType(), True),
+        StructField("n_alert_events", LongType(), True),
+    ]
+)
+
+HYST_HI, HYST_LO = 80.0, 30.0  # must match operators/windows.py thresholds
+
+
+class HysteresisLatch(StatefulProcessor):
+    """Two-threshold alert latch as TRUE streaming state: ValueState
+    holds (latch, events-seen, events-while-alerting). Rows inside a
+    chunk are folded in (ts, event_id) order so the stream replays the
+    exact machine the batch window computes — the batch/stream parity
+    this operator exists to demonstrate."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._st = handle.getValueState(
+            "latch", "state bigint, n_seen bigint, n_alert bigint"
+        )
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        state, n_seen, n_alert = (
+            self._st.get() if self._st.exists() else (0, 0, 0)
+        )
+        chunk = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+        for v in chunk["value"].to_numpy():
+            if v > HYST_HI:
+                state = 1
+            elif v < HYST_LO:
+                state = 0
+            n_seen += 1
+            n_alert += state
+        self._st.update((state, n_seen, n_alert))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [n_seen],
+                "alert_state": [state],
+                "n_alert_events": [n_alert],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_hysteresis(events_stream: DataFrame) -> DataFrame:
+    return (
+        events_stream.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=HysteresisLatch(),
+            outputStructType=HYST_OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )

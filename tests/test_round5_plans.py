@@ -561,3 +561,33 @@ def test_session_variables_pushdown(spark):
     plan = plan.split("== Initial Plan ==")[0]
     # the date_cutoff variable must fold to a pushable literal filter
     assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:300]
+
+
+# --- hysteresis: the streaming latch must equal the batch window rewrite -----
+
+
+def test_hysteresis_batch_stream_parity(spark):
+    ev = {
+        (r["user_id"], r["event_id"]): r
+        for r in table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "ts")
+        .collect()
+    }
+    batch = built_query("window_alert_hysteresis", spark).collect()
+    per_user = {}
+    for r in batch:
+        key = (r["user_id"], r["event_id"])
+        per_user.setdefault(r["user_id"], []).append(
+            (ev[key]["ts"], r["event_id"], r["alert_state"])
+        )
+    expected = set()
+    for uid, rows in per_user.items():
+        rows.sort()
+        expected.add(
+            (uid, len(rows), rows[-1][2], sum(st for _, _, st in rows))
+        )
+    got = {
+        (r["user_id"], r["n_seen"], r["alert_state"], r["n_alert_events"])
+        for r in built_query("stream_tws_alert_hysteresis", spark).collect()
+    }
+    assert got == expected
