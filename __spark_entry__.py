@@ -86,6 +86,12 @@ _NEWEST_FIRST = [
     "window_alert_hysteresis",
     "sql_session_variables",
     "stream_tws_alert_hysteresis",
+    "wilcoxon_signed_rank",
+    "levene_brown_forsythe",
+    "friedman_rank_test",
+    "cronbach_alpha_reliability",
+    "ts_ljung_box_portmanteau",
+    "ts_max_drawdown",
     # never-driver-sampled rotation, tranche 1 (ingest -> scalar ->
     # set -> window -> join): with the 33 rows above (redemption + 3
     # changed + 29 new), the driver's 50-sample reaches 17 of these —

@@ -4624,3 +4624,310 @@ def ab_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variance_reduction"
         ),
     )
+
+
+@query(
+    "wilcoxon_signed_rank",
+    oracle="""
+    WITH pm AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view'  THEN value END) AS a,
+               MAX(CASE WHEN event_type = 'click' THEN value END) AS b
+        FROM events GROUP BY user_id),
+    d AS (SELECT a - b AS d, ABS(a - b) AS ad FROM pm
+          WHERE a IS NOT NULL AND b IS NOT NULL AND a <> b),
+    g AS (SELECT ad, COUNT(*) AS c,
+                 SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS p
+          FROM d GROUP BY ad),
+    cum AS (SELECT ad, c, p, SUM(c) OVER (ORDER BY ad) - c AS l FROM g),
+    s AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(SUM(p * (2 * l + c + 1)) AS DOUBLE) AS w2,
+                 CAST(SUM(c * c * c - c) AS DOUBLE) AS t
+          FROM cum)
+    SELECT n AS n_pairs,
+           w2 / 2 AS w_plus,
+           ROUND((w2 / 2 - n * (n + 1.0) / 4)
+                 / SQRT(n * (n + 1.0) * (2 * n + 1) / 24 - t / 48), 6) AS z_stat
+    FROM s
+    """,
+)
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired Wilcoxon signed-rank test: per user, the max 'view' value
+    vs the max 'click' value (MAX keeps the pair exact doubles — an
+    AVG pairing would make |d| ties summation-order-dependent), zero
+    differences dropped, normal approximation with the tie-corrected
+    variance n(n+1)(2n+1)/24 - sum(t^3-t)/48.
+
+    The rank machinery never materializes per-row ranks: grouping by
+    the distinct |d| value gives (count c_v, positives p_v), a
+    range-partitioned prefix sum (functions/ranks.py, no
+    single-partition window) gives L_v = #strictly-smaller, and the
+    average-rank identity makes 2*W+ = sum p_v*(2L_v + c_v + 1) — an
+    integer, so both engines agree bit-for-bit before the one final
+    division. At 100 TB the shuffle keys are user_id then |d|; driver
+    state is P partial sums."""
+    from ..functions.ranks import global_cumulative_sums
+
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    pm = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", F.col("value"))).alias("a"),
+        F.max(F.when(F.col("event_type") == "click", F.col("value"))).alias("b"),
+    )
+    d = pm.filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+    ).select(
+        (F.col("a") - F.col("b")).alias("d"),
+        F.abs(F.col("a") - F.col("b")).alias("ad"),
+    )
+    g = d.groupBy("ad").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("p"),
+    )
+    cum = global_cumulative_sums(g, [F.col("ad").asc()], ["c"])
+    s = cum.select(
+        "c",
+        "p",
+        (F.col("cum_c") - F.col("c")).alias("l"),
+    ).agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("p") * (2 * F.col("l") + F.col("c") + 1)).cast("double").alias("w2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).cast("double").alias("t"),
+    )
+    n, w2, t = F.col("n"), F.col("w2"), F.col("t")
+    return s.select(
+        n.alias("n_pairs"),
+        (w2 / 2).alias("w_plus"),
+        F.round(
+            (w2 / 2 - n * (n + 1.0) / 4)
+            / F.sqrt(n * (n + 1.0) * (2 * n + 1) / 24 - t / 48),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+@query(
+    "levene_brown_forsythe",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type),
+    z AS (
+        SELECT e.event_type, ABS(e.value - m.med) AS z
+        FROM events e JOIN med m ON m.event_type = e.event_type),
+    grp AS (
+        SELECT event_type, COUNT(*) AS n_g,
+               CAST(SUM(CAST(z AS DECIMAL(38,12))) AS DOUBLE) AS sz,
+               CAST(SUM(CAST(z * z AS DECIMAL(38,12))) AS DOUBLE) AS szz
+        FROM z GROUP BY event_type),
+    tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n, COUNT(*) AS k,
+               SUM(sz) AS sz_all,
+               SUM(szz - sz * sz / n_g) AS within,
+               SUM(n_g * (sz / n_g) * (sz / n_g)) AS nzb2
+        FROM grp)
+    SELECT n AS n_total, CAST(k AS BIGINT) AS k_groups,
+           ROUND(((n - k) * (nzb2 - sz_all * sz_all / n))
+                 / ((k - 1) * within), 6) AS w_stat
+    FROM tot
+    """,
+)
+def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across event types
+    (Levene's W on deviations from the GROUP MEDIAN, the
+    robust-to-skew variant): W = ((N-k)/(k-1)) * between / within on
+    z = |x - median_g|.
+
+    Two passes, both group-keyed aggregates: exact interpolated group
+    medians (percentile/quantile_cont agree engine-to-engine on
+    doubles), then decimal-accumulated sum(z), sum(z^2) per group so
+    the moments are summation-order-independent; the between term
+    collapses via sum n_g*zbar_g^2 - (sum z)^2/N, so no second join
+    against group means is needed. Nothing here is wider than k rows
+    after the scan — the 100 TB cost is one shuffle on event_type."""
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    z = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+    )
+    grp = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        dsum("z", 12).alias("sz"),
+        dsum(F.col("z") * F.col("z"), 12).alias("szz"),
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("sz").alias("sz_all"),
+        F.sum(F.col("szz") - F.col("sz") * F.col("sz") / F.col("n_g")).alias("within"),
+        F.sum(F.col("n_g") * (F.col("sz") / F.col("n_g")) * (F.col("sz") / F.col("n_g"))).alias(
+            "nzb2"
+        ),
+    )
+    n, k = F.col("n"), F.col("k")
+    return tot.select(
+        n.alias("n_total"),
+        k.alias("k_groups"),
+        F.round(
+            ((n - k) * (F.col("nzb2") - F.col("sz_all") * F.col("sz_all") / n))
+            / ((k - 1) * F.col("within")),
+            6,
+        ).alias("w_stat"),
+    )
+
+
+@query(
+    "friedman_rank_test",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, event_type, COUNT(*) AS x
+        FROM events GROUP BY user_id, event_type),
+    kk AS (SELECT COUNT(DISTINCT event_type) AS k FROM events),
+    full_u AS (
+        SELECT user_id FROM x GROUP BY user_id
+        HAVING COUNT(*) = (SELECT k FROM kk)),
+    r AS (
+        SELECT x.event_type,
+               2 * RANK() OVER (PARTITION BY x.user_id ORDER BY x.x)
+                 + COUNT(*) OVER (PARTITION BY x.user_id, x.x) - 1 AS t
+        FROM x JOIN full_u USING (user_id)),
+    s1 AS (SELECT event_type, SUM(t) AS r2, SUM(t * t) AS a4j,
+                  COUNT(*) AS nb
+           FROM r GROUP BY event_type),
+    nn AS (SELECT MIN(nb) AS n, COUNT(*) AS k, SUM(a4j) AS a4 FROM s1),
+    s AS (SELECT SUM((s1.r2 - nn.n * (nn.k + 1))
+                     * (s1.r2 - nn.n * (nn.k + 1))) AS sq
+          FROM s1, nn)
+    SELECT CAST(nn.n AS BIGINT) AS n_blocks,
+           CAST(nn.k AS BIGINT) AS k_treatments,
+           ROUND((nn.k - 1) * CAST(s.sq AS DOUBLE)
+                 / (CAST(nn.a4 AS DOUBLE)
+                    - CAST(nn.n * nn.k * (nn.k + 1) * (nn.k + 1) AS DOUBLE)),
+                 6) AS q_stat
+    FROM nn, s
+    """,
+)
+def friedman_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test for k related samples: blocks = users,
+    treatments = event types, response = per-(user,type) event count;
+    only complete blocks (users seen under every treatment) enter,
+    ranks are averaged over ties via the doubled-rank identity
+    2r = 2*RANK + |ties| - 1 so every intermediate is an INTEGER, and
+    the tie-corrected statistic Q = (k-1)*S / (A - nk(k+1)^2) divides
+    exactly once at the end — both engines agree bit-for-bit.
+
+    Scale shape: the rank window is PARTITIONED BY user (frame size =
+    k rows, never global); everything after is a k-row aggregate. One
+    shuffle on user_id, one on event_type."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type")
+    x = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("x"))
+    kk = e.agg(F.countDistinct("event_type").alias("k"))
+    full_u = (
+        x.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .join(F.broadcast(kk), F.col("nt") == F.col("k"))
+        .select("user_id")
+    )
+    wr = Window.partitionBy("user_id").orderBy("x")
+    wt = Window.partitionBy("user_id", "x")
+    r = (
+        x.join(full_u, "user_id")
+        .withColumn("t", 2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1)
+        .select("event_type", "t")
+    )
+    s1 = r.groupBy("event_type").agg(
+        F.sum("t").alias("r2"),
+        F.sum(F.col("t") * F.col("t")).alias("a4j"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    nn = s1.agg(
+        F.min("nb").alias("n"), F.count(F.lit(1)).alias("k"), F.sum("a4j").alias("a4")
+    )
+    s = (
+        s1.crossJoin(F.broadcast(nn))
+        .select(
+            ((F.col("r2") - F.col("n") * (F.col("k") + 1))
+             * (F.col("r2") - F.col("n") * (F.col("k") + 1))).alias("sq1")
+        )
+        .agg(F.sum("sq1").alias("sq"))
+    )
+    out = nn.crossJoin(F.broadcast(s))
+    n, k = F.col("n"), F.col("k")
+    return out.select(
+        n.cast("bigint").alias("n_blocks"),
+        k.cast("bigint").alias("k_treatments"),
+        F.round(
+            (k - 1) * F.col("sq").cast("double")
+            / (F.col("a4").cast("double") - (n * k * (k + 1) * (k + 1)).cast("double")),
+            6,
+        ).alias("q_stat"),
+    )
+
+
+@query(
+    "cronbach_alpha_reliability",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, event_type, COUNT(*) AS x
+        FROM events GROUP BY user_id, event_type),
+    nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+    items AS (
+        SELECT event_type, SUM(x) AS sx, SUM(x * x) AS sxx
+        FROM x GROUP BY event_type),
+    inum AS (SELECT COUNT(*) AS k,
+                    SUM(nu.n * sxx - sx * sx) AS num
+             FROM items, nu GROUP BY ALL),
+    tot AS (SELECT user_id, SUM(x) AS tu FROM x GROUP BY user_id),
+    den AS (SELECT nu.n AS n, nu.n * SUM(tu * tu) - SUM(tu) * SUM(tu) AS den
+            FROM tot, nu GROUP BY nu.n)
+    SELECT CAST(den.n AS BIGINT) AS n_users,
+           CAST(inum.k AS BIGINT) AS k_items,
+           ROUND(inum.k * 1.0 / (inum.k - 1)
+                 * (1 - CAST(inum.num AS DOUBLE) / CAST(den.den AS DOUBLE)),
+                 6) AS alpha
+    FROM inum, den
+    """,
+)
+def cronbach_alpha_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the user x event-type engagement matrix
+    (items = event types, score = per-user event count, absent
+    combinations implicitly zero): alpha = k/(k-1) * (1 - sum(var_i)/
+    var(total)). Both variance sums are expanded to the integer
+    identity n*sum(x^2) - (sum x)^2 — zero-filled cells contribute
+    nothing to either moment, so no dense matrix is ever built, and
+    the single final division is the only float op.
+
+    One shuffle on (user,type), then k-row and user-count aggregates;
+    driver state is two scalar rows."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type")
+    x = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("x"))
+    nu = e.agg(F.countDistinct("user_id").alias("n"))
+    items = x.groupBy("event_type").agg(
+        F.sum("x").alias("sx"), F.sum(F.col("x") * F.col("x")).alias("sxx")
+    )
+    inum = (
+        items.crossJoin(F.broadcast(nu))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("num"),
+        )
+    )
+    tot = x.groupBy("user_id").agg(F.sum("x").alias("tu"))
+    den = (
+        tot.crossJoin(F.broadcast(nu))
+        .groupBy("n")
+        .agg(
+            (F.col("n") * F.sum(F.col("tu") * F.col("tu")) - F.sum("tu") * F.sum("tu")).alias(
+                "den"
+            )
+        )
+    )
+    out = inum.crossJoin(F.broadcast(den))
+    return out.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("k").cast("bigint").alias("k_items"),
+        F.round(
+            F.col("k") * F.lit(1.0) / (F.col("k") - 1)
+            * (1 - F.col("num").cast("double") / F.col("den").cast("double")),
+            6,
+        ).alias("alpha"),
+    )

@@ -1078,3 +1078,170 @@ def ts_interval_islands_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_intervals").cast("bigint").alias("max_intervals_in_island"),
         F.sum(F.datediff("island_end", "island_start")).cast("bigint").alias("busy_days"),
     )
+
+
+_LB_MAX_LAG = 10
+
+
+@query(
+    "ts_ljung_box_portmanteau",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS x
+        FROM events GROUP BY day),
+    base AS (
+        SELECT COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS sxx FROM daily),
+    lagged AS (
+        SELECT g.lag AS lag_k, d.x AS xt, p.x AS xp
+        FROM daily d, unnest(generate_series(1, {_LB_MAX_LAG})) AS g(lag)
+        JOIN daily p ON p.day + to_days(CAST(g.lag AS INT)) = d.day),
+    cov AS (
+        SELECT lag_k, SUM(xt * xp) AS sxy, SUM(xt + xp) AS sboth,
+               COUNT(*) AS np
+        FROM lagged GROUP BY lag_k),
+    rk AS (
+        SELECT lag_k,
+               CAST(b.n * b.n * c.sxy - b.n * b.s * c.sboth
+                    + (b.n - lag_k) * b.s * b.s AS DOUBLE)
+               / CAST(b.n * b.n * b.sxx - b.n * b.s * b.s AS DOUBLE) AS r,
+               b.n AS n
+        FROM cov c, base b),
+    q AS (
+        SELECT lag_k, r, n,
+               n * (n + 2.0)
+               * SUM(r * r / (n - lag_k)) OVER (ORDER BY lag_k) AS q_stat
+        FROM rk)
+    SELECT lag_k, ROUND(r, 6) AS acf, ROUND(q_stat, 6) AS q_stat
+    FROM q ORDER BY lag_k
+    """,
+)
+def ts_ljung_box_portmanteau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily event-volume series:
+    autocorrelations r_k at lags 1..10 (autocovariance about the FULL-
+    series mean over the calendar-aligned pairs, normalized by the
+    lag-0 sum of squares — the textbook estimator, not per-lag
+    Pearson) and the cumulative Q_m = n(n+2) sum r_k^2/(n-k), the
+    white-noise test a forecasting pipeline runs on its residuals.
+
+    Exactness: with mu = S/n rational, every covariance term is scaled
+    by n^2 into the integer identity n^2*sum(xt*xp) - n*S*sum(xt+xp) +
+    (n-k)*S^2, so both engines divide identical integers exactly once
+    per lag (sums ride BIGINT/DECIMAL(38,0), never floats). Plan: the
+    corpus collapses to one row per day in one aggregate; the lag
+    explode and calendar self-join touch only that ~day-count frame,
+    so cost is one scan + day-sized joins at any corpus scale."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    base = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    lags = daily.select(
+        "day", F.col("x").alias("xt"),
+        F.explode(F.sequence(F.lit(1), F.lit(_LB_MAX_LAG))).alias("lag_k"),
+    )
+    shifted = daily.select(F.col("day").alias("prev_day"), F.col("x").alias("xp"))
+    lagged = lags.join(
+        shifted,
+        F.date_add(F.col("prev_day"), F.col("lag_k")) == F.col("day"),
+        "inner",
+    )
+    cov = lagged.groupBy("lag_k").agg(
+        F.sum(F.col("xt") * F.col("xp")).alias("sxy"),
+        F.sum(F.col("xt") + F.col("xp")).alias("sboth"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — 20x-proof integer space
+    rk = cov.crossJoin(F.broadcast(base)).select(
+        "lag_k",
+        "n",
+        (
+            (dec(F.col("n") * F.col("n")) * dec(F.col("sxy"))
+             - dec(F.col("n")) * dec(F.col("s")) * dec(F.col("sboth"))
+             + dec(F.col("n") - F.col("lag_k")) * dec(F.col("s")) * dec(F.col("s"))
+             ).cast("double")
+            / (dec(F.col("n") * F.col("n")) * dec(F.col("sxx"))
+               - dec(F.col("n")) * dec(F.col("s")) * dec(F.col("s"))).cast("double")
+        ).alias("r"),
+    )
+    wq = Window.orderBy("lag_k").rowsBetween(Window.unboundedPreceding, 0)
+    q = rk.withColumn(
+        "q_stat",
+        F.col("n") * (F.col("n") + 2.0)
+        * F.sum(F.col("r") * F.col("r") / (F.col("n") - F.col("lag_k"))).over(wq),
+    )
+    return q.select(
+        "lag_k", F.round("r", 6).alias("acf"), F.round("q_stat", 6).alias("q_stat")
+    ).orderBy("lag_k")
+
+
+@query(
+    "ts_max_drawdown",
+    oracle=f"""
+    WITH daily AS (
+        SELECT c.c_mktsegment AS segment, CAST(o.o_orderdate AS DATE) AS day,
+               {dsum_sql('o.o_totalprice')} AS rev
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2),
+    dd AS (
+        SELECT segment, day, rev,
+               MAX(rev) OVER (PARTITION BY segment ORDER BY day) AS peak
+        FROM daily),
+    scored AS (
+        SELECT segment, day, rev, peak, (peak - rev) / peak AS draw,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY (peak - rev) / peak DESC, day) AS rk
+        FROM dd)
+    SELECT segment, day AS trough_day,
+           ROUND(peak, 2) AS peak_rev, ROUND(rev, 2) AS trough_rev,
+           ROUND(draw, 6) AS max_drawdown
+    FROM scored WHERE rk = 1 ORDER BY segment
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily revenue series per market
+    segment: running peak via an unbounded-preceding MAX window,
+    drawdown = (peak - rev)/peak, and the per-segment worst day picked
+    by a rank-1 filter (ties broken earliest day). The risk metric
+    every revenue/price monitor wants, computed with zero self-joins.
+
+    Exactness: daily revenue is a decimal-accumulated sum surfaced as
+    double, so the running MAX compares identical doubles in both
+    engines and the division is deterministic. Plan: orders collapse
+    to (segment, day) rows in one aggregate; the windows partition by
+    segment over day-count frames — the shuffle key is segment and
+    nothing row-scale flows past the first aggregate."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    wpeak = (
+        Window.partitionBy("segment").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = daily.withColumn("peak", F.max("rev").over(wpeak)).withColumn(
+        "draw", (F.col("peak") - F.col("rev")) / F.col("peak")
+    )
+    wrk = Window.partitionBy("segment").orderBy(F.col("draw").desc(), F.col("day").asc())
+    return (
+        dd.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "segment",
+            F.col("day").alias("trough_day"),
+            F.round("peak", 2).alias("peak_rev"),
+            F.round("rev", 2).alias("trough_rev"),
+            F.round("draw", 6).alias("max_drawdown"),
+        )
+        .orderBy("segment")
+    )
