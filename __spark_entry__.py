@@ -92,6 +92,9 @@ _NEWEST_FIRST = [
     "cronbach_alpha_reliability",
     "ts_ljung_box_portmanteau",
     "ts_max_drawdown",
+    "retrieval_wand_prune_certificate",
+    "graph_adamic_adar_link_pred",
+    "opt_hilbert_vs_zorder_locality",
     # never-driver-sampled rotation, tranche 1 (ingest -> scalar ->
     # set -> window -> join): with the 33 rows above (redemption + 3
     # changed + 29 new), the driver's 50-sample reaches 17 of these —

@@ -776,3 +776,139 @@ def retrieval_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("query_id", "rank")
     )
+
+
+_WAND_K = 20
+
+
+@query(
+    "retrieval_wand_prune_certificate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl,
+               CAST(SUM(CASE WHEN token = '{_TERMS[0]}' THEN 1 ELSE 0 END) AS DOUBLE) AS tf_0,
+               CAST(SUM(CASE WHEN token = '{_TERMS[1]}' THEN 1 ELSE 0 END) AS DOUBLE) AS tf_1,
+               CAST(SUM(CASE WHEN token = '{_TERMS[2]}' THEN 1 ELSE 0 END) AS DOUBLE) AS tf_2
+        FROM tok GROUP BY doc_id),
+    consts AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+               CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+               CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+               CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+        FROM per_doc),
+    scored AS (
+        SELECT p.doc_id,
+               LN((c.n - c.df_0 + 0.5) / (c.df_0 + 0.5) + 1.0) * p.tf_0 * ({_K1} + 1.0)
+                   / (p.tf_0 + {_K1} * (1.0 - {_B} + {_B} * p.dl / c.avgdl)) AS c0,
+               LN((c.n - c.df_1 + 0.5) / (c.df_1 + 0.5) + 1.0) * p.tf_1 * ({_K1} + 1.0)
+                   / (p.tf_1 + {_K1} * (1.0 - {_B} + {_B} * p.dl / c.avgdl)) AS c1,
+               LN((c.n - c.df_2 + 0.5) / (c.df_2 + 0.5) + 1.0) * p.tf_2 * ({_K1} + 1.0)
+                   / (p.tf_2 + {_K1} * (1.0 - {_B} + {_B} * p.dl / c.avgdl)) AS c2,
+               p.tf_0, p.tf_1, p.tf_2
+        FROM per_doc p CROSS JOIN consts c
+        WHERE p.tf_0 + p.tf_1 + p.tf_2 > 0),
+    tot AS (SELECT doc_id, c0 + c1 + c2 AS score, tf_0, tf_1, tf_2 FROM scored),
+    ub AS (SELECT MAX(c0) AS ub_0, MAX(c1) AS ub_1, MAX(c2) AS ub_2 FROM scored),
+    theta AS (
+        SELECT MIN(score) AS theta FROM (
+            SELECT score FROM tot ORDER BY score DESC, doc_id ASC LIMIT {_WAND_K})),
+    audit AS (
+        SELECT t.doc_id, t.score,
+               (CASE WHEN t.tf_0 > 0 THEN u.ub_0 ELSE 0 END
+                + CASE WHEN t.tf_1 > 0 THEN u.ub_1 ELSE 0 END
+                + CASE WHEN t.tf_2 > 0 THEN u.ub_2 ELSE 0 END) AS ub_sum,
+               th.theta,
+               ROW_NUMBER() OVER (ORDER BY t.score DESC, t.doc_id ASC) AS rk
+        FROM tot t, ub u, theta th)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matching,
+           ROUND(MAX(theta), 6) AS theta,
+           CAST(SUM(CASE WHEN ub_sum < theta THEN 1 ELSE 0 END) AS BIGINT) AS n_prunable,
+           ROUND(SUM(CASE WHEN ub_sum < theta THEN 1.0 ELSE 0 END) / COUNT(*), 6)
+               AS prune_fraction,
+           CAST(SUM(CASE WHEN ub_sum < theta AND rk <= {_WAND_K} THEN 1 ELSE 0 END)
+               AS BIGINT) AS pruned_topk_overlap
+    FROM audit
+    """,
+)
+def retrieval_wand_prune_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAND (Broder et al. 2003) max-score pruning audit for the BM25
+    query: each term's upper bound UB_t = max per-doc contribution of
+    t; a candidate whose matched-term UB sum falls below the top-k
+    threshold theta can be skipped WITHOUT full scoring. The query
+    computes both legs — the bound and the exact ranking — and
+    certifies in-query that no prunable document reaches the true
+    top-k (`pruned_topk_overlap` must be 0, since ub_sum >= score by
+    construction), plus the fraction of the posting volume the bound
+    would skip.
+
+    Scale shape: identical to text_bm25_topk's one-scan conditional
+    aggregation; the three extra frames (UB row, theta row) are global
+    aggregates over the per-doc frame that Catalyst feeds from a
+    ReusedExchange, and each is a 1-row broadcast into the audit
+    projection. The global ROW_NUMBER runs on candidates matching >= 1
+    query term (df-bounded, not corpus-bounded); at 100 TB the exact
+    leg is the thing WAND avoids — here it's the certificate's ground
+    truth, same pattern as the dedup family's bounded certificates."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl"),
+        *[
+            F.sum((F.col("token") == t).cast("double")).alias(f"tf_{i}")
+            for i, t in enumerate(_TERMS)
+        ],
+    )
+    consts = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+            for i in range(len(_TERMS))
+        ],
+    )
+    matched = per_doc.filter(
+        sum([F.col(f"tf_{i}") for i in range(1, len(_TERMS))], F.col("tf_0")) > 0
+    )
+    scored = matched.crossJoin(F.broadcast(consts))
+    for i in range(len(_TERMS)):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log((F.col("n") - df + 0.5) / (df + 0.5) + 1.0)
+        denom = tf + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+        scored = scored.withColumn(f"c_{i}", idf * tf * (_K1 + 1.0) / denom)
+    scored = scored.withColumn(
+        "score", F.col("c_0") + F.col("c_1") + F.col("c_2")
+    ).select("doc_id", "score", "tf_0", "tf_1", "tf_2", "c_0", "c_1", "c_2")
+    ub = scored.agg(
+        *[F.max(f"c_{i}").alias(f"ub_{i}") for i in range(len(_TERMS))]
+    )
+    theta = (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_WAND_K)
+        .agg(F.min("score").alias("theta"))
+    )
+    from ..functions.ranks import global_row_number
+
+    ranked, _n = global_row_number(
+        scored, [F.col("score").desc(), F.col("doc_id").asc()], "rk"
+    )
+    audit = ranked.crossJoin(F.broadcast(ub)).crossJoin(F.broadcast(theta)).withColumn(
+        "ub_sum",
+        F.when(F.col("tf_0") > 0, F.col("ub_0")).otherwise(F.lit(0.0))
+        + F.when(F.col("tf_1") > 0, F.col("ub_1")).otherwise(F.lit(0.0))
+        + F.when(F.col("tf_2") > 0, F.col("ub_2")).otherwise(F.lit(0.0)),
+    )
+    prunable = (F.col("ub_sum") < F.col("theta")).cast("int")
+    return audit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matching"),
+        F.round(F.max("theta"), 6).alias("theta"),
+        F.sum(prunable).cast("bigint").alias("n_prunable"),
+        F.round(F.sum(prunable.cast("double")) / F.count(F.lit(1)), 6).alias(
+            "prune_fraction"
+        ),
+        F.sum(
+            (prunable.cast("boolean") & (F.col("rk") <= _WAND_K)).cast("int")
+        ).cast("bigint").alias("pruned_topk_overlap"),
+    )

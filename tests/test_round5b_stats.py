@@ -226,3 +226,103 @@ def test_stats_ops_have_no_single_partition_window(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         plan = plan.split("== Initial Plan ==")[0]
         assert not _windows_fed_by_single_partition(plan), (name, plan[:3000])
+
+
+# --- tranche B: WAND, Adamic-Adar, Hilbert curve -----------------------------
+
+
+def test_wand_certificate_and_bound(spark):
+    """pruned_topk_overlap must be 0 (the WAND bound is safe by
+    construction) and the prune fraction must be real (> 0) — an audit
+    that prunes nothing wouldn't justify the index structure."""
+    got = built_query("retrieval_wand_prune_certificate", spark).collect()[0]
+    assert got["pruned_topk_overlap"] == 0
+    assert got["n_matching"] > 0
+    assert 0.0 <= got["prune_fraction"] < 1.0
+    assert got["n_prunable"] <= got["n_matching"]
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    from spark_streaming_practicum_spark.operators.graph import _topk_trade_und
+
+    edges = {(r["a"], r["b"]) for r in _topk_trade_und(spark, SF_DIR).collect()}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    scores = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) in edges:
+                continue
+            common = adj[a] & adj[b]
+            if common:
+                scores[(a, b)] = (
+                    len(common),
+                    sum(1.0 / math.log(len(adj[z])) for z in common),
+                )
+    top = sorted(
+        scores.items(), key=lambda kv: (-round(kv[1][1], 6), kv[0][0], kv[0][1])
+    )[:10]
+    got = built_query("graph_adamic_adar_link_pred", spark).collect()
+    assert len(got) == len(top)
+    for row, ((a, b), (cn, aa)) in zip(got, top):
+        assert (row["a"], row["b"]) == (a, b)
+        assert row["common_neighbors"] == cn
+        assert abs(row["adamic_adar"] - aa) < 1e-5
+
+
+def _xy2d_py(n, x, y):
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_sql_exprs_equal_reference_xy2d(spark):
+    """The dialect-agnostic CASE-arithmetic chain must reproduce the
+    canonical xy2d on every cell of the 16x16 grid — the strongest
+    possible check that query and oracle share a CORRECT curve, not
+    merely the same wrong one."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_practicum_spark.operators.features import (
+        _HC_N,
+        _MORTON_EXPR,
+        _hilbert_step_exprs,
+    )
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(_HC_N) for y in range(_HC_N)], "x int, y int"
+    )
+    h = grid.withColumns({"hx": F.col("x"), "hy": F.col("y"), "hd": F.lit(0)})
+    for s in (8, 4, 2, 1):
+        h = h.withColumns(
+            {k: F.expr(v) for k, v in _hilbert_step_exprs(s).items()}
+        )
+    h = h.withColumn("z", F.expr(_MORTON_EXPR))
+    rows = h.select("x", "y", "hd", "z").collect()
+    assert len(rows) == _HC_N * _HC_N
+    seen_h, seen_z = set(), set()
+    for r in rows:
+        assert r["hd"] == _xy2d_py(_HC_N, r["x"], r["y"]), (r["x"], r["y"])
+        seen_h.add(r["hd"])
+        seen_z.add(r["z"])
+    # both curves are bijections onto [0, 255]
+    assert seen_h == set(range(_HC_N * _HC_N))
+    assert seen_z == set(range(_HC_N * _HC_N))
+
+
+def test_hilbert_beats_zorder_on_bbox(spark):
+    rows = {r["layout"]: r for r in built_query("opt_hilbert_vs_zorder_locality", spark).collect()}
+    assert rows["hilbert"]["avg_bbox_area"] <= rows["zorder"]["avg_bbox_area"]
+    assert rows["hilbert"]["n_chunks"] == rows["zorder"]["n_chunks"]
+    assert rows["hilbert"]["band_rows"] == rows["zorder"]["band_rows"]
