@@ -1114,8 +1114,9 @@ def _bloom_pos_sql(key: str, i: int) -> str:
     oracle=f"""
     WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders),
     nonmembers AS (
-        -- shifted keys: guaranteed absent from members, same cardinality
-        SELECT c_custkey + 1000000 AS k FROM customer),
+        -- keys shifted past max(member): guaranteed absent at ANY lake
+        -- size (c_custkey >= 1, so k > max member), same cardinality
+        SELECT c_custkey + (SELECT MAX(k) FROM members) AS k FROM customer),
     bits AS (
         SELECT DISTINCT pos FROM members,
         LATERAL (VALUES ({_bloom_pos_sql('k', 0)}),
@@ -1167,10 +1168,17 @@ def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     members = o.select(F.col("o_custkey").alias("k")).distinct()
-    # shifted keys: guaranteed absent from members, same cardinality
-    # (the natural anti-join set is empty in this lake - every customer
-    # has orders - and an FPR audit needs a non-member population)
-    nonmembers = c.select((F.col("c_custkey") + 1000000).alias("k"))
+    # Non-member population: customer keys shifted past max(member).
+    # The shift is DERIVED, not a constant — c_custkey >= 1 means every
+    # shifted key exceeds the largest member key at any lake size, so
+    # the "guaranteed absent" invariant that makes no_false_negatives /
+    # empirical_fpr meaningful holds beyond this scale factor. (TPC-H's
+    # natural anti-join set — customers without orders, ~1/3 of them —
+    # is nonempty but key-overlapping, useless as a probe population.)
+    max_member = members.agg(F.max("k").alias("_shift"))
+    nonmembers = c.crossJoin(F.broadcast(max_member)).select(
+        (F.col("c_custkey") + F.col("_shift")).alias("k")
+    )
 
     def positions(df):
         cols = [

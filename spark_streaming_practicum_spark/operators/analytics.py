@@ -4380,8 +4380,10 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             v = nxt
         results.append((removed, v.get("CONV", 0.0)))
     pb = dict(results)["none"]
+    # pb == 0 (no conversions reachable within the step budget) must
+    # mirror SQL division semantics: NULL removal_effect, not a crash.
     rows = [
-        (c, round(pb, 6), round(p, 6), round((pb - p) / pb, 6))
+        (c, round(pb, 6), round(p, 6), round((pb - p) / pb, 6) if pb else None)
         for c, p in results
         if c != "none"
     ]

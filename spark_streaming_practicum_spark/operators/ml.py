@@ -2030,7 +2030,10 @@ def ml_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e CROSS JOIN par p),
     r AS (
         SELECT x, n, sd,
-               d1 / (d1 + d2) AS r1, d2 / (d1 + d2) AS r2
+               CASE WHEN d1 + d2 = 0 OR isnan(d1 + d2)
+                    THEN 0.5 ELSE d1 / (d1 + d2) END AS r1,
+               CASE WHEN d1 + d2 = 0 OR isnan(d1 + d2)
+                    THEN 0.5 ELSE d2 / (d1 + d2) END AS r2
         FROM resp),
     m AS (
         SELECT MAX(n) AS n,
@@ -2088,11 +2091,17 @@ def ml_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exp(-(x - mu1) * (x - mu1) / two_var).alias("d1"),
         F.exp(-(x - mu2) * (x - mu2) / two_var).alias("d2"),
     )
+    # Degenerate guard (mirrored in the oracle): if both tail
+    # exponentials underflow to 0 (|x - mu| >> sd) or sd == 0 makes the
+    # exponent NaN, split responsibility 0.5/0.5 instead of letting one
+    # NaN row poison all six M-step moments.
+    s12 = F.col("d1") + F.col("d2")
+    degenerate = (s12 == 0) | F.isnan(s12)
     r = resp.select(
         "x",
         "n",
-        (F.col("d1") / (F.col("d1") + F.col("d2"))).alias("r1"),
-        (F.col("d2") / (F.col("d1") + F.col("d2"))).alias("r2"),
+        F.when(degenerate, F.lit(0.5)).otherwise(F.col("d1") / s12).alias("r1"),
+        F.when(degenerate, F.lit(0.5)).otherwise(F.col("d2") / s12).alias("r2"),
     )
     m = r.agg(
         F.max("n").alias("n"),

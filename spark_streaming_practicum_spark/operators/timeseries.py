@@ -1102,7 +1102,7 @@ _LB_MAX_LAG = 10
     rk AS (
         SELECT lag_k,
                CAST(b.n * b.n * c.sxy - b.n * b.s * c.sboth
-                    + (b.n - lag_k) * b.s * b.s AS DOUBLE)
+                    + c.np * b.s * b.s AS DOUBLE)
                / CAST(b.n * b.n * b.sxx - b.n * b.s * b.s AS DOUBLE) AS r,
                b.n AS n
         FROM cov c, base b),
@@ -1125,8 +1125,11 @@ def ts_ljung_box_portmanteau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: with mu = S/n rational, every covariance term is scaled
     by n^2 into the integer identity n^2*sum(xt*xp) - n*S*sum(xt+xp) +
-    (n-k)*S^2, so both engines divide identical integers exactly once
-    per lag (sums ride BIGINT/DECIMAL(38,0), never floats). Plan: the
+    np*S^2 where np is the TRUE calendar-aligned pair count (equals
+    n-k only when the daily series is gapless; using np keeps the
+    estimator textbook-correct on series with calendar holes), so both
+    engines divide identical integers exactly once per lag (sums ride
+    BIGINT/DECIMAL(38,0), never floats). Plan: the
     corpus collapses to one row per day in one aggregate; the lag
     explode and calendar self-join touch only that ~day-count frame,
     so cost is one scan + day-sized joins at any corpus scale."""
@@ -1162,7 +1165,7 @@ def ts_ljung_box_portmanteau(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (dec(F.col("n") * F.col("n")) * dec(F.col("sxy"))
              - dec(F.col("n")) * dec(F.col("s")) * dec(F.col("sboth"))
-             + dec(F.col("n") - F.col("lag_k")) * dec(F.col("s")) * dec(F.col("s"))
+             + dec(F.col("np")) * dec(F.col("s")) * dec(F.col("s"))
              ).cast("double")
             / (dec(F.col("n") * F.col("n")) * dec(F.col("sxx"))
                - dec(F.col("n")) * dec(F.col("s")) * dec(F.col("s"))).cast("double")

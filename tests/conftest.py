@@ -48,6 +48,15 @@ def pytest_addoption(parser):
 # the CartesianProduct lint). Build each query's DataFrame once per
 # process and share. Lazy plans only — consumers collect/inspect as
 # they wish.
+#
+# CONTRACT: cached plans were built under whatever session conf was
+# live at first call and are NEVER invalidated. A test that varies
+# session conf (broadcast threshold, AQE, timezone, ...) and asserts
+# plan SHAPE must rebuild its DataFrame directly from the registry DEFS
+# (the way test_random_walk does) instead of going through built_query,
+# or its assertion becomes order-dependent on which test populated the
+# cache first. Value-level assertions are safe: every registered query
+# is conf-insensitive in its RESULT by design (oracle-hash discipline).
 _PLAN_CACHE: dict[str, object] = {}
 
 
