@@ -224,6 +224,72 @@ def compare(current_path: str, prev_path: str) -> int:
     return 1 if regressions else 0
 
 
+def full_sweep() -> None:
+    """--full: one timed run of EVERY registered query (452+) at sf_dir,
+    written to BENCH_FULL.json. Closes the round-5 bench blind spot
+    (305/452 queries had no timing record anywhere — a regression in a
+    non-headline query was invisible to --compare). Single cold run per
+    query, no warmup, no min-of-2: the file is a coverage net, not a
+    precision benchmark — headline queries keep the careful protocol in
+    main(). Compare with:
+        python bench.py --compare BENCH_FULL_prev.json --detail BENCH_FULL.json
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    spark = build_session(app_name="ssp-bench-full")
+    defs = all_queries()
+    from spark_streaming_practicum_spark.functions.ranks import (
+        release_persisted_frames,
+    )
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in sorted(defs):
+        start = time.perf_counter()
+        try:
+            df = defs[name].fn(spark, sf_dir)
+            if df.isStreaming:
+                df.count()
+            else:
+                df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # noqa: BLE001 — recorded, sweep continues
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        spark.catalog.clearCache()
+        release_persisted_frames()
+    total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "full-registry query wall time (noop-materialized, 1 run)",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "errors": errors,
+        "sf": float(sf),
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(
+        json.dumps(
+            {
+                "metric": detail["metric"],
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "n_errors": len(errors),
+                "sf": float(sf),
+            }
+        )
+    )
+    if errors:
+        for name, err in sorted(errors.items()):
+            print(f"FULL-SWEEP FAILED {name}: {err}", file=sys.stderr)
+    spark.stop()
+    sys.exit(1 if errors else 0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -324,5 +390,9 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--compare":
         detail = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        if len(sys.argv) >= 5 and sys.argv[3] == "--detail":
+            detail = sys.argv[4]
         sys.exit(compare(detail, sys.argv[2]))
+    if len(sys.argv) >= 2 and sys.argv[1] == "--full":
+        full_sweep()
     main()
