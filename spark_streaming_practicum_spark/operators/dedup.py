@@ -2238,24 +2238,40 @@ def linkage_symspell_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_name").alias("t"))
         .distinct()
     )
-    keys = (
-        names.select(
-            "t",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.length("t")),
-                        lambda i: F.when(i == 0, F.col("t")).otherwise(
-                            F.concat(
-                                F.substring(F.col("t"), F.lit(1), i - 1),
-                                F.substr(F.col("t"), i + 1),
-                            )
-                        ),
-                    )
-                )
-            ).alias("k"),
-        )
+    return (
+        symspell_edit1_pairs(names)
+        .orderBy("name_a", "name_b")
+        .limit(200)
     )
+
+
+def symspell_delete_keys(names: DataFrame) -> DataFrame:
+    """(t, k) rows: each name t paired with itself and every
+    single-deletion variant — the SymSpell blocking keys. Shared by the
+    operator and scripts/symspell_name_probe.py so the probe measures
+    the production plan, not a reimplementation."""
+    return names.select(
+        "t",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.length("t")),
+                    lambda i: F.when(i == 0, F.col("t")).otherwise(
+                        F.concat(
+                            F.substring(F.col("t"), F.lit(1), i - 1),
+                            F.substr(F.col("t"), i + 1),
+                        )
+                    ),
+                )
+            )
+        ).alias("k"),
+    )
+
+
+def symspell_edit1_pairs(names: DataFrame) -> DataFrame:
+    """Distinct (name_a, name_b) pairs at Levenshtein distance exactly
+    1, via the delete-key equi-join."""
+    keys = symspell_delete_keys(names)
     a = keys.select(F.col("t").alias("name_a"), "k")
     b = keys.select(F.col("t").alias("name_b"), "k")
     # levenshtein BEFORE distinct: the edit-distance check is a cheap
@@ -2271,6 +2287,4 @@ def linkage_symspell_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("name_a", "name_b")
         .distinct()
-        .orderBy("name_a", "name_b")
-        .limit(200)
     )
