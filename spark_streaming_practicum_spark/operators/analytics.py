@@ -4933,3 +4933,339 @@ def cronbach_alpha_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("alpha"),
     )
+
+
+# --- McNemar paired-binary test ----------------------------------------------
+
+
+@query(
+    "stats_mcnemar_paired",
+    oracle="""
+    WITH days AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1, 2),
+    span AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        FROM days GROUP BY user_id),
+    paired AS (
+        SELECT s.user_id, a.conv AS b1, b.conv AS b2
+        FROM span s
+        JOIN days a ON a.user_id = s.user_id AND a.day = s.d0
+        JOIN days b ON b.user_id = s.user_id AND b.day = s.d1
+        WHERE s.d0 < s.d1),
+    cnt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN b1 = 1 AND b2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN b1 = 0 AND b2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM paired)
+    SELECT n_users, b AS n_first_only, c AS n_last_only,
+           CASE WHEN b + c = 0 THEN 0.0
+                ELSE ROUND((ABS(b - c) - 1.0) * (ABS(b - c) - 1.0) / (b + c), 6)
+           END AS mcnemar_chi2
+    FROM cnt
+    """,
+)
+def stats_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar test (continuity-corrected) on PAIRED binary outcomes:
+    did each user purchase on their FIRST active calendar day vs their
+    LAST? The within-subject before/after test — only the DISCORDANT
+    users (purchased first-day only / last-day only) carry signal, the
+    concordant mass cancels. chi2 = (|b-c|-1)^2/(b+c), defined as 0
+    when there is no discordance at all.
+
+    Plan: one (user, day) aggregate, one per-user min/max reduce, two
+    user-keyed joins back to the day frame, one global reduce. All
+    counts integers; one final division. Shuffle key is user_id
+    throughout — the same single-partitioning story as the funnel ops."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    days = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    )
+    span = days.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).filter(F.col("d0") < F.col("d1"))
+    a = days.select("user_id", F.col("day").alias("d0"), F.col("conv").alias("b1"))
+    b = days.select("user_id", F.col("day").alias("d1"), F.col("conv").alias("b2"))
+    paired = span.join(a, ["user_id", "d0"]).join(b, ["user_id", "d1"])
+    cnt = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when((F.col("b1") == 1) & (F.col("b2") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("b1") == 0) & (F.col("b2") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    diff = F.abs(F.col("b") - F.col("c"))
+    return cnt.select(
+        "n_users",
+        F.col("b").alias("n_first_only"),
+        F.col("c").alias("n_last_only"),
+        F.when(F.col("b") + F.col("c") == 0, F.lit(0.0))
+        .otherwise(
+            F.round((diff - 1.0) * (diff - 1.0) / (F.col("b") + F.col("c")), 6)
+        )
+        .alias("mcnemar_chi2"),
+    )
+
+
+# --- Mantel-Haenszel pooled odds ratio ----------------------------------------
+
+
+@query(
+    "stats_mantel_haenszel_or",
+    oracle="""
+    WITH u AS (
+        SELECT c.c_mktsegment AS stratum,
+               (o.o_orderkey * 2654435761) % 2 = 0 AS treated,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    tab AS (
+        SELECT stratum,
+               SUM(CASE WHEN treated AND y = 1 THEN 1 ELSE 0 END) AS a,
+               SUM(CASE WHEN treated AND y = 0 THEN 1 ELSE 0 END) AS b,
+               SUM(CASE WHEN NOT treated AND y = 1 THEN 1 ELSE 0 END) AS c,
+               SUM(CASE WHEN NOT treated AND y = 0 THEN 1 ELSE 0 END) AS d,
+               COUNT(*) AS n
+        FROM u GROUP BY stratum)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           ROUND(CAST(SUM(CAST(a * d * 1.0 / n AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS sum_ad_over_n,
+           ROUND(CAST(SUM(CAST(b * c * 1.0 / n AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS sum_bc_over_n,
+           ROUND(CAST(SUM(CAST(a * d * 1.0 / n AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(SUM(CAST(b * c * 1.0 / n AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS or_mh
+    FROM tab
+    """,
+)
+def stats_mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio across market-segment strata:
+    treatment is the deterministic order-key hash split (same Fibonacci
+    mix as the uplift/CUPED family), outcome is "order was URGENT
+    priority", stratum is the customer's c_mktsegment. OR_MH =
+    sum(a*d/n) / sum(b*c/n) — the confounder-adjusted effect estimate
+    a segmented experiment reports when per-stratum tables are too
+    thin for separate ORs.
+
+    Plan: one broadcast-joined orders scan, one 5-group aggregate, one
+    reduce. The per-stratum ratio terms are summed in DECIMAL(38,12)
+    so partition order can't move the pooled estimate."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    u = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("stratum"),
+        ((F.col("o_orderkey") * 2654435761) % 2 == 0).alias("treated"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+    )
+    tab = u.groupBy("stratum").agg(
+        F.sum(F.when(F.col("treated") & (F.col("y") == 1), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("treated") & (F.col("y") == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when(~F.col("treated") & (F.col("y") == 1), 1).otherwise(0)).alias("c"),
+        F.sum(F.when(~F.col("treated") & (F.col("y") == 0), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dec = lambda col: F.sum(col.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    ad = dec(F.col("a") * F.col("d") * 1.0 / F.col("n"))
+    bc = dec(F.col("b") * F.col("c") * 1.0 / F.col("n"))
+    return tab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.round(ad, 6).alias("sum_ad_over_n"),
+        F.round(bc, 6).alias("sum_bc_over_n"),
+        F.round(ad / bc, 6).alias("or_mh"),
+    )
+
+
+# --- Wald-Wolfowitz runs test --------------------------------------------------
+
+
+@query(
+    "stats_runs_test_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS x
+        FROM events GROUP BY day),
+    med AS (
+        SELECT x AS m FROM (
+            SELECT x, ROW_NUMBER() OVER (ORDER BY x, day) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM daily)
+        WHERE rn * 2 = n + (n % 2) * 1 OR (n % 2 = 0 AND rn * 2 = n)),
+    signs AS (
+        SELECT day, CASE WHEN x > m THEN 1 ELSE -1 END AS s
+        FROM daily, med WHERE x <> m),
+    runs AS (
+        SELECT s,
+               CASE WHEN LAG(s) OVER (ORDER BY day) IS DISTINCT FROM s
+                    THEN 1 ELSE 0 END AS brk
+        FROM signs),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(brk) AS BIGINT) AS r
+        FROM runs)
+    SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+           ROUND((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6) AS z_stat
+    FROM agg
+    """,
+)
+def stats_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily event-volume
+    series: days above/below the series LOWER MEDIAN (ties to the
+    median dropped, the textbook convention), number of sign runs R,
+    and the normal-approximation z against E[R] = 2*n1*n2/(n1+n2)+1.
+    The sanity check a monitoring pipeline runs before trusting any
+    trend test — too few runs means autocorrelation, too many means
+    oscillation.
+
+    Exactness: the median is picked by EXACT rank (lower median at rank
+    ceil(n/2), tie-broken by day), never an interpolating percentile,
+    so both engines select the identical integer; n1/n2/R are integers
+    and the z-stat is one closed-form division. Plan: the corpus
+    collapses to one row per day in one aggregate; everything after is
+    day-count-bounded (the tiny ordered window is over ~30 rows)."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wr = Window.orderBy(F.col("x").asc(), F.col("day").asc())
+    ranked = daily.select(
+        "day", "x", F.row_number().over(wr).alias("rn"), F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n")
+    )
+    med = ranked.filter(
+        (F.col("rn") * 2 == F.col("n") + (F.col("n") % 2))
+        | ((F.col("n") % 2 == 0) & (F.col("rn") * 2 == F.col("n")))
+    ).select(F.col("x").alias("m"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("x") != F.col("m"))
+        .select("day", F.when(F.col("x") > F.col("m"), 1).otherwise(-1).alias("s"))
+    )
+    runs = signs.select(
+        "s",
+        F.when(
+            ~F.lag("s").over(Window.orderBy("day")).eqNullSafe(F.col("s")), 1
+        ).otherwise(0).alias("brk"),
+    )
+    agg = runs.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum("brk").cast("bigint").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return agg.select(
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        r.alias("n_runs"),
+        F.round((r - mu) / F.sqrt(var), 6).alias("z_stat"),
+    )
+
+
+# --- linear-time MMD drift test ------------------------------------------------
+
+_MMD_BW2 = 2.0 * 100.0 * 100.0  # RBF kernel 2*sigma^2, sigma = 100 value units
+
+
+@query(
+    "drift_mmd_linear_paired",
+    oracle=f"""
+    WITH a AS (
+        SELECT value AS v,
+               ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn
+        FROM events WHERE (user_id * 2654435761) % 2 = 0),
+    b AS (
+        SELECT value AS v,
+               ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn
+        FROM events WHERE (user_id * 2654435761) % 2 = 1),
+    m AS (SELECT LEAST((SELECT MAX(rn) FROM a), (SELECT MAX(rn) FROM b)) AS mn),
+    q AS (
+        SELECT (a1.rn + 1) / 2 AS blk,
+               EXP(-(a1.v - a2.v) * (a1.v - a2.v) / {_MMD_BW2})
+             + EXP(-(b1.v - b2.v) * (b1.v - b2.v) / {_MMD_BW2})
+             - EXP(-(a1.v - b2.v) * (a1.v - b2.v) / {_MMD_BW2})
+             - EXP(-(a2.v - b1.v) * (a2.v - b1.v) / {_MMD_BW2}) AS h
+        FROM a a1
+        JOIN a a2 ON a2.rn = a1.rn + 1
+        JOIN b b1 ON b1.rn = a1.rn
+        JOIN b b2 ON b2.rn = a2.rn
+        CROSS JOIN m
+        WHERE a1.rn % 2 = 1 AND a2.rn <= mn)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           ROUND(CAST(SUM(CAST(h AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 8)
+               AS mmd2_linear
+    FROM q
+    """,
+)
+def drift_mmd_linear_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-time MMD^2 drift statistic (Gretton et al. 2012, the
+    streaming-friendly estimator) between the two deterministic
+    user-hash halves of the event value distribution: rank-align the
+    samples, walk them in consecutive blocks of two, and average
+    h = k(a1,a2) + k(b1,b2) - k(a1,b2) - k(a2,b1) with an RBF kernel.
+    O(n) kernel evaluations instead of the O(n^2) full MMD — the only
+    MMD variant that survives 100 TB, and the null-hypothesis value is
+    ~0 here because both halves draw from the same distribution.
+
+    Plan: per-sample global ranks ride the two-pass range-partitioned
+    helper (functions/ranks.py, no single-partition window); the block
+    pairing is three rank-keyed equi-joins; h terms are summed in
+    DECIMAL(38,12) so partition order can't move the statistic."""
+    from ..functions.ranks import global_row_number
+
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    half_a = e.filter((F.col("user_id") * 2654435761) % 2 == 0)
+    half_b = e.filter((F.col("user_id") * 2654435761) % 2 == 1)
+    ra, na = global_row_number(
+        half_a.select(F.col("value").alias("v"), "event_id"),
+        [F.col("v").asc(), F.col("event_id").asc()],
+        rn_name="rn",
+    )
+    rb, nb = global_row_number(
+        half_b.select(F.col("value").alias("v"), "event_id"),
+        [F.col("v").asc(), F.col("event_id").asc()],
+        rn_name="rn",
+    )
+    mn = min(na, nb)
+    a1 = ra.filter((F.col("rn") % 2 == 1) & (F.col("rn") + 1 <= mn)).select(
+        F.col("rn").alias("rn1"), F.col("v").alias("va1")
+    )
+    a2 = ra.select(F.col("rn").alias("rn2"), F.col("v").alias("va2"))
+    b1 = rb.select(F.col("rn").alias("rn1"), F.col("v").alias("vb1"))
+    b2 = rb.select(F.col("rn").alias("rn2"), F.col("v").alias("vb2"))
+    k = lambda x, y: F.exp(-(x - y) * (x - y) / F.lit(_MMD_BW2))  # noqa: E731
+    q = (
+        a1.withColumn("rn2", F.col("rn1") + 1)
+        .join(a2, "rn2")
+        .join(b1, "rn1")
+        .join(b2, "rn2")
+        .select(
+            (
+                k(F.col("va1"), F.col("va2"))
+                + k(F.col("vb1"), F.col("vb2"))
+                - k(F.col("va1"), F.col("vb2"))
+                - k(F.col("va2"), F.col("vb1"))
+            ).alias("h")
+        )
+    )
+    return q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.round(
+            F.sum(F.col("h").cast("decimal(38,12)")).cast("double") / F.count(F.lit(1)),
+            8,
+        ).alias("mmd2_linear"),
+    )

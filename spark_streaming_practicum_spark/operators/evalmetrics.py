@@ -1185,3 +1185,139 @@ def eval_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --- corpus BLEU-2 -------------------------------------------------------------
+
+
+@query(
+    "eval_bleu2_corpus",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ids AS (SELECT doc_id FROM documents),
+    prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0),
+    ng AS (
+        SELECT doc_id, 1 AS n, w[i] AS g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM w, unnest(generate_series(1, len(w))) AS t(i)
+        GROUP BY doc_id, g
+        UNION ALL
+        SELECT doc_id, 2 AS n, array_to_string(w[i:i+1], ' ') AS g,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        GROUP BY doc_id, g),
+    num AS (
+        SELECT a.n, SUM(LEAST(a.c, b.c)) AS clipped
+        FROM ng a
+        JOIN prs p ON p.doc_a = a.doc_id
+        JOIN ng b ON b.doc_id = p.doc_b AND b.n = a.n AND b.g = a.g
+        GROUP BY a.n),
+    den AS (
+        SELECT n.n, SUM(n.c) AS total
+        FROM ng n JOIN prs p ON p.doc_a = n.doc_id
+        GROUP BY n.n),
+    rlen AS (
+        SELECT SUM(n.c) AS len_r
+        FROM ng n JOIN prs p ON p.doc_b = n.doc_id WHERE n.n = 1),
+    flat AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM prs) AS n_pairs,
+               (SELECT clipped FROM num WHERE n = 1) * 1.0
+                   / (SELECT total FROM den WHERE n = 1) AS p1,
+               (SELECT clipped FROM num WHERE n = 2) * 1.0
+                   / (SELECT total FROM den WHERE n = 2) AS p2,
+               (SELECT total FROM den WHERE n = 1) AS len_c,
+               (SELECT len_r FROM rlen) AS len_r)
+    SELECT n_pairs, ROUND(p1, 6) AS p1, ROUND(p2, 6) AS p2,
+           ROUND(CASE WHEN len_c > len_r THEN 1.0
+                      ELSE EXP(1.0 - len_r * 1.0 / len_c) END, 6) AS brevity_penalty,
+           ROUND(CASE WHEN p1 = 0 OR p2 = 0 THEN 0.0
+                      ELSE CASE WHEN len_c > len_r THEN 1.0
+                                ELSE EXP(1.0 - len_r * 1.0 / len_c) END
+                           * EXP(0.5 * (LN(p1) + LN(p2))) END, 6) AS bleu2
+    FROM flat
+    """,
+)
+def eval_bleu2_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU-2 (Papineni et al. 2002) between fixed
+    candidate/reference document pairs (even doc_id against its
+    successor, the same pairing as eval_rouge2_pairs): CLIPPED modified
+    n-gram precision pooled over the whole corpus for n=1,2, corpus
+    brevity penalty, geometric mean. Corpus pooling (sum numerators
+    and denominators BEFORE dividing) is what distinguishes BLEU from
+    a mean of per-pair scores — and is also what makes it one
+    aggregation tree instead of a per-pair reduce.
+
+    Plan: one n-gram multiset aggregate per document (unigrams and
+    bigrams unioned with an `n` tag so ONE join handles both orders);
+    the clipped-overlap join is keyed (pair, n, gram) — pairing by key
+    arithmetic, no similarity search; precisions, lengths and BP are a
+    handful of 2-row reduces. All counts integers; divisions happen
+    once at the end."""
+    d = table(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("w"))
+    ids = d.select("doc_id")
+    prs = (
+        ids.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").alias("doc_a"))
+        .join(
+            ids.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b")),
+            "doc_a",
+        )
+    )
+    uni = d.select("doc_id", F.lit(1).alias("n"), F.explode("w").alias("g"))
+    big = d.select(
+        "doc_id", F.lit(2).alias("n"), F.explode(shingles(F.col("w"), 2)).alias("g")
+    )
+    ng = (
+        uni.unionByName(big)
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = ng.join(prs, ng.doc_id == prs.doc_a).select(
+        "doc_a", "doc_b", "n", "g", F.col("c").alias("ca")
+    )
+    b = ng.select(F.col("doc_id").alias("doc_b"), "n", "g", F.col("c").alias("cb"))
+    num = (
+        a.join(b, ["doc_b", "n", "g"])
+        .groupBy("n")
+        .agg(F.sum(F.least("ca", "cb")).alias("clipped"))
+    )
+    den = (
+        ng.join(prs, ng.doc_id == prs.doc_a)
+        .groupBy("n")
+        .agg(F.sum("c").alias("total"))
+    )
+    rlen = (
+        ng.filter(F.col("n") == 1)
+        .join(prs, ng.doc_id == prs.doc_b)
+        .agg(F.sum("c").alias("len_r"))
+    )
+    npairs = prs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    nd = num.join(den, "n").select(
+        "n", (F.col("clipped") * 1.0 / F.col("total")).alias("p"), "total"
+    )
+    flat = (
+        npairs.crossJoin(
+            F.broadcast(nd.filter(F.col("n") == 1).select(
+                F.col("p").alias("p1"), F.col("total").alias("len_c")
+            ))
+        )
+        .crossJoin(F.broadcast(nd.filter(F.col("n") == 2).select(F.col("p").alias("p2"))))
+        .crossJoin(F.broadcast(rlen))
+    )
+    bp = F.when(F.col("len_c") > F.col("len_r"), F.lit(1.0)).otherwise(
+        F.exp(1.0 - F.col("len_r") * 1.0 / F.col("len_c"))
+    )
+    return flat.select(
+        "n_pairs",
+        F.round("p1", 6).alias("p1"),
+        F.round("p2", 6).alias("p2"),
+        F.round(bp, 6).alias("brevity_penalty"),
+        F.round(
+            F.when((F.col("p1") == 0) | (F.col("p2") == 0), F.lit(0.0)).otherwise(
+                bp * F.exp(0.5 * (F.log("p1") + F.log("p2")))
+            ),
+            6,
+        ).alias("bleu2"),
+    )

@@ -1248,3 +1248,140 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --- Kendall tau-b -------------------------------------------------------------
+
+
+@query(
+    "ts_kendall_tau_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS x,
+               {dsum_sql('value')} AS y
+        FROM events GROUP BY day),
+    pairs AS (
+        SELECT CASE WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+                    THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+                    THEN 1 ELSE 0 END AS disc,
+               CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+               CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+        FROM daily a JOIN daily b ON a.day < b.day),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(SUM(conc) AS BIGINT) AS c,
+               CAST(SUM(disc) AS BIGINT) AS d,
+               CAST(SUM(tx) AS BIGINT) AS tx,
+               CAST(SUM(ty) AS BIGINT) AS ty
+        FROM pairs)
+    SELECT n0 AS n_pairs, c AS concordant, d AS discordant,
+           ROUND((c - d) / SQRT((n0 - tx) * 1.0 * (n0 - ty)), 6) AS tau_b
+    FROM agg
+    """,
+)
+def ts_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between the two daily series a
+    monitor actually has — event VOLUME (count) and event VALUE (sum)
+    — with the tie-corrected denominator. The nonparametric complement
+    to spearman_rank_correlation: tau's concordance counting is robust
+    to any monotone rescaling and has a direct probabilistic reading
+    (P(concordant) - P(discordant)).
+
+    Exactness: x is an integer count, y a DECIMAL-accumulated sum
+    surfaced as double, so every pairwise comparison is a comparison
+    of identical values in both engines; C/D/tie counts are integers
+    and tau is one closed-form expression. Plan: the corpus collapses
+    to one row per day in ONE aggregate; the pair join is day-count
+    bounded (k days -> k(k-1)/2 pairs, calendar-bounded at any corpus
+    scale — 30 days is 435 pairs whether the lake is 1 GB or 100 TB)."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"), dsum("value").alias("y"))
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(F.broadcast(b), F.col("da") < F.col("db"))
+    up = (F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb"))
+    dn = (F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb"))
+    xu = (F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb"))
+    xd = (F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum(F.when(up | dn, 1).otherwise(0)).cast("bigint").alias("c"),
+        F.sum(F.when(xu | xd, 1).otherwise(0)).cast("bigint").alias("d"),
+        F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0)).cast("bigint").alias("tx"),
+        F.sum(F.when(F.col("ya") == F.col("yb"), 1).otherwise(0)).cast("bigint").alias("ty"),
+    )
+    n0, c, d = F.col("n0"), F.col("c"), F.col("d")
+    return agg.select(
+        n0.alias("n_pairs"),
+        c.alias("concordant"),
+        d.alias("discordant"),
+        F.round(
+            (c - d) / F.sqrt((n0 - F.col("tx")) * 1.0 * (n0 - F.col("ty"))), 6
+        ).alias("tau_b"),
+    )
+
+
+# --- Page-Hinkley drift statistic ----------------------------------------------
+
+
+@query(
+    "ts_page_hinkley_drift",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               {dsum_sql('value')} / COUNT(*) AS m
+        FROM events GROUP BY day),
+    mu AS (
+        SELECT CAST(SUM(CAST(m AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mu
+        FROM daily),
+    cum AS (
+        SELECT day, m,
+               SUM(CAST(m - mu AS DECIMAL(38,12))) OVER (ORDER BY day) AS c
+        FROM daily, mu),
+    ph AS (
+        SELECT day, m,
+               CAST(c - MIN(c) OVER (ORDER BY day) AS DOUBLE) AS ph
+        FROM cum)
+    SELECT day, ROUND(m, 6) AS daily_mean, ROUND(ph, 6) AS ph_stat
+    FROM ph ORDER BY day
+    """,
+)
+def ts_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley change-detection statistic over the daily mean
+    event value (offline form, deviations about the full-series mean):
+    PH_t = cum_t - min_{i<=t} cum_i where cum_t is the running sum of
+    (m_i - mu). The classic CUSUM-family alarm for upward mean shifts
+    — a sustained rise makes cum climb away from its historical
+    minimum and PH grows; white noise keeps PH near zero. Complements
+    ts_changepoint_cusum (which locates the split) with the
+    sequential-alarm form.
+
+    Exactness: daily means divide a DECIMAL-accumulated sum by a
+    count; the running sum accumulates (m - mu) in DECIMAL(38,12), so
+    the prefix arithmetic is exact and identical in both engines —
+    the only doubles compared are bit-identical. Plan: one corpus
+    aggregate to day rows; both windows are ordered prefix scans over
+    the day-count-bounded frame (calendar-bounded at any scale)."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg((dsum("value") / F.count(F.lit(1))).alias("m"))
+    )
+    mu = daily.agg(
+        (F.sum(F.col("m").cast("decimal(38,12)")).cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.crossJoin(F.broadcast(mu)).withColumn(
+        "c", F.sum((F.col("m") - F.col("mu")).cast("decimal(38,12)")).over(wc)
+    )
+    ph = cum.withColumn("ph", (F.col("c") - F.min("c").over(wc)).cast("double"))
+    return ph.select(
+        # DuckDB's date_trunc('day') yields DATE; pin the Spark side too
+        F.col("day").cast("date").alias("day"),
+        F.round("m", 6).alias("daily_mean"),
+        F.round("ph", 6).alias("ph_stat"),
+    ).orderBy("day")
