@@ -36,20 +36,73 @@ def _utc_pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[Spark
 # Newest operators first: the driver's correctness run samples a subset
 # (the head) of this dict, and enumeration order is the repo's only
 # lever for making that sample exercise the least battle-tested code
-# (round-3 verdict task 7). Round-5 policy (round-4 verdict task 4):
-# lead with the one query whose only driver record is a FAIL
-# (sample_stratified_hash, r01 — fixed since, locally green, never
-# re-sampled), then this round's structurally changed queries, then a
-# rotation of names the driver has NEVER sampled (299 of 408 after r4;
-# ingest_* first — they are the reference-parity core), so each round
-# retires ~45 of the unexposed tail. Previously-sampled names follow.
+# (round-3 verdict task 7). Round-6 policy (round-5 verdict task 1):
+# lead with this round's OUTPUT- or PLAN-changing queries (Ljung-Box
+# true-pair-count fix, Bloom derived shift, the stupid-backoff
+# dictionary encode, the memoized simhash/minhash), then the round-6
+# new operators, then tranche 2 of the never-driver-sampled rotation
+# (ingest roundtrip -> scalar -> set -> window) — 5 re-checks + 45
+# first-time names inside the driver's 50-sample. Previously-sampled
+# names follow in prior-round order.
 _NEWEST_FIRST = [
-    # r01-FAIL redemption: fixed in round 2, never driver-checked since
+    # round 6: structurally/output-changed — must re-verify driver-side
+    "ts_ljung_box_portmanteau",
+    "sketch_bloom_fpr_audit",
+    "lm_stupid_backoff_trigram",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    # round 6: new operators (first-time names)
+    "stats_mcnemar_paired",
+    "stats_mantel_haenszel_or",
+    "stats_runs_test_daily",
+    "drift_mmd_linear_paired",
+    "ts_kendall_tau_daily",
+    "ts_page_hinkley_drift",
+    "eval_bleu2_corpus",
+    "graph_katz_centrality",
+    # never-driver-sampled rotation, tranche 2: the driver's 50-sample
+    # reaches 37 of these (45 first-time names total this round)
+    "ingest_valid_roundtrip_sample",
+    "scalar_variant_json",
+    "scalar_xml_roundtrip",
+    "scalar_bit_ops",
+    "scalar_array_setops",
+    "scalar_greatest_least",
+    "scalar_pad_trim",
+    "scalar_try_cast",
+    "scalar_posexplode_ordinality",
+    "scalar_string_fns",
+    "scalar_regexp",
+    "scalar_date_fns",
+    "scalar_math_fns",
+    "scalar_array_fns",
+    "scalar_json_fns",
+    "scalar_case_conditional",
+    "scalar_hash_fns",
+    "scalar_null_safe_eq",
+    "scalar_map_fns",
+    "set_except_all",
+    "set_union_by_name",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_intersect_all",
+    "window_funnel_within_time",
+    "window_nth_value",
+    "window_cume_dist",
+    "window_topk_per_group",
+    "window_rank_dense",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_moving_avg",
+    "window_ntile",
+    "window_sessionize",
+    "window_range_frame",
+    # r01-FAIL redemption (green r05) and prior rounds follow
     "sample_stratified_hash",
     # round 5: structurally changed (argmax rewrite; shared cert slice)
     "ngram_draft_acceptance_rate",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     # round 5: new operators
     "sketch_misra_gries_heavyhitters",
     "sample_weighted_es",

@@ -199,6 +199,15 @@ HEADLINE = [
     "lm_stupid_backoff_trigram",
     "window_alert_hysteresis",
     "sql_session_variables",
+    # round-6 additions
+    "stats_mcnemar_paired",
+    "stats_mantel_haenszel_or",
+    "stats_runs_test_daily",
+    "drift_mmd_linear_paired",
+    "ts_kendall_tau_daily",
+    "ts_page_hinkley_drift",
+    "eval_bleu2_corpus",
+    "graph_katz_centrality",
 ]
 
 
