@@ -60,8 +60,11 @@ _NEWEST_FIRST = [
     "ts_page_hinkley_drift",
     "eval_bleu2_corpus",
     "graph_katz_centrality",
+    "privacy_dp_topk_exponential",
+    "eval_chrf2_pairs",
+    "rlhf_dpo_implicit_reward",
     # never-driver-sampled rotation, tranche 2: the driver's 50-sample
-    # reaches 37 of these (45 first-time names total this round)
+    # reaches 34 of these (45 first-time names total this round)
     "ingest_valid_roundtrip_sample",
     "scalar_variant_json",
     "scalar_xml_roundtrip",

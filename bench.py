@@ -208,6 +208,9 @@ HEADLINE = [
     "ts_page_hinkley_drift",
     "eval_bleu2_corpus",
     "graph_katz_centrality",
+    "privacy_dp_topk_exponential",
+    "eval_chrf2_pairs",
+    "rlhf_dpo_implicit_reward",
 ]
 
 

@@ -1321,3 +1321,103 @@ def eval_bleu2_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bleu2"),
     )
+
+
+# --- chrF2 ----------------------------------------------------------------------
+
+
+@query(
+    "eval_chrf2_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    cb AS (
+        SELECT doc_id, substr(t, i, 2) AS g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+        GROUP BY doc_id, g),
+    tot AS (SELECT doc_id, SUM(c) AS t FROM cb GROUP BY doc_id),
+    ov AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               SUM(LEAST(a.c, b.c)) AS o
+        FROM cb a JOIN cb b ON b.doc_id = a.doc_id + 1 AND b.g = a.g
+        WHERE a.doc_id % 2 = 0
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT ov.doc_a, ov.doc_b, CAST(ov.o AS BIGINT) AS overlap_chars,
+               ov.o * 1.0 / ta.t AS p, ov.o * 1.0 / tb.t AS r
+        FROM ov
+        JOIN tot ta ON ta.doc_id = ov.doc_a
+        JOIN tot tb ON tb.doc_id = ov.doc_b)
+    SELECT doc_a, doc_b, overlap_chars,
+           ROUND(p, 6) AS chrf_p, ROUND(r, 6) AS chrf_r,
+           ROUND(5.0 * p * r / (4.0 * p + r), 6) AS chrf2
+    FROM scored
+    ORDER BY ROUND(5.0 * p * r / (4.0 * p + r), 6) DESC, doc_a
+    LIMIT 20
+    """,
+)
+def eval_chrf2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF2 (Popovic 2015) between the fixed candidate/reference pairs
+    (even doc_id vs successor, the rouge2/BLEU pairing): CLIPPED
+    character-bigram precision/recall with recall weighted beta=2 —
+    chrF2 = 5PR/(4P+R). Character n-grams are computed WITHIN words
+    (whitespace never crosses a gram, the chrF convention), which makes
+    the metric robust to tokenization differences the word-level
+    metrics (BLEU/ROUGE) are blind to — the reason chrF is the machine
+    translation eval of choice for morphologically rich languages.
+
+    Plan: tokens explode once, char bigrams are a projected-column HOF
+    slice per token (linear in corpus chars), one multiset aggregate
+    per doc, and the overlap is the (pair, gram)-keyed equi-join —
+    pairing by key arithmetic, no similarity search. Counts are
+    integers; P/R/F divide once at the end."""
+    d = table(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("w"))
+    tok = d.select("doc_id", F.explode("w").alias("t")).filter(F.length("t") >= 2)
+    cb = (
+        tok.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t") - 1),
+                    lambda i: F.col("t").substr(i, F.lit(2)),
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cb.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    a = cb.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("doc_a"), "g", F.col("c").alias("ca")
+    )
+    b = cb.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        "g",
+        F.col("c").alias("cb"),
+    )
+    ov = (
+        a.join(b, ["doc_a", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).alias("o"))
+    )
+    ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    p = F.col("o") * 1.0 / F.col("ta")
+    r = F.col("o") * 1.0 / F.col("tb")
+    chrf2 = 5.0 * p * r / (4.0 * p + r)
+    return (
+        ov.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("o").cast("bigint").alias("overlap_chars"),
+            F.round(p, 6).alias("chrf_p"),
+            F.round(r, 6).alias("chrf_r"),
+            F.round(chrf2, 6).alias("chrf2"),
+        )
+        .orderBy(F.col("chrf2").desc(), "doc_a")
+        .limit(20)
+    )

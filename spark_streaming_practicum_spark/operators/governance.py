@@ -1240,3 +1240,75 @@ def audit_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "privacy_dp_topk_exponential",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    nz AS (
+        SELECT *,
+               ((('0x' || substr(md5(event_type || '#' || day), 1, 8))::BIGINT
+                 % {_DP_M}) + 0.5) / {_DP_M} AS u
+        FROM g),
+    per AS (
+        SELECT event_type, day, n,
+               {_DP_EPS} / 2.0 * n + (-LN(-LN(u))) AS perturbed
+        FROM nz),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY perturbed DESC,
+                                     event_type, day) AS rk
+        FROM per)
+    SELECT CAST(rk AS INT) AS rk, event_type, day, CAST(n AS BIGINT) AS n,
+           ROUND(perturbed, 6) AS perturbed_score
+    FROM ranked WHERE rk <= 5 ORDER BY rk
+    """,
+)
+def privacy_dp_topk_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private top-5 (event_type, day) cells via the
+    EXPONENTIAL MECHANISM, implemented with the Gumbel-max trick:
+    selecting argmax of eps*score/(2*sensitivity) + Gumbel noise draws
+    exactly from the exponential-mechanism distribution, and taking the
+    top k of the perturbed scores is the standard one-shot k-selection
+    (peeling with fresh noise composes identically). Completes the DP
+    family: Laplace releases VALUES (dp_laplace_noisy_counts), the
+    exponential mechanism releases CHOICES.
+
+    Same determinism caveat as the Laplace op, stated honestly: the
+    uniform comes from the portable md5 cell-key hash so the
+    mechanism's arithmetic (score scaling, Gumbel shape, selection
+    order) is oracle-checkable end to end; production swaps in a
+    secure RNG. Plan: one count aggregate, map-side noise, one
+    TakeOrderedAndProject top-5 — no full sort, no extra shuffle."""
+    g = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("#", "event_type", "day")), 1, 8), 16, 10
+    ).cast("long")
+    u = ((h % _DP_M) + 0.5) / _DP_M
+    perturbed = F.lit(_DP_EPS) / 2.0 * F.col("n") + (-F.log(-F.log(u)))
+    w = Window.orderBy(
+        perturbed.desc(), F.col("event_type").asc(), F.col("day").asc()
+    )
+    return (
+        g.withColumn("perturbed", perturbed)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "rk",
+            "event_type",
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("perturbed", 6).alias("perturbed_score"),
+        )
+        .orderBy("rk")
+    )

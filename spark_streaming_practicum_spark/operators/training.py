@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.textfns import poly_hash
+from ..functions.textfns import poly_hash, shingles, tokens
 from ..registry import query
 from ..functions.ranks import persisted as _persisted
 
@@ -1535,4 +1535,132 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight",
             F.round(F.col("_k") * 1_000_000, 6).alias("es_key_ppm"),
         )
+    )
+
+
+# --- DPO implicit-reward audit ---------------------------------------------------
+
+_DPO_BETA = 0.1
+
+
+@query(
+    "rlhf_dpo_implicit_reward",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    nxt AS (SELECT w2, COUNT(*) AS c2 FROM bg GROUP BY w2),
+    v AS (SELECT CAST(COUNT(DISTINCT w2) AS DOUBLE) AS vocab,
+                 CAST(COUNT(*) AS DOUBLE) AS total FROM bg),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(SUM(CAST(LN((m.c12 + 1.0) / (u.c1 + v.vocab))
+                             AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS lp_pol,
+               CAST(SUM(CAST(LN((n.c2 + 1.0) / (v.total + v.vocab))
+                             AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS lp_ref
+        FROM bg b
+        JOIN bi m ON b.w1 = m.w1 AND b.w2 = m.w2
+        JOIN uni u ON b.w1 = u.w1
+        JOIN nxt n ON b.w2 = n.w2
+        CROSS JOIN v
+        GROUP BY b.doc_id),
+    rewards AS (
+        SELECT doc_id, {_DPO_BETA} * (lp_pol - lp_ref) AS r FROM scored),
+    prs AS (
+        SELECT CASE WHEN ca.n_chars >= cb.n_chars THEN ca.doc_id
+                    ELSE cb.doc_id END AS chosen,
+               CASE WHEN ca.n_chars >= cb.n_chars THEN cb.doc_id
+                    ELSE ca.doc_id END AS rejected
+        FROM documents ca JOIN documents cb ON cb.doc_id = ca.doc_id + 1
+        WHERE ca.doc_id % 2 = 0),
+    m AS (
+        SELECT rc.r - rr.r AS margin
+        FROM prs p JOIN rewards rc ON rc.doc_id = p.chosen
+                   JOIN rewards rr ON rr.doc_id = p.rejected)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(CASE WHEN margin > 0 THEN 1.0 ELSE 0.0 END), 6)
+               AS dpo_accuracy,
+           ROUND(CAST(SUM(CAST(margin AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_margin
+    FROM m
+    """,
+)
+def rlhf_dpo_implicit_reward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO implicit-reward audit (Rafailov et al. 2023): the quantity
+    DPO training monitors is r(x) = beta * (log pi_policy(x) -
+    log pi_ref(x)), and its ACCURACY on preference pairs — how often
+    the chosen completion's implicit reward beats the rejected one's —
+    is the go/no-go signal before a checkpoint ships. Here the policy
+    is the corpus Laplace-smoothed bigram LM, the reference the
+    unigram LM (the exact model pair of doc_bigram_logprob /
+    lm_stupid_backoff), and preference pairs are even/odd documents
+    with the LONGER document preferred (a fixed, declared heuristic
+    label — the audit machinery is what the operator demonstrates).
+
+    Plan: one bigram explode feeds all three count tables AND the
+    scoring stream (the relational-KenLM move); per-doc log-scores
+    reduce with DECIMAL sums so partition order can't move them; the
+    pair join is key arithmetic. At 100 TB the count joins shuffle on
+    n-gram keys — dictionary-encode exactly as lm_stupid_backoff does."""
+    d = table(spark, sf_dir, "documents")
+    bg = (
+        d.select("doc_id", tokens("text").alias("_w"))
+        .select("doc_id", F.explode(shingles(F.col("_w"), 2)).alias("bigram"))
+        .select(
+            "doc_id",
+            F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
+        )
+        .transform(_persisted)
+    )
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    nxt = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    v = bg.agg(
+        F.countDistinct("w2").cast("double").alias("vocab"),
+        F.count(F.lit(1)).cast("double").alias("total"),
+    )
+    dec12 = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    scored = (
+        bg.join(bi, ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .join(F.broadcast(nxt), "w2")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            (dec12(F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("vocab"))))
+             / F.count(F.lit(1))).alias("lp_pol"),
+            (dec12(F.log((F.col("c2") + 1.0) / (F.col("total") + F.col("vocab"))))
+             / F.count(F.lit(1))).alias("lp_ref"),
+        )
+    )
+    rewards = scored.select(
+        "doc_id", (F.lit(_DPO_BETA) * (F.col("lp_pol") - F.col("lp_ref"))).alias("r")
+    )
+    ca = d.select(F.col("doc_id").alias("da"), F.col("n_chars").alias("na"))
+    cb = d.select((F.col("doc_id") - 1).alias("da"), F.col("doc_id").alias("db"),
+                  F.col("n_chars").alias("nb"))
+    prs = (
+        ca.filter(F.col("da") % 2 == 0)
+        .join(cb, "da")
+        .select(
+            F.when(F.col("na") >= F.col("nb"), F.col("da")).otherwise(F.col("db")).alias("chosen"),
+            F.when(F.col("na") >= F.col("nb"), F.col("db")).otherwise(F.col("da")).alias("rejected"),
+        )
+    )
+    rc = rewards.select(F.col("doc_id").alias("chosen"), F.col("r").alias("rc"))
+    rr = rewards.select(F.col("doc_id").alias("rejected"), F.col("r").alias("rr"))
+    m = prs.join(rc, "chosen").join(rr, "rejected").select(
+        (F.col("rc") - F.col("rr")).alias("margin")
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg(F.when(F.col("margin") > 0, 1.0).otherwise(0.0)), 6).alias(
+            "dpo_accuracy"
+        ),
+        F.round(dec12(F.col("margin")) / F.count(F.lit(1)), 6).alias("mean_margin"),
     )
