@@ -63,8 +63,10 @@ _NEWEST_FIRST = [
     "privacy_dp_topk_exponential",
     "eval_chrf2_pairs",
     "rlhf_dpo_implicit_reward",
+    "eval_cer_pairs",
+    "ts_hurst_rescaled_range",
     # never-driver-sampled rotation, tranche 2: the driver's 50-sample
-    # reaches 34 of these (45 first-time names total this round)
+    # reaches 32 of these (45 first-time names total this round)
     "ingest_valid_roundtrip_sample",
     "scalar_variant_json",
     "scalar_xml_roundtrip",

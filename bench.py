@@ -211,6 +211,8 @@ HEADLINE = [
     "privacy_dp_topk_exponential",
     "eval_chrf2_pairs",
     "rlhf_dpo_implicit_reward",
+    "eval_cer_pairs",
+    "ts_hurst_rescaled_range",
 ]
 
 

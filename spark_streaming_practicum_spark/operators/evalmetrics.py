@@ -1421,3 +1421,63 @@ def eval_chrf2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("chrf2").desc(), "doc_a")
         .limit(20)
     )
+
+
+# --- character error rate --------------------------------------------------------
+
+
+@query(
+    "eval_cer_pairs",
+    oracle="""
+    WITH prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.text AS ta, b.text AS tb, b.n_chars AS len_ref
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0)
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(ta, tb) AS BIGINT) AS edit_distance,
+           CAST(len_ref AS BIGINT) AS len_ref,
+           ROUND(levenshtein(ta, tb) * 1.0 / len_ref, 6) AS cer
+    FROM prs
+    ORDER BY ROUND(levenshtein(ta, tb) * 1.0 / len_ref, 6) ASC, doc_a
+    LIMIT 20
+    """,
+)
+def eval_cer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character error rate between the fixed candidate/reference pairs
+    (even doc_id vs successor): CER = levenshtein(cand, ref)/|ref|, the
+    ASR/OCR-style eval that completes the pair-metric family (BLEU and
+    ROUGE count n-gram overlap, chrF counts char n-grams, CER measures
+    ALIGNED edit cost — the only one of the four that penalizes order).
+    Surfaces the 20 closest pairs.
+
+    Scale note, stated honestly: exact Levenshtein is O(|a|*|b|) PER
+    PAIR — fine here because pairing is 1:1 by key arithmetic (cost is
+    linear in pair count, embarrassingly parallel, no shuffle beyond
+    the pair join), and that is the only regime to run it in at 100 TB.
+    For unpaired corpora use the banded/blocked forms
+    (fuzzy_join_blocked_levenshtein, linkage_symspell_edit1) — never
+    exact DP across a candidate cross-product."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    a = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")
+    )
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("tb"),
+        F.col("n_chars").alias("len_ref"),
+    )
+    ed = F.levenshtein("ta", "tb")
+    return (
+        a.join(b, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            ed.cast("bigint").alias("edit_distance"),
+            F.col("len_ref").cast("bigint").alias("len_ref"),
+            F.round(ed * 1.0 / F.col("len_ref"), 6).alias("cer"),
+        )
+        .orderBy(F.col("cer").asc(), "doc_a")
+        .limit(20)
+    )

@@ -1385,3 +1385,138 @@ def ts_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m", 6).alias("daily_mean"),
         F.round("ph", 6).alias("ph_stat"),
     ).orderBy("day")
+
+
+# --- Hurst exponent (rescaled range) ---------------------------------------------
+
+_HURST_WINDOWS = (5, 10, 15)
+
+
+@query(
+    "ts_hurst_rescaled_range",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS x
+        FROM events GROUP BY day),
+    seq AS (
+        SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+    e AS (
+        SELECT s.day, s.x, s.rn, w.nw,
+               CAST(FLOOR((s.rn - 1) / w.nw) AS INT) AS blk
+        FROM seq s, (VALUES {", ".join(f"({w})" for w in _HURST_WINDOWS)}) AS w(nw)),
+    full_blocks AS (
+        SELECT nw, blk FROM e GROUP BY nw, blk HAVING COUNT(*) = nw),
+    m AS (
+        SELECT e.nw, e.blk, e.day, e.x,
+               CAST(SUM(e.x) OVER (PARTITION BY e.nw, e.blk) AS DOUBLE)
+                   / e.nw AS mean_x
+        FROM e JOIN full_blocks f ON f.nw = e.nw AND f.blk = e.blk),
+    z AS (
+        SELECT nw, blk, day, x, mean_x,
+               SUM(CAST(x - mean_x AS DECIMAL(38,12)))
+                   OVER (PARTITION BY nw, blk ORDER BY day) AS zc
+        FROM m),
+    per_block AS (
+        SELECT nw, blk,
+               CAST(MAX(zc) - MIN(zc) AS DOUBLE) AS r,
+               SQRT(CAST(SUM(CAST((x - mean_x) * (x - mean_x)
+                                  AS DECIMAL(38,12))) AS DOUBLE)
+                    / nw) AS s
+        FROM z GROUP BY nw, blk),
+    rs AS (
+        SELECT nw,
+               CAST(SUM(CAST(r / s AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*) AS rs_avg,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM per_block WHERE s > 0 GROUP BY nw),
+    fit AS (
+        SELECT COUNT(*) AS k,
+               CAST(SUM(CAST(LN(nw) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(LN(rs_avg) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(LN(nw) * LN(nw) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(LN(nw) * LN(rs_avg) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        FROM rs)
+    SELECT {", ".join(f"(SELECT ROUND(rs_avg, 6) FROM rs WHERE nw = {w}) AS rs_w{w}" for w in _HURST_WINDOWS)},
+           (SELECT ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) FROM fit)
+               AS hurst
+    """,
+)
+def ts_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily event-volume series by classic
+    rescaled-range (R/S) analysis: for window sizes {5, 10, 15} days,
+    split the series into full blocks, compute each block's range of
+    cumulative mean-deviations over its (population) std, average per
+    window size, and fit ln(R/S) ~ H * ln(n). H > 0.5 means persistent
+    (trending) volume, < 0.5 mean-reverting — the long-memory
+    diagnostic a capacity planner wants before extrapolating load.
+
+    Exactness: per-block means divide an integer sum by the window
+    constant; cumulative deviations and all averaging sums ride
+    DECIMAL(38,12); the 3-point regression is one closed form. Plan:
+    the corpus collapses to day rows in one aggregate; every window
+    after is partitioned by (window, block) over a calendar-bounded
+    frame — nothing row-scale survives the first reduce."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    seq = daily.withColumn("rn", F.row_number().over(Window.orderBy("day")))
+    e = seq.select(
+        "day", "x", "rn",
+        F.explode(F.array(*[F.lit(w) for w in _HURST_WINDOWS])).alias("nw"),
+    ).withColumn("blk", F.floor((F.col("rn") - 1) / F.col("nw")).cast("int"))
+    full_blocks = (
+        e.groupBy("nw", "blk").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == F.col("nw"))
+        .select("nw", "blk")
+    )
+    m = e.join(full_blocks, ["nw", "blk"]).withColumn(
+        "mean_x",
+        F.sum("x").over(Window.partitionBy("nw", "blk")).cast("double") / F.col("nw"),
+    )
+    z = m.withColumn(
+        "zc",
+        F.sum((F.col("x") - F.col("mean_x")).cast("decimal(38,12)")).over(
+            Window.partitionBy("nw", "blk").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    dev2 = (F.col("x") - F.col("mean_x")) * (F.col("x") - F.col("mean_x"))
+    per_block = z.groupBy("nw", "blk").agg(
+        (F.max("zc") - F.min("zc")).cast("double").alias("r"),
+        F.sqrt(
+            F.sum(dev2.cast("decimal(38,12)")).cast("double") / F.col("nw").cast("double")
+        ).alias("s"),
+    )
+    rs = (
+        per_block.filter(F.col("s") > 0)
+        .groupBy("nw")
+        .agg(
+            (
+                F.sum((F.col("r") / F.col("s")).cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("rs_avg")
+        )
+    )
+    d12 = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    lx, ly = F.log(F.col("nw").cast("double")), F.log("rs_avg")
+    fit = rs.agg(
+        F.count(F.lit(1)).alias("k"),
+        d12(lx).alias("sx"),
+        d12(ly).alias("sy"),
+        d12(lx * lx).alias("sxx"),
+        d12(lx * ly).alias("sxy"),
+        *[
+            F.round(F.max(F.when(F.col("nw") == w, F.col("rs_avg"))), 6).alias(f"rs_w{w}")
+            for w in _HURST_WINDOWS
+        ],
+    )
+    return fit.select(
+        *[f"rs_w{w}" for w in _HURST_WINDOWS],
+        F.round(
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("hurst"),
+    )
