@@ -404,8 +404,12 @@ def test_bloom_audit_certificates(spark):
     assert row["bits_set"] <= 16384  # filter relation bounded by m
     assert row["n_probes"] > 0
     # empirical FPR sane vs fill-ratio theory (deterministic hashes over
-    # sequential keys can sit below theory; never wildly above)
-    assert row["empirical_fpr"] <= 4 * row["theoretical_fpr"] + 0.005
+    # sequential keys can sit below theory; never wildly above). The
+    # additive floor is binomial sampling noise: with n probes a single
+    # chance hit contributes 1/n, so allow 2/n — at sf0.001's 150
+    # probes one false positive (0.0067) is noise, not a bug.
+    noise_floor = max(0.005, 2.0 / row["n_probes"])
+    assert row["empirical_fpr"] <= 4 * row["theoretical_fpr"] + noise_floor
 
 
 # --- RAKE: phrases are stopword-free, ranking is dense per doc ---------------
