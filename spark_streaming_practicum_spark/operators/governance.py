@@ -1296,13 +1296,19 @@ def privacy_dp_topk_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     u = ((h % _DP_M) + 0.5) / _DP_M
     perturbed = F.lit(_DP_EPS) / 2.0 * F.col("n") + (-F.log(-F.log(u)))
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition heaps,
+    # no global sort); the rank window then runs over the 5 surviving
+    # rows only.
+    top = (
+        g.withColumn("perturbed", perturbed)
+        .orderBy(perturbed.desc(), F.col("event_type").asc(), F.col("day").asc())
+        .limit(5)
+    )
     w = Window.orderBy(
-        perturbed.desc(), F.col("event_type").asc(), F.col("day").asc()
+        F.col("perturbed").desc(), F.col("event_type").asc(), F.col("day").asc()
     )
     return (
-        g.withColumn("perturbed", perturbed)
-        .withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= 5)
+        top.withColumn("rk", F.row_number().over(w).cast("int"))
         .select(
             "rk",
             "event_type",
