@@ -1602,18 +1602,23 @@ def rlhf_dpo_implicit_reward(spark: SparkSession, sf_dir: str) -> DataFrame:
     label — the audit machinery is what the operator demonstrates).
 
     Plan: one bigram explode feeds all three count tables AND the
-    scoring stream (the relational-KenLM move); per-doc log-scores
-    reduce with DECIMAL sums so partition order can't move them; the
-    pair join is key arithmetic. At 100 TB the count joins shuffle on
-    n-gram keys — dictionary-encode exactly as lm_stupid_backoff does."""
+    scoring stream (the relational-KenLM move); every count/probe join
+    shuffles on xxhash64-encoded 8-byte keys, never prose strings (the
+    lm_stupid_backoff discipline); per-doc log-scores reduce with
+    DECIMAL sums so partition order can't move them; the pair join is
+    key arithmetic."""
     d = table(spark, sf_dir, "documents")
     bg = (
         d.select("doc_id", tokens("text").alias("_w"))
         .select("doc_id", F.explode(shingles(F.col("_w"), 2)).alias("bigram"))
         .select(
             "doc_id",
-            F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
-            F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
+            # keys dictionary-encoded to xxhash64 longs at the scan (the
+            # lm_stupid_backoff discipline): the output carries only
+            # per-doc aggregates, so the oracle's string joins and these
+            # long joins agree by injectivity
+            F.xxhash64(F.split(F.col("bigram"), " ").getItem(0)).alias("w1"),
+            F.xxhash64(F.split(F.col("bigram"), " ").getItem(1)).alias("w2"),
         )
         .transform(_persisted)
     )
