@@ -41,7 +41,7 @@ record = st.one_of(valid_record, extra_record, invalid_record)
 batch = st.lists(record, min_size=1, max_size=6)
 
 _SETTINGS = settings(
-    max_examples=15,
+    max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

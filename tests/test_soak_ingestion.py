@@ -4,7 +4,7 @@ The reference producer emits 100-event batches every 10 s (~10 events/s;
 /root/reference/docker-compose.yaml) with fault injection at corruption
 0.1 / invalid 0.1 / duplicates 0.1. This soak drives the SAME full
 parse -> validate -> route -> dual-parquet-sink path at ~1000 events/s
-for ~35 s of WALL-CLOCK-PACED production (files land while the stream
+for ~28 s of WALL-CLOCK-PACED production (files land while the stream
 runs — not a pre-staged directory), then certifies:
 
 1. the keep-up SLO (BASELINE.md): processedRowsPerSecond >=
@@ -45,7 +45,7 @@ EVENT_SCHEMA = T.StructType(
 
 BATCH_SIZE = 200
 BATCHES_PER_SEC = 5  # x200 = ~1000 events/s, ~100x the reference rate
-DURATION_S = 35  # wall-clock floor of the test; 60 s adds no new assertion power
+DURATION_S = 28  # wall-clock floor of the test; longer adds no new assertion power
 TOTAL_BATCHES = BATCHES_PER_SEC * DURATION_S
 INVALID = 0.1
 DUPS = 0.1
