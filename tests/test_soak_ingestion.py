@@ -148,9 +148,15 @@ def test_soak_sustained_reference_rates_x100(spark, tmp_path):
         "processedRowsPerSecond >= inputRowsPerSecond"
     )
     # progress rows are SOURCE rows = one JSON-array line per batch file
-    # (200 events each); convert to events/s for the SLO number
-    total_rows = sum(p["numInputRows"] for p in loaded)
-    total_proc_s = sum(p["durationMs"]["triggerExecution"] for p in loaded) / 1000.0
+    # (200 events each); convert to events/s for the SLO number. The
+    # aggregate is STEADY-STATE throughput: the first loaded micro-batch
+    # pays one-time parquet-writer init + codegen and is excluded here
+    # (it still counts in the per-batch keep-up majority above) — at the
+    # 28 s pacing window that cold batch otherwise weighs ~3% of the
+    # total and turns session warm-up into an SLO flake.
+    steady = sorted(loaded, key=lambda p: p["batchId"])[1:]
+    total_rows = sum(p["numInputRows"] for p in steady)
+    total_proc_s = sum(p["durationMs"]["triggerExecution"] for p in steady) / 1000.0
     agg_events_per_s = total_rows * BATCH_SIZE / total_proc_s
     assert agg_events_per_s >= BATCHES_PER_SEC * BATCH_SIZE, (
         f"aggregate processing rate {agg_events_per_s:.0f} events/s "
