@@ -17,7 +17,14 @@ SF_DIR = os.environ.get("SSP_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    session = build_session(app_name="ssp-tests")
+    # 8 shuffle partitions for the test session (the driver-contract
+    # environment uses the same): at sf0.001/sf0.01 the suite runs
+    # thousands of tiny reduce stages, and 32 reduce tasks per stage is
+    # pure scheduling overhead. Every registered query's RESULT is
+    # partition-invariant by construction (decimal-sum discipline,
+    # two-pass ranks) — test_results_invariant_to_shuffle_partitioning
+    # pins exactly that at 7 vs 32.
+    session = build_session(app_name="ssp-tests", shuffle_partitions=8)
     yield session
     session.stop()
 

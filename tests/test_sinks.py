@@ -180,7 +180,7 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
 
 
 def test_aqe_coalesces_small_shuffle_partitions(spark):
-    """AQE must collapse the configured 32 shuffle partitions down to a
+    """AQE must collapse the configured shuffle partitions down to a
     handful when the data is tiny — the executed plan carries
     AQEShuffleRead(coalesced). On a cluster this is what keeps small
     stages from scheduling thousands of empty tasks."""
