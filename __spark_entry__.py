@@ -65,8 +65,10 @@ _NEWEST_FIRST = [
     "rlhf_dpo_implicit_reward",
     "eval_cer_pairs",
     "ts_hurst_rescaled_range",
+    "graph_mst_boruvka_round",
+    "window_sliding_median_daily",
     # never-driver-sampled rotation, tranche 2: the driver's 50-sample
-    # reaches 32 of these (45 first-time names total this round)
+    # reaches 30 of these (45 first-time names total this round)
     "ingest_valid_roundtrip_sample",
     "scalar_variant_json",
     "scalar_xml_roundtrip",

@@ -213,6 +213,8 @@ HEADLINE = [
     "rlhf_dpo_implicit_reward",
     "eval_cer_pairs",
     "ts_hurst_rescaled_range",
+    "graph_mst_boruvka_round",
+    "window_sliding_median_daily",
 ]
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.aggs import dsum, dsum_sql
 from ..registry import query
 
 
@@ -422,3 +423,52 @@ def window_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last(edge, ignorenulls=True).over(w), F.lit(0)
         ).cast("int").alias("alert_state"),
     )
+
+
+# --- exact sliding median ----------------------------------------------------------
+
+
+@query(
+    "window_sliding_median_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               {dsum_sql('value')} / COUNT(*) AS m
+        FROM events GROUP BY day)
+    SELECT CAST(day AS DATE) AS day, ROUND(m, 6) AS daily_mean,
+           ROUND(quantile_cont(m, 0.5) OVER (
+                     ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 6) AS median7
+    FROM daily ORDER BY day
+    """,
+)
+def window_sliding_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 7-day sliding median of the daily mean event value — the
+    robust smoother a monitor wants where a sliding mean would chase
+    outliers. Spark has no exact median window aggregate, so the frame
+    is materialized as a bounded collect_list window (7 elements by
+    construction) and the median is computed by HOF array_sort +
+    element arithmetic — interpolating between the two mid elements on
+    even counts, exactly DuckDB's quantile_cont(0.5) semantics.
+
+    Exactness: daily means are DECIMAL-sum/count doubles, identical in
+    both engines; sorting 7 identical doubles and averaging two of
+    them is deterministic. Plan: the corpus collapses to day rows
+    first, so the per-row list frame is 7 elements over a
+    calendar-bounded series — O(1) memory per row at any corpus scale
+    (the pattern to AVOID is this same window over raw events)."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg((dsum("value") / F.count(F.lit(1))).alias("m"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("m").over(w))
+    k = F.size(arr)
+    lo = F.element_at(arr, ((k + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (k / 2 + 1).cast("int"))
+    return daily.select(
+        F.col("day").cast("date").alias("day"),
+        F.round("m", 6).alias("daily_mean"),
+        F.round((lo + hi) / 2.0, 6).alias("median7"),
+    ).orderBy("day")
