@@ -155,49 +155,10 @@ _NEWEST_FIRST = [
     "retrieval_wand_prune_certificate",
     "graph_adamic_adar_link_pred",
     "opt_hilbert_vs_zorder_locality",
-    # never-driver-sampled rotation, tranche 1 (ingest -> scalar ->
-    # set -> window -> join): with the 33 rows above (redemption + 3
-    # changed + 29 new), the driver's 50-sample reaches 17 of these —
-    # 46 first-time names total this round
+    # round-5 tranche-1 names not re-listed above (dict insertion keeps
+    # the FIRST occurrence, so the tranche-2 head owns the shared names)
     "ingest_route_valid_agg",
     "ingest_dead_letter_reasons",
-    "ingest_valid_roundtrip_sample",
-    "scalar_variant_json",
-    "scalar_xml_roundtrip",
-    "scalar_bit_ops",
-    "scalar_array_setops",
-    "scalar_greatest_least",
-    "scalar_pad_trim",
-    "scalar_try_cast",
-    "scalar_posexplode_ordinality",
-    "scalar_string_fns",
-    "scalar_regexp",
-    "scalar_date_fns",
-    "scalar_math_fns",
-    "scalar_array_fns",
-    "scalar_json_fns",
-    "scalar_case_conditional",
-    "scalar_hash_fns",
-    "scalar_null_safe_eq",
-    "scalar_map_fns",
-    "set_except_all",
-    "set_union_by_name",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_intersect_all",
-    "window_funnel_within_time",
-    "window_nth_value",
-    "window_cume_dist",
-    "window_topk_per_group",
-    "window_rank_dense",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_moving_avg",
-    "window_ntile",
-    "window_sessionize",
-    "window_range_frame",
     "window_ratio_to_report",
     "join_inner_equi",
     "join_left_outer",

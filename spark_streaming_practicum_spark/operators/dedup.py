@@ -98,7 +98,11 @@ def dedup_keep_first_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # downstream plans from re-running the upstream joins. Keyed by
 # applicationId so a fresh session (fresh code, fresh lake) never sees
 # a stale frame. All memoized frames are small: shingles are
-# O(corpus tokens) and pair sets are O(true near-dup pairs).
+# O(corpus tokens) and pair sets are O(true near-dup pairs). The store
+# is FIFO-bounded: a long-lived session sweeping many lakes (the scale
+# probes do exactly this) must not pin every lake's checkpoint blocks —
+# dropping the dict reference lets the ContextCleaner reclaim them.
+_SESSION_MEMO_CAP = 12
 _session_memo_store: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -108,6 +112,8 @@ def _session_memo(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFram
     if cached is None:
         cached = build().localCheckpoint(eager=True)
         _session_memo_store[key] = cached
+        while len(_session_memo_store) > _SESSION_MEMO_CAP:
+            _session_memo_store.pop(next(iter(_session_memo_store)))
     return cached
 
 
