@@ -67,6 +67,9 @@ _NEWEST_FIRST = [
     "ts_hurst_rescaled_range",
     "graph_mst_boruvka_round",
     "window_sliding_median_daily",
+    "stats_bartlett_variances",
+    "stats_cochran_q",
+    "ts_dft_top_periods",
     # never-driver-sampled rotation, tranche 2: the driver's 50-sample
     # reaches 30 of these (45 first-time names total this round)
     "ingest_valid_roundtrip_sample",

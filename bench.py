@@ -215,6 +215,9 @@ HEADLINE = [
     "ts_hurst_rescaled_range",
     "graph_mst_boruvka_round",
     "window_sliding_median_daily",
+    "stats_bartlett_variances",
+    "stats_cochran_q",
+    "ts_dft_top_periods",
 ]
 
 

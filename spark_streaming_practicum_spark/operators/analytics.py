@@ -5269,3 +5269,141 @@ def drift_mmd_linear_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("mmd2_linear"),
     )
+
+
+# --- Bartlett variance-homogeneity test ----------------------------------------
+
+
+@query(
+    "stats_bartlett_variances",
+    oracle="""
+    WITH grp AS (
+        SELECT event_type, COUNT(*) AS n_g,
+               CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS ss
+        FROM events GROUP BY event_type),
+    v AS (
+        SELECT event_type, n_g,
+               (ss - s * s / n_g) / (n_g - 1) AS var_g
+        FROM grp),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               SUM((n_g - 1) * var_g) AS pooled_num,
+               CAST(SUM(CAST((n_g - 1) * LN(var_g) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS sum_ln,
+               CAST(SUM(CAST(1.0 / (n_g - 1) AS DECIMAL(38,12))) AS DOUBLE)
+                   AS sum_inv
+        FROM v)
+    SELECT k AS k_groups, n AS n_total,
+           ROUND(((n - k) * LN(pooled_num / (n - k)) - sum_ln)
+                 / (1.0 + (sum_inv - 1.0 / (n - k)) / (3.0 * (k - 1))), 6)
+               AS bartlett_chi2
+    FROM agg
+    """,
+)
+def stats_bartlett_variances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for variance homogeneity across event types —
+    the parametric counterpart to levene_brown_forsythe (Bartlett is
+    more powerful under normality, Levene robust to skew; a stats
+    pipeline reports both): chi2 = [(N-k) ln(S_p^2) - sum (n_i-1)
+    ln(S_i^2)] / C with the standard correction term C.
+
+    Plan: ONE grouped aggregate computes every group's count/sum/
+    sum-of-squares (DECIMAL-accumulated), one reduce assembles the
+    statistic — two shuffles total, nothing row-scale past the first.
+    Sample variances divide exact sums, so both engines take logs of
+    identical doubles."""
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    grp = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        dec(F.col("value")).alias("s"),
+        dec(F.col("value") * F.col("value")).alias("ss"),
+    )
+    v = grp.select(
+        "n_g",
+        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n_g")) / (F.col("n_g") - 1)).alias("var_g"),
+    )
+    agg = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum((F.col("n_g") - 1) * F.col("var_g")).alias("pooled_num"),
+        dec((F.col("n_g") - 1) * F.log("var_g")).alias("sum_ln"),
+        dec(F.lit(1.0) / (F.col("n_g") - 1)).alias("sum_inv"),
+    )
+    k, n = F.col("k"), F.col("n")
+    chi2 = (
+        (n - k) * F.log(F.col("pooled_num") / (n - k)) - F.col("sum_ln")
+    ) / (1.0 + (F.col("sum_inv") - 1.0 / (n - k)) / (3.0 * (k - 1)))
+    return agg.select(
+        k.alias("k_groups"), n.alias("n_total"), F.round(chi2, 6).alias("bartlett_chi2")
+    )
+
+
+# --- Cochran's Q --------------------------------------------------------------
+
+
+_COCHRAN_TASKS = ("view", "click", "purchase")
+
+
+@query(
+    "stats_cochran_q",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               {", ".join(f"MAX(CASE WHEN event_type = '{t}' AND value > 100 THEN 1 ELSE 0 END) AS x{i}" for i, t in enumerate(_COCHRAN_TASKS))}
+        FROM events GROUP BY user_id),
+    rowagg AS (
+        SELECT user_id, x0 + x1 + x2 AS l FROM u),
+    cols AS (
+        SELECT CAST(SUM(x0) AS BIGINT) AS g0, CAST(SUM(x1) AS BIGINT) AS g1,
+               CAST(SUM(x2) AS BIGINT) AS g2
+        FROM u),
+    rows_ AS (
+        SELECT CAST(SUM(l) AS BIGINT) AS sl, CAST(SUM(l * l) AS BIGINT) AS sll,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM rowagg)
+    SELECT n_users,
+           ROUND(3.0 * 2.0 * ((g0 - sl / 3.0) * (g0 - sl / 3.0)
+                            + (g1 - sl / 3.0) * (g1 - sl / 3.0)
+                            + (g2 - sl / 3.0) * (g2 - sl / 3.0))
+                 / (3.0 * sl - sll), 6) AS cochran_q
+    FROM cols, rows_
+    """,
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q for k=3 MATCHED binary treatments per user — did the
+    user have a high-value (>100) view / click / purchase? — the
+    within-subject extension of McNemar to k conditions: Q = k(k-1)
+    sum_j (G_j - mean)^2 / (k*sum L_u - sum L_u^2), asymptotically
+    chi2(k-1) under "all treatments equally likely".
+
+    Plan: ONE user-keyed pivot aggregate produces the k binary columns,
+    one reduce computes the column totals and the row-sum moments — the
+    entire test is two shuffles, all counts integers, one final
+    division."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    u = e.groupBy("user_id").agg(
+        *[
+            F.max(
+                F.when((F.col("event_type") == t) & (F.col("value") > 100), 1).otherwise(0)
+            ).alias(f"x{i}")
+            for i, t in enumerate(_COCHRAN_TASKS)
+        ]
+    )
+    l = sum(F.col(f"x{i}") for i in range(len(_COCHRAN_TASKS)))
+    agg = u.select("*", l.alias("l")).agg(
+        *[F.sum(f"x{i}").cast("bigint").alias(f"g{i}") for i in range(len(_COCHRAN_TASKS))],
+        F.sum("l").cast("bigint").alias("sl"),
+        F.sum(F.col("l") * F.col("l")).cast("bigint").alias("sll"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    k = float(len(_COCHRAN_TASKS))
+    mean = F.col("sl") / F.lit(k)
+    num = sum(
+        (F.col(f"g{i}") - mean) * (F.col(f"g{i}") - mean)
+        for i in range(len(_COCHRAN_TASKS))
+    )
+    q = F.lit(k) * F.lit(k - 1.0) * num / (F.lit(k) * F.col("sl") - F.col("sll"))
+    return agg.select("n_users", F.round(q, 6).alias("cochran_q"))

@@ -1520,3 +1520,84 @@ def ts_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hurst"),
     )
+
+
+# --- DFT dominant periods --------------------------------------------------------
+
+_DFT_PI = 3.141592653589793
+_DFT_MAX_PERIOD = 14
+
+
+@query(
+    "ts_dft_top_periods",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS x
+        FROM events GROUP BY day),
+    seq AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY day) - 1 AS d,
+               CAST(AVG(x) OVER () AS DOUBLE) AS mu
+        FROM daily),
+    proj AS (
+        SELECT p.p,
+               CAST(SUM(CAST((s.x - s.mu) * COS(2 * {_DFT_PI} * s.d / p.p)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS c,
+               CAST(SUM(CAST((s.x - s.mu) * SIN(2 * {_DFT_PI} * s.d / p.p)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS s
+        FROM seq s, unnest(generate_series(2, {_DFT_MAX_PERIOD})) AS p(p)
+        GROUP BY p.p),
+    scored AS (
+        SELECT CAST(p AS INT) AS period_days,
+               ROUND(c * c + s * s, 4) AS power,
+               ROW_NUMBER() OVER (ORDER BY ROUND(c * c + s * s, 4) DESC, p ASC)
+                   AS rk
+        FROM proj)
+    SELECT CAST(rk AS INT) AS rk, period_days, power
+    FROM scored WHERE rk <= 3 ORDER BY rk
+    """,
+)
+def ts_dft_top_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant periodicities of the daily event-volume series by
+    direct DFT projection: for each candidate period p in [2, 14]
+    days, power(p) = (sum x~ cos(2 pi d/p))^2 + (sum x~ sin(2 pi d/p))^2
+    over the mean-removed series — the spectral complement to the
+    autocorrelation family (ACF finds lags, this ranks PERIODS; a
+    weekly cycle shows up at p=7). Top-3 periods reported.
+
+    Exactness: the angle is integer-day arithmetic against an explicit
+    pi literal; cos/sin are 1-ulp libm calls in both engines whose
+    difference vanishes under DECIMAL-summed projections and the
+    4-decimal round (the same tolerance class as the exp/ln ops).
+    Plan: one corpus aggregate to day rows; the projection is a
+    (day x 13 periods) explode over a calendar-bounded frame — one
+    small groupBy, one top-3."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy("day")
+    seq = daily.select(
+        "x",
+        (F.row_number().over(w) - 1).alias("d"),
+        F.avg("x").over(Window.partitionBy()).cast("double").alias("mu"),
+    )
+    e = seq.select(
+        "x", "d", "mu",
+        F.explode(F.sequence(F.lit(2), F.lit(_DFT_MAX_PERIOD))).alias("p"),
+    )
+    ang = 2 * F.lit(_DFT_PI) * F.col("d") / F.col("p")
+    xm = F.col("x") - F.col("mu")
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    proj = e.groupBy("p").agg(
+        dec(xm * F.cos(ang)).alias("c"), dec(xm * F.sin(ang)).alias("s")
+    )
+    power = F.round(F.col("c") * F.col("c") + F.col("s") * F.col("s"), 4)
+    wrk = Window.orderBy(power.desc(), F.col("p").asc())
+    return (
+        proj.withColumn("power", power)
+        .withColumn("rk", F.row_number().over(wrk).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("rk", F.col("p").cast("int").alias("period_days"), "power")
+        .orderBy("rk")
+    )
