@@ -70,6 +70,7 @@ _NEWEST_FIRST = [
     "stats_bartlett_variances",
     "stats_cochran_q",
     "ts_dft_top_periods",
+    "stats_jonckheere_terpstra",
     # never-driver-sampled rotation, tranche 2: the driver's 50-sample
     # reaches 30 of these (45 first-time names total this round)
     "ingest_valid_roundtrip_sample",

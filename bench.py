@@ -218,6 +218,7 @@ HEADLINE = [
     "stats_bartlett_variances",
     "stats_cochran_q",
     "ts_dft_top_periods",
+    "stats_jonckheere_terpstra",
 ]
 
 

@@ -5407,3 +5407,101 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = F.lit(k) * F.lit(k - 1.0) * num / (F.lit(k) * F.col("sl") - F.col("sll"))
     return agg.select("n_users", F.round(q, 6).alias("cochran_q"))
+
+
+# --- Jonckheere-Terpstra ordered trend -------------------------------------------
+
+_JT_GROUPS = 5  # o_orderpriority '1-URGENT' .. '5-LOW' sorts in test order
+
+
+@query(
+    "stats_jonckheere_terpstra",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_totalprice AS v,
+               CAST(substr(o_orderpriority, 1, 1) AS INT) - 1 AS gi
+        FROM orders),
+    pv AS (
+        SELECT v,
+               {", ".join(f"CAST(SUM(CASE WHEN gi = {i} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}" for i in range(_JT_GROUPS))}
+        FROM g GROUP BY v),
+    cum AS (
+        SELECT v,
+               {", ".join(f"c{i}" for i in range(_JT_GROUPS))},
+               {", ".join(f"SUM(c{i}) OVER (ORDER BY v) - c{i} AS l{i}" for i in range(_JT_GROUPS))}
+        FROM pv),
+    jt AS (
+        SELECT CAST(SUM({" + ".join(f"2 * c{j} * l{i} + c{i} * c{j}" for i in range(_JT_GROUPS) for j in range(_JT_GROUPS) if i < j)}) AS BIGINT) AS jt2
+        FROM cum),
+    sizes AS (
+        SELECT CAST(SUM({" + ".join(f"c{i}" for i in range(_JT_GROUPS))}) AS BIGINT) AS n,
+               CAST(SUM({" + ".join(f"c{i}" for i in range(_JT_GROUPS))}) AS DOUBLE) AS nd,
+               {", ".join(f"CAST(SUM(c{i}) AS DOUBLE) AS n{i}" for i in range(_JT_GROUPS))}
+        FROM pv)
+    SELECT s.n AS n_total, j.jt2 / 2.0 AS jt_stat,
+           ROUND((j.jt2 / 2.0
+                  - (s.nd * s.nd - ({" + ".join(f"n{i} * n{i}" for i in range(_JT_GROUPS))})) / 4.0)
+                 / SQRT((s.nd * s.nd * (2 * s.nd + 3)
+                         - ({" + ".join(f"n{i} * n{i} * (2 * n{i} + 3)" for i in range(_JT_GROUPS))})) / 72.0),
+                 6) AS z_stat
+    FROM jt j, sizes s
+    """,
+)
+def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED trend in order value
+    across the five priority classes ('1-URGENT' < ... < '5-LOW'):
+    JT = sum over group pairs i<j of the Mann-Whitney count
+    #{x in G_i, y in G_j : x < y} (+ half-ties), z against the
+    no-trend mean (N^2 - sum n_i^2)/4 and the standard null variance.
+    The test to run when the alternative is MONOTONE in a known group
+    ordering — strictly more powerful there than Kruskal-Wallis, which
+    this complements.
+
+    The rank machinery never materializes pairs OR per-row ranks (same
+    discipline as wilcoxon_signed_rank): grouping by the distinct value
+    pivots per-group counts c_i(v); a prefix sum ordered by value gives
+    L_i(v) = #{group-i values strictly below v}; then 2*JT =
+    sum_v sum_{i<j} [2 c_j(v) L_i(v) + c_i(v) c_j(v)] — an integer, so
+    both engines agree bit-for-bit before the one final division.
+    Shuffle keys: the distinct value (pivot + prefix sum); driver state
+    is P partial sums from the range-partitioned cumulative pass."""
+    from ..functions.ranks import global_cumulative_sums
+
+    k = _JT_GROUPS
+    g = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        (F.substring("o_orderpriority", 1, 1).cast("int") - 1).alias("gi"),
+    )
+    pv = g.groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("gi") == i, 1).otherwise(0)).alias(f"c{i}")
+            for i in range(k)
+        ]
+    )
+    cum = global_cumulative_sums(pv, [F.col("v").asc()], [f"c{i}" for i in range(k)])
+    jt2_term = sum(
+        2 * F.col(f"c{j}") * (F.col(f"cum_c{i}") - F.col(f"c{i}"))
+        + F.col(f"c{i}") * F.col(f"c{j}")
+        for i in range(k)
+        for j in range(k)
+        if i < j
+    )
+    agg = cum.agg(
+        F.sum(jt2_term).cast("bigint").alias("jt2"),
+        F.sum(sum(F.col(f"c{i}") for i in range(k))).cast("bigint").alias("n"),
+        *[F.sum(f"c{i}").cast("double").alias(f"n{i}") for i in range(k)],
+    )
+    nd = F.col("n").cast("double")
+    sum_ni2 = sum(F.col(f"n{i}") * F.col(f"n{i}") for i in range(k))
+    sum_var = sum(
+        F.col(f"n{i}") * F.col(f"n{i}") * (2 * F.col(f"n{i}") + 3) for i in range(k)
+    )
+    jt = F.col("jt2") / 2.0
+    z = (jt - (nd * nd - sum_ni2) / 4.0) / F.sqrt(
+        (nd * nd * (2 * nd + 3) - sum_var) / 72.0
+    )
+    return agg.select(
+        F.col("n").alias("n_total"),
+        jt.alias("jt_stat"),
+        F.round(z, 6).alias("z_stat"),
+    )
