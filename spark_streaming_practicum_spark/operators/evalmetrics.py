@@ -1426,12 +1426,17 @@ def eval_chrf2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- character error rate --------------------------------------------------------
 
 
+_CER_WINDOW = 1500  # per-pair DP bound: ~2.25M cells worst case
+
+
 @query(
     "eval_cer_pairs",
-    oracle="""
+    oracle=f"""
     WITH prs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.text AS ta, b.text AS tb, b.n_chars AS len_ref
+               substr(a.text, 1, {_CER_WINDOW}) AS ta,
+               substr(b.text, 1, {_CER_WINDOW}) AS tb,
+               LEAST(b.n_chars, {_CER_WINDOW}) AS len_ref
         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         WHERE a.doc_id % 2 = 0)
     SELECT doc_a, doc_b,
@@ -1452,21 +1457,24 @@ def eval_cer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Surfaces the 20 closest pairs.
 
     Scale note, stated honestly: exact Levenshtein is O(|a|*|b|) PER
-    PAIR — fine here because pairing is 1:1 by key arithmetic (cost is
-    linear in pair count, embarrassingly parallel, no shuffle beyond
-    the pair join), and that is the only regime to run it in at 100 TB.
-    For unpaired corpora use the banded/blocked forms
-    (fuzzy_join_blocked_levenshtein, linkage_symspell_edit1) — never
-    exact DP across a candidate cross-product."""
+    PAIR, so the DP runs on a fixed prefix WINDOW (first 1500 chars —
+    never binding on this corpus, whose docs max out under 600 chars;
+    on a long-document lake it bounds the per-pair cost at ~2.25M DP
+    cells, where the CER estimate has long converged). Pairing is 1:1
+    by key arithmetic — cost is linear in pair count, embarrassingly
+    parallel, no shuffle beyond the pair join. For unpaired corpora use
+    the banded/blocked forms (fuzzy_join_blocked_levenshtein,
+    linkage_symspell_edit1) — never exact DP across a cross-product."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     a = d.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, _CER_WINDOW).alias("ta"),
     )
     b = d.select(
         (F.col("doc_id") - 1).alias("doc_a"),
         F.col("doc_id").alias("doc_b"),
-        F.col("text").alias("tb"),
-        F.col("n_chars").alias("len_ref"),
+        F.substring("text", 1, _CER_WINDOW).alias("tb"),
+        F.least("n_chars", F.lit(_CER_WINDOW)).alias("len_ref"),
     )
     ed = F.levenshtein("ta", "tb")
     return (
