@@ -71,6 +71,7 @@ _NEWEST_FIRST = [
     "stats_cochran_q",
     "ts_dft_top_periods",
     "stats_jonckheere_terpstra",
+    "sketch_count_min_audit",
     # never-driver-sampled rotation, tranche 2: the driver's 50-sample
     # reaches 30 of these (45 first-time names total this round)
     "ingest_valid_roundtrip_sample",

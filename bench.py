@@ -219,6 +219,7 @@ HEADLINE = [
     "stats_cochran_q",
     "ts_dft_top_periods",
     "stats_jonckheere_terpstra",
+    "sketch_count_min_audit",
 ]
 
 

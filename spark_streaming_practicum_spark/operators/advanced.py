@@ -1221,3 +1221,131 @@ def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_false_negatives",
         )
     )
+
+
+# --- Count-Min sketch audit -----------------------------------------------------
+
+_CMS_W = 64  # counters per row (deliberately tight so collisions show)
+_CMS_D = 3  # hash rows; reuses the portable Bloom salt family
+
+
+def _cms_pos_sql(key: str, i: int) -> str:
+    a, b = _BLOOM_SALTS[i]
+    return f"((({key} % {_BLOOM_P}) * {a} + {b}) % {_BLOOM_P}) % {_CMS_W}"
+
+
+@query(
+    "sketch_count_min_audit",
+    oracle=f"""
+    WITH truth AS (
+        SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id),
+    cells AS (
+        SELECT r.r, {_cms_pos_sql('t.k', 0)} * CAST(r.r = 0 AS INT)
+                  + {_cms_pos_sql('t.k', 1)} * CAST(r.r = 1 AS INT)
+                  + {_cms_pos_sql('t.k', 2)} * CAST(r.r = 2 AS INT) AS pos,
+               SUM(t.c) AS v
+        FROM truth t, (VALUES (0), (1), (2)) AS r(r)
+        GROUP BY 1, 2),
+    est AS (
+        SELECT t.k, t.c,
+               MIN(c0.v) AS est
+        FROM truth t
+        JOIN cells c0
+          ON (c0.r = 0 AND c0.pos = {_cms_pos_sql('t.k', 0)})
+          OR (c0.r = 1 AND c0.pos = {_cms_pos_sql('t.k', 1)})
+          OR (c0.r = 2 AND c0.pos = {_cms_pos_sql('t.k', 2)})
+        GROUP BY t.k, t.c),
+    ranked AS (
+        SELECT k, c, est,
+               ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS rk
+        FROM est)
+    SELECT CAST(rk AS INT) AS rk, k AS user_id,
+           CAST(c AS BIGINT) AS true_count, CAST(est AS BIGINT) AS cms_estimate,
+           CAST(est - c AS BIGINT) AS overestimate,
+           (SELECT COUNT(*) = 0 FROM est WHERE est < c) AS never_underestimates
+    FROM ranked WHERE rk <= 10 ORDER BY rk
+    """,
+)
+def sketch_count_min_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode-Muthukrishnan) point-query audit over
+    per-user event counts: d=3 portable hash rows x w=64 counters
+    (deliberately tight so collisions are VISIBLE), estimate =
+    min over rows of the hashed cell, certified against exact truth on
+    the top-10 users. The defining CMS guarantee — estimates NEVER
+    underestimate — is computed in-query as a distributed boolean; the
+    per-key overestimate column shows the collision noise the min
+    operation is suppressing. Completes the sketch family (Misra-Gries
+    = heavy hitters, HLL/theta = distinct, Bloom = membership,
+    KLL-style mergeable quantiles; CMS = point frequencies).
+
+    Plan: the sketch is RELATIONAL — (row, cell) -> counter rows built
+    by one aggregate over the (already tiny) per-key truth frame; at
+    100 TB the build aggregates raw events by (row, cell) directly
+    (3 x 64 counter rows out of any volume, fully partial-aggregable)
+    and the probe is a broadcast join of 192 cells."""
+    t = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(_persisted)
+    )
+
+    def pos(col, i):
+        a, b = _BLOOM_SALTS[i]
+        return ((col % _BLOOM_P) * F.lit(a) + F.lit(b)) % _BLOOM_P % _CMS_W
+
+    cells = (
+        t.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("r"), pos(F.col("k"), i).alias("pos"))
+                        for i in range(_CMS_D)
+                    ]
+                )
+            ).alias("rc"),
+            "c",
+        )
+        .groupBy("rc.r", "rc.pos")
+        .agg(F.sum("c").alias("v"))
+    )
+    probes = t.select(
+        "k",
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("r"), pos(F.col("k"), i).alias("pos"))
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("rc"),
+    ).select("k", "c", "rc.r", "rc.pos")
+    est = (
+        probes.join(F.broadcast(cells), ["r", "pos"])
+        .groupBy("k", "c")
+        .agg(F.min("v").alias("est"))
+        .transform(_persisted)
+    )
+    cert = F.broadcast(
+        est.agg(
+            (F.sum((F.col("est") < F.col("c")).cast("int")) == 0).alias(
+                "never_underestimates"
+            )
+        )
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("k").asc())
+    return (
+        est.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 10)
+        .crossJoin(cert)
+        .select(
+            "rk",
+            F.col("k").alias("user_id"),
+            F.col("c").cast("bigint").alias("true_count"),
+            F.col("est").cast("bigint").alias("cms_estimate"),
+            (F.col("est") - F.col("c")).cast("bigint").alias("overestimate"),
+            "never_underestimates",
+        )
+        .orderBy("rk")
+    )
