@@ -72,6 +72,7 @@ _NEWEST_FIRST = [
     "ts_dft_top_periods",
     "stats_jonckheere_terpstra",
     "sketch_count_min_audit",
+    "opt_selinger_join_order",
     # never-driver-sampled rotation, tranche 2: the driver's 50-sample
     # reaches 30 of these (45 first-time names total this round)
     "ingest_valid_roundtrip_sample",

@@ -220,6 +220,7 @@ HEADLINE = [
     "ts_dft_top_periods",
     "stats_jonckheere_terpstra",
     "sketch_count_min_audit",
+    "opt_selinger_join_order",
 ]
 
 

@@ -1349,3 +1349,135 @@ def sketch_count_min_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# --- Selinger join-order audit ----------------------------------------------------
+
+# Left-deep, cross-join-free orders of the chain customer-orders-lineitem-
+# supplier, with their two intermediate results. NDV of a join key in an
+# intermediate is taken from its base table (the textbook System R
+# simplification).
+_SELINGER_ORDERS = (
+    ("c>o>l>s", ("co", "col")),
+    ("o>l>c>s", ("ol", "col")),
+    ("o>l>s>c", ("ol", "ols")),
+    ("l>s>o>c", ("ls", "ols")),
+)
+
+
+@query(
+    "opt_selinger_join_order",
+    oracle=f"""
+    WITH st AS (
+        SELECT (SELECT COUNT(*) FROM customer) AS nc,
+               (SELECT COUNT(*) FROM orders) AS no_,
+               (SELECT COUNT(*) FROM lineitem) AS nl,
+               (SELECT COUNT(*) FROM supplier) AS ns,
+               (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS dc_ck,
+               (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS do_ck,
+               (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS do_ok,
+               (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS dl_ok,
+               (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem) AS dl_sk,
+               (SELECT COUNT(DISTINCT s_suppkey) FROM supplier) AS ds_sk),
+    inter AS (
+        SELECT nc * no_ * 1.0 / GREATEST(dc_ck, do_ck) AS co,
+               no_ * nl * 1.0 / GREATEST(do_ok, dl_ok) AS ol,
+               nl * ns * 1.0 / GREATEST(dl_sk, ds_sk) AS ls,
+               nc * no_ * 1.0 / GREATEST(dc_ck, do_ck) * nl
+                   / GREATEST(do_ok, dl_ok) AS col,
+               no_ * nl * 1.0 / GREATEST(do_ok, dl_ok) * ns
+                   / GREATEST(dl_sk, ds_sk) AS ols
+        FROM st),
+    costs AS (
+        SELECT o.ord, o.c1 + o.c2 AS cost
+        FROM inter i, LATERAL (VALUES
+            ('c>o>l>s', i.co, i.col),
+            ('o>l>c>s', i.ol, i.col),
+            ('o>l>s>c', i.ol, i.ols),
+            ('l>s>o>c', i.ls, i.ols)) AS o(ord, c1, c2))
+    SELECT ord AS join_order, ROUND(cost, 2) AS est_intermediate_rows,
+           cost = (SELECT MIN(cost) FROM costs) AS is_best
+    FROM costs ORDER BY join_order
+    """,
+)
+def opt_selinger_join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selinger/System R join-order audit on the 4-table chain
+    customer - orders - lineitem - supplier: measure the REAL base
+    statistics (row counts, exact join-key NDVs), estimate every
+    cross-join-free left-deep order's intermediate sizes with the
+    textbook model |R join_k S| = |R||S| / max(ndv_k(R), ndv_k(S)),
+    and rank the orders by summed intermediate cardinality. This is
+    the arithmetic a CBO runs before picking a plan — auditing it
+    against measured stats is how you debug a bad join order at
+    100 TB (complements opt_join_cardinality_estimate, which scores
+    the model's per-join q-error).
+
+    Plan: one stats aggregate per table (exact distinct counts are
+    two-phase partial aggregates), broadcast-crossed into a single
+    stats row; the 4-order enumeration is a constant-sized union of
+    column expressions — no data moves after the stats pass."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    st = (
+        c.agg(
+            F.count(F.lit(1)).alias("nc"),
+            F.countDistinct("c_custkey").alias("dc_ck"),
+        )
+        .crossJoin(
+            F.broadcast(
+                o.agg(
+                    F.count(F.lit(1)).alias("no_"),
+                    F.countDistinct("o_custkey").alias("do_ck"),
+                    F.countDistinct("o_orderkey").alias("do_ok"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                li.agg(
+                    F.count(F.lit(1)).alias("nl"),
+                    F.countDistinct("l_orderkey").alias("dl_ok"),
+                    F.countDistinct("l_suppkey").alias("dl_sk"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                s.agg(
+                    F.count(F.lit(1)).alias("ns"),
+                    F.countDistinct("s_suppkey").alias("ds_sk"),
+                )
+            )
+        )
+    )
+    co = F.col("nc") * F.col("no_") * 1.0 / F.greatest("dc_ck", "do_ck")
+    ol = F.col("no_") * F.col("nl") * 1.0 / F.greatest("do_ok", "dl_ok")
+    ls = F.col("nl") * F.col("ns") * 1.0 / F.greatest("dl_sk", "ds_sk")
+    col = co * F.col("nl") / F.greatest("do_ok", "dl_ok")
+    ols = ol * F.col("ns") / F.greatest("dl_sk", "ds_sk")
+    inter = {"co": co, "ol": ol, "ls": ls, "col": col, "ols": ols}
+    costs = st.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("join_order"),
+                        (inter[a] + inter[b]).alias("cost"),
+                    )
+                    for name, (a, b) in _SELINGER_ORDERS
+                ]
+            )
+        ).alias("oc")
+    ).select("oc.join_order", "oc.cost")
+    best = F.broadcast(costs.agg(F.min("cost").alias("best")))
+    return (
+        costs.crossJoin(best)
+        .select(
+            "join_order",
+            F.round("cost", 2).alias("est_intermediate_rows"),
+            (F.col("cost") == F.col("best")).alias("is_best"),
+        )
+        .orderBy("join_order")
+    )
