@@ -73,6 +73,8 @@ _NEWEST_FIRST = [
     "stats_jonckheere_terpstra",
     "sketch_count_min_audit",
     "opt_selinger_join_order",
+    "ml_quantile_reg_pinball",
+    "opt_histogram_selectivity_audit",
     # never-driver-sampled rotation, tranche 2: the driver's 50-sample
     # reaches 30 of these (45 first-time names total this round)
     "ingest_valid_roundtrip_sample",

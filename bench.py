@@ -221,6 +221,8 @@ HEADLINE = [
     "stats_jonckheere_terpstra",
     "sketch_count_min_audit",
     "opt_selinger_join_order",
+    "ml_quantile_reg_pinball",
+    "opt_histogram_selectivity_audit",
 ]
 
 

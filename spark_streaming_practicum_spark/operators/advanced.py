@@ -1481,3 +1481,143 @@ def opt_selinger_join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("join_order")
     )
+
+
+# --- equi-depth histogram selectivity audit -----------------------------------------
+
+_HIST_BUCKETS = 10
+# (label, lo, hi) range predicates on o_totalprice; None = open end
+_HIST_PREDICATES = (
+    ("price <= 50k", None, 50_000.0),
+    ("100k <= price <= 200k", 100_000.0, 200_000.0),
+    ("price >= 300k", 300_000.0, None),
+)
+
+
+def _hist_pred_sql(lo, hi, col: str) -> str:
+    parts = []
+    if lo is not None:
+        parts.append(f"{col} >= {lo}")
+    if hi is not None:
+        parts.append(f"{col} <= {hi}")
+    return " AND ".join(parts)
+
+
+@query(
+    "opt_histogram_selectivity_audit",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_totalprice AS v,
+               NTILE({_HIST_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS bkt
+        FROM orders),
+    hist AS (
+        SELECT bkt, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+        FROM ranked GROUP BY bkt),
+    preds AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"('{lbl}', {lo if lo is not None else 'NULL'}, {hi if hi is not None else 'NULL'})" for lbl, lo, hi in _HIST_PREDICATES)}
+        ) AS p(label, plo, phi)),
+    est AS (
+        SELECT p.label,
+               CAST(SUM(CAST(CASE WHEN h.hi <= h.lo THEN
+                        CASE WHEN (p.plo IS NULL OR h.lo >= p.plo)
+                              AND (p.phi IS NULL OR h.lo <= p.phi)
+                             THEN h.n ELSE 0 END
+                    ELSE h.n * GREATEST(0.0,
+                        (LEAST(COALESCE(p.phi, h.hi), h.hi)
+                         - GREATEST(COALESCE(p.plo, h.lo), h.lo))
+                        / (h.hi - h.lo))
+                    END AS DECIMAL(38,12))) AS DOUBLE) AS est
+        FROM preds p, hist h GROUP BY p.label),
+    act AS (
+        {" UNION ALL ".join(f"SELECT '{lbl}' AS label, CAST(COUNT(*) AS BIGINT) AS actual FROM orders WHERE {_hist_pred_sql(lo, hi, 'o_totalprice')}" for lbl, lo, hi in _HIST_PREDICATES)})
+    SELECT e.label, ROUND(e.est, 2) AS est_rows, a.actual AS actual_rows,
+           ROUND(GREATEST(e.est, a.actual * 1.0)
+                 / GREATEST(1.0, LEAST(e.est, a.actual * 1.0)), 4) AS q_error
+    FROM est e JOIN act a ON a.label = e.label
+    ORDER BY e.label
+    """,
+)
+def opt_histogram_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram selectivity audit — the estimator inside
+    every CBO's range-predicate costing: build a 10-bucket equi-depth
+    histogram of o_totalprice (bucket = NTILE over a TOTAL order, so
+    both engines cut identical boundaries), estimate three range
+    predicates under the uniform-within-bucket assumption, and report
+    the q-error against the true counts. Equi-depth is what engines
+    ship (Spark CBO, Postgres, DuckDB) precisely because its worst-case
+    q-error is bounded by bucket skew, which this audit measures
+    directly.
+
+    Plan: the NTILE rides the two-pass distributed rank helper (no
+    single-partition window over row-scale data); the histogram is 10
+    rows, the estimate a broadcast nested-loop over 3 x 10 constants,
+    the actuals one filtered aggregate per predicate over a single
+    scan. DECIMAL-summed overlap terms keep the estimate
+    partition-order independent."""
+    from ..functions.ranks import global_row_number, ntile_from_rank
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), "o_orderkey"
+    )
+    ranked, n_total = global_row_number(
+        o, [F.col("v").asc(), F.col("o_orderkey").asc()], rn_name="rn"
+    )
+    hist = (
+        ranked.withColumn("bkt", ntile_from_rank(F.col("rn"), n_total, _HIST_BUCKETS))
+        .groupBy("bkt")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"), F.count(F.lit(1)).alias("n"))
+    )
+    preds = o.sparkSession.createDataFrame(
+        [(lbl, lo, hi) for lbl, lo, hi in _HIST_PREDICATES],
+        "label string, plo double, phi double",
+    )
+    overlap = F.when(
+        F.col("hi") <= F.col("lo"),
+        F.when(
+            (F.col("plo").isNull() | (F.col("lo") >= F.col("plo")))
+            & (F.col("phi").isNull() | (F.col("lo") <= F.col("phi"))),
+            F.col("n").cast("double"),
+        ).otherwise(F.lit(0.0)),
+    ).otherwise(
+        F.col("n")
+        * F.greatest(
+            F.lit(0.0),
+            (
+                F.least(F.coalesce("phi", "hi"), F.col("hi"))
+                - F.greatest(F.coalesce("plo", "lo"), F.col("lo"))
+            )
+            / (F.col("hi") - F.col("lo")),
+        )
+    )
+    est = (
+        F.broadcast(preds)
+        .crossJoin(hist)
+        .groupBy("label")
+        .agg(F.sum(overlap.cast("decimal(38,12)")).cast("double").alias("est"))
+    )
+    acts = None
+    for lbl, lo, hi in _HIST_PREDICATES:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("v") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("v") <= hi)
+        a = o.filter(cond).agg(
+            F.lit(lbl).alias("label"), F.count(F.lit(1)).cast("bigint").alias("actual")
+        )
+        acts = a if acts is None else acts.unionByName(a)
+    qe = F.greatest(F.col("est"), F.col("actual") * 1.0) / F.greatest(
+        F.lit(1.0), F.least(F.col("est"), F.col("actual") * 1.0)
+    )
+    return (
+        est.join(acts, "label")
+        .select(
+            "label",
+            F.round("est", 2).alias("est_rows"),
+            F.col("actual").alias("actual_rows"),
+            F.round(qe, 4).alias("q_error"),
+        )
+        .orderBy("label")
+    )

@@ -2223,3 +2223,75 @@ def ml_ols_normal_equation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# --- quantile regression by pinball-loss grid ---------------------------------------
+
+_QR_TAU = 0.9  # target quantile
+_QR_SLOPES = tuple(round(0.5 + 0.05 * i, 2) for i in range(21))  # 0.5 .. 1.5
+
+
+@query(
+    "ml_quantile_reg_pinball",
+    oracle=f"""
+    WITH pts AS (
+        SELECT l_quantity AS x, l_extendedprice / 1000.0 AS y FROM lineitem),
+    grid AS (
+        SELECT s.b, r.y - s.b * r.x AS resid
+        FROM pts r, unnest([{", ".join(str(s) for s in _QR_SLOPES)}]) AS s(b)),
+    loss AS (
+        SELECT b,
+               CAST(SUM(CAST(CASE WHEN resid >= 0 THEN {_QR_TAU} * resid
+                                  ELSE ({_QR_TAU} - 1.0) * resid END
+                             AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS pinball
+        FROM grid GROUP BY b),
+    best AS (
+        SELECT b, pinball,
+               ROW_NUMBER() OVER (ORDER BY pinball ASC, b ASC) AS rk
+        FROM loss)
+    SELECT CAST(b AS DOUBLE) AS slope, ROUND(pinball, 6) AS pinball_loss,
+           rk = 1 AS is_argmin
+    FROM best ORDER BY slope
+    """,
+)
+def ml_quantile_reg_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile regression (tau=0.9, through-origin) of lineitem price
+    on quantity by DIRECT PINBALL-LOSS GRID SWEEP: evaluate
+    L(b) = mean pinball_tau(y - b*x) on 21 candidate slopes in one
+    distributed pass and report the full loss curve with the argmin
+    flagged. The grid sweep is the quantile-regression shape that
+    parallelizes perfectly (iterative IRLS/simplex solvers do not):
+    each slope is an independent column expression, the explode fans
+    rows x 21, and one aggregate returns the whole curve — the same
+    loss-surface-scan trade DoReMi's reweight step makes.
+
+    Exactness: candidate slopes are exact decimal literals; pinball
+    terms accumulate in DECIMAL(38,12) so the curve (and its argmin)
+    is partition-order independent. Plan: one scan, one explode, one
+    21-group aggregate — no iteration, no driver state beyond the
+    grid constants."""
+    pts = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        (F.col("l_extendedprice") / 1000.0).alias("y"),
+    )
+    grid = pts.select(
+        "x", "y", F.explode(F.array(*[F.lit(s) for s in _QR_SLOPES])).alias("b")
+    ).select("b", (F.col("y") - F.col("b") * F.col("x")).alias("resid"))
+    pin = F.when(
+        F.col("resid") >= 0, F.lit(_QR_TAU) * F.col("resid")
+    ).otherwise(F.lit(_QR_TAU - 1.0) * F.col("resid"))
+    loss = grid.groupBy("b").agg(
+        (
+            F.sum(pin.cast("decimal(38,12)")).cast("double") / F.count(F.lit(1))
+        ).alias("pinball")
+    )
+    w = Window.orderBy(F.col("pinball").asc(), F.col("b").asc())
+    return (
+        loss.withColumn("rk", F.row_number().over(w))
+        .select(
+            F.col("b").alias("slope"),
+            F.round("pinball", 6).alias("pinball_loss"),
+            (F.col("rk") == 1).alias("is_argmin"),
+        )
+        .orderBy("slope")
+    )
