@@ -75,6 +75,9 @@ _NEWEST_FIRST = [
     "opt_selinger_join_order",
     "ml_quantile_reg_pinball",
     "opt_histogram_selectivity_audit",
+    "ts_cross_correlation_ccf",
+    "revenue_theil_index",
+    "window_bollinger_bands_daily",
     # never-driver-sampled rotation, tranche 2: the driver's 50-sample
     # reaches 30 of these (45 first-time names total this round)
     "ingest_valid_roundtrip_sample",

@@ -223,6 +223,9 @@ HEADLINE = [
     "opt_selinger_join_order",
     "ml_quantile_reg_pinball",
     "opt_histogram_selectivity_audit",
+    "ts_cross_correlation_ccf",
+    "revenue_theil_index",
+    "window_bollinger_bands_daily",
 ]
 
 

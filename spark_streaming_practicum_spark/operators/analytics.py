@@ -5505,3 +5505,70 @@ def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         jt.alias("jt_stat"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+
+# --- Theil inequality index ----------------------------------------------------------
+
+
+@query(
+    "revenue_theil_index",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey, {dsum_sql('o_totalprice')} AS x
+        FROM orders GROUP BY o_custkey),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx
+        FROM spend),
+    t AS (
+        SELECT CAST(m.n AS BIGINT) AS n_customers,
+               CAST(SUM(CAST((s.x / (m.sx / m.n))
+                             * LN(s.x / (m.sx / m.n))
+                             AS DECIMAL(38,12))) AS DOUBLE) / m.n AS theil_t,
+               CAST(SUM(CAST(-LN(s.x / (m.sx / m.n))
+                             AS DECIMAL(38,12))) AS DOUBLE) / m.n AS theil_l
+        FROM spend s, m
+        GROUP BY m.n)
+    SELECT n_customers, ROUND(theil_t, 6) AS theil_t, ROUND(theil_l, 6) AS theil_l
+    FROM t
+    """,
+)
+def revenue_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil inequality indices of per-customer spend: T = mean of
+    (x/mu) ln(x/mu) (top-sensitive) and L = mean of -ln(x/mu) (the
+    mean log deviation, bottom-sensitive). The entropy-based
+    complement to revenue_gini_lorenz — unlike Gini, Theil decomposes
+    EXACTLY into between-group + within-group terms, which is why
+    revenue-concentration monitoring at scale prefers it (per-segment
+    Theil terms roll up additively; Gini's don't).
+
+    Exactness: mu divides two exact aggregates; every per-customer
+    term is a function of identical doubles and accumulates in
+    DECIMAL(38,12). Plan: one customer-keyed aggregate, one 1-row
+    moment reduce, one broadcast-joined scoring pass — two shuffles,
+    both on o_custkey."""
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("x"))
+    )
+    m = spend.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,12)")).cast("double").alias("sx"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    ratio = F.col("x") / (F.col("sx") / F.col("n"))
+    return (
+        spend.crossJoin(F.broadcast(m))
+        .groupBy("n")
+        .agg(
+            (dec(ratio * F.log(ratio)) / F.col("n")).alias("theil_t"),
+            (dec(-F.log(ratio)) / F.col("n")).alias("theil_l"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.round("theil_t", 6).alias("theil_t"),
+            F.round("theil_l", 6).alias("theil_l"),
+        )
+    )

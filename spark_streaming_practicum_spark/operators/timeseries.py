@@ -1601,3 +1601,94 @@ def ts_dft_top_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rk", F.col("p").cast("int").alias("period_days"), "power")
         .orderBy("rk")
     )
+
+
+# --- cross-correlation lead/lag ------------------------------------------------------
+
+_CCF_MAX_LAG = 7
+
+
+@query(
+    "ts_cross_correlation_ccf",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS x,
+               {dsum_sql('value')} AS y
+        FROM events GROUP BY day),
+    lags AS (
+        SELECT l.lag FROM unnest(generate_series(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG})) AS l(lag)),
+    pairs AS (
+        SELECT g.lag, a.x AS xv, b.y AS yv
+        FROM daily a, lags g
+        JOIN daily b ON b.day = a.day + to_days(CAST(g.lag AS INT))),
+    m AS (
+        SELECT lag, COUNT(*) AS np,
+               CAST(SUM(CAST(xv AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(yv AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(xv * yv AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(xv * xv AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(yv * yv AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        FROM pairs GROUP BY lag),
+    r AS (
+        SELECT CAST(lag AS INT) AS lag, np,
+               (np * sxy - sx * sy)
+               / SQRT((np * sxx - sx * sx) * (np * syy - sy * sy)) AS ccf
+        FROM m)
+    SELECT lag, CAST(np AS BIGINT) AS n_pairs, ROUND(ccf, 6) AS ccf,
+           ABS(ccf) = (SELECT MAX(ABS(ccf)) FROM r) AS is_peak
+    FROM r ORDER BY lag
+    """,
+)
+def ts_cross_correlation_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily event VOLUME (count)
+    and daily event VALUE (sum) at lags -7..+7 days, peak flagged —
+    the lead/lag diagnostic that tells a forecaster WHICH series moves
+    first (granger_lag_causality tests predictive significance at one
+    lag; the CCF scans the whole lag window and is what you look at
+    before choosing that lag). Each lag's correlation is the Pearson r
+    over calendar-aligned pairs, so calendar gaps shrink np rather
+    than misaligning the series (the ljung-box pair-count lesson).
+
+    Exactness: x integer counts, y DECIMAL-sum doubles; all five
+    moments per lag accumulate in DECIMAL(38,12), one closed-form
+    division per lag. Plan: the corpus collapses to day rows in one
+    aggregate; the 15-lag explode and calendar self-join touch only
+    the day-count-bounded frame."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"), dsum("value").alias("y"))
+    )
+    a = daily.select("day", F.col("x").alias("xv")).select(
+        "day", "xv",
+        F.explode(F.sequence(F.lit(-_CCF_MAX_LAG), F.lit(_CCF_MAX_LAG))).alias("lag"),
+    )
+    b = daily.select(F.col("day").alias("bday"), F.col("y").alias("yv"))
+    pairs = a.join(
+        F.broadcast(b), F.expr("date_add(day, lag)") == F.col("bday"), "inner"
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("np"),
+        dec(F.col("xv")).alias("sx"),
+        dec(F.col("yv")).alias("sy"),
+        dec(F.col("xv") * F.col("yv")).alias("sxy"),
+        dec(F.col("xv") * F.col("xv")).alias("sxx"),
+        dec(F.col("yv") * F.col("yv")).alias("syy"),
+    )
+    np_, sx, sy = F.col("np"), F.col("sx"), F.col("sy")
+    ccf = (np_ * F.col("sxy") - sx * sy) / F.sqrt(
+        (np_ * F.col("sxx") - sx * sx) * (np_ * F.col("syy") - sy * sy)
+    )
+    r = m.select(F.col("lag").cast("int").alias("lag"), "np", ccf.alias("ccf"))
+    peak = F.broadcast(r.agg(F.max(F.abs("ccf")).alias("mx")))
+    return (
+        r.crossJoin(peak)
+        .select(
+            "lag",
+            F.col("np").cast("bigint").alias("n_pairs"),
+            F.round("ccf", 6).alias("ccf"),
+            (F.abs("ccf") == F.col("mx")).alias("is_peak"),
+        )
+        .orderBy("lag")
+    )

@@ -472,3 +472,82 @@ def window_sliding_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m", 6).alias("daily_mean"),
         F.round((lo + hi) / 2.0, 6).alias("median7"),
     ).orderBy("day")
+
+
+# --- Bollinger bands -----------------------------------------------------------------
+
+
+@query(
+    "window_bollinger_bands_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               {dsum_sql('value')} / COUNT(*) AS m
+        FROM events GROUP BY day),
+    win AS (
+        SELECT day, m,
+               COUNT(*) OVER w AS k,
+               CAST(SUM(CAST(m AS DECIMAL(38,12))) OVER w AS DOUBLE) AS s,
+               CAST(SUM(CAST(m * m AS DECIMAL(38,12))) OVER w AS DOUBLE) AS ss
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+    bands AS (
+        -- variances below 1e-9 are pure float-cancellation noise (a
+        -- 1-element window's true variance is 0); clamp BEFORE sqrt,
+        -- which would amplify sub-ulp noise into the rounded digits
+        SELECT day, m, k, s / k AS mid,
+               SQRT(CASE WHEN ss / k - (s / k) * (s / k) < 1e-9 THEN 0.0
+                         ELSE ss / k - (s / k) * (s / k) END) AS sd
+        FROM win)
+    SELECT CAST(day AS DATE) AS day, ROUND(m, 6) AS daily_mean,
+           ROUND(mid, 6) AS band_mid,
+           ROUND(mid - 2 * sd, 6) AS band_lo,
+           ROUND(mid + 2 * sd, 6) AS band_hi,
+           m > mid + 2 * sd OR m < mid - 2 * sd AS is_outside
+    FROM bands ORDER BY day
+    """,
+)
+def window_bollinger_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (7-day window, +-2 sigma population std) over
+    the daily mean event value, with the outside-band flag — the
+    volatility-adaptive envelope that complements the fixed-threshold
+    hysteresis latch (window_alert_hysteresis) and the robust sliding
+    median (window_sliding_median_daily): the band WIDENS in volatile
+    regimes, so alerts fire on regime-relative moves.
+
+    Exactness: windowed count/sum/sum-of-squares ride DECIMAL
+    accumulation over the DECIMAL-mean daily series, so mid/sd divide
+    identical exact sums; variances below 1e-9 clamp to exact 0 before
+    the sqrt (float cancellation noise — a 1-element window's true
+    variance is 0 — would otherwise be amplified into rounded digits;
+    same clamp both sides). Plan: one corpus aggregate to day rows;
+    the window is a 7-row frame over the calendar-bounded series."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg((dsum("value") / F.count(F.lit(1))).alias("m"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    win = daily.select(
+        "day",
+        "m",
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.sum(F.col("m").cast("decimal(38,12)")).over(w).cast("double").alias("s"),
+        F.sum((F.col("m") * F.col("m")).cast("decimal(38,12)"))
+        .over(w)
+        .cast("double")
+        .alias("ss"),
+    )
+    mid = F.col("s") / F.col("k")
+    # clamp sub-1e-9 variances to exact 0 (mirrored in the oracle):
+    # sqrt amplifies cancellation noise into the rounded digits
+    var = F.col("ss") / F.col("k") - mid * mid
+    sd = F.sqrt(F.when(var < 1e-9, F.lit(0.0)).otherwise(var))
+    return win.select(
+        F.col("day").cast("date").alias("day"),
+        F.round("m", 6).alias("daily_mean"),
+        F.round(mid, 6).alias("band_mid"),
+        F.round(mid - 2 * sd, 6).alias("band_lo"),
+        F.round(mid + 2 * sd, 6).alias("band_hi"),
+        ((F.col("m") > mid + 2 * sd) | (F.col("m") < mid - 2 * sd)).alias("is_outside"),
+    ).orderBy("day")
