@@ -36,15 +36,75 @@ def _utc_pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[Spark
 # Newest operators first: the driver's correctness run samples a subset
 # (the head) of this dict, and enumeration order is the repo's only
 # lever for making that sample exercise the least battle-tested code
-# (round-3 verdict task 7). Round-6 policy (round-5 verdict task 1):
-# lead with this round's OUTPUT- or PLAN-changing queries (Ljung-Box
-# true-pair-count fix, Bloom derived shift, the stupid-backoff
-# dictionary encode, the memoized simhash/minhash), then the round-6
-# new operators, then tranche 2 of the never-driver-sampled rotation
-# (ingest roundtrip -> scalar -> set -> window) — 5 re-checks + 45
-# first-time names inside the driver's 50-sample. Previously-sampled
-# names follow in prior-round order.
+# (round-3 verdict task 7). Round-7 policy (round-6 verdict tasks 1+4):
+# registry growth frozen; lead with the 4 queries whose OUTPUT changed
+# this round (the treated-split now takes the high bit of the 32-bit
+# Fibonacci product instead of its parity — round-6 advice — plus the
+# parameterized Cochran-Q oracle), then tranche 3 of the
+# never-driver-sampled rotation: the full streaming family (the repo's
+# most semantics-heavy surface), then join / window / set — 4
+# re-checks + 46 first-time names = exactly the driver's 50-sample.
+# Previously-sampled names follow in prior-round order (dict insertion
+# keeps the FIRST occurrence, so the head owns any shared names).
 _NEWEST_FIRST = [
+    # round 7: output-changed (high-bit treated split; Cochran oracle
+    # now generated from _COCHRAN_TASKS) — must re-verify driver-side
+    "causal_uplift_two_model",
+    "stats_mantel_haenszel_or",
+    "drift_mmd_linear_paired",
+    "stats_cochran_q",
+    # never-driver-sampled rotation, tranche 3a: streaming family
+    # (stream_dedup_within_watermark is the registry's one rows-only
+    # query — state-arrival-order specific)
+    "stream_tumbling_hour",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_session_window_true",
+    "stream_update_mode_counts",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_outer_join_watermark",
+    "stream_incremental_dedup",
+    "stream_dedup_within_watermark",
+    "stream_stateful_user_profile",
+    # tranche 3b: joins
+    "join_inner_equi",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_range_events",
+    "join_broadcast_star",
+    "join_q3_shipping_priority",
+    "join_q5_local_supplier",
+    "join_null_skew_outer",
+    "join_runtime_bloom_filter",
+    "join_shuffle_hash_hint",
+    "join_salted_skew",
+    "join_lateral_topk",
+    # tranche 3c: windows
+    "window_funnel_within_time",
+    "window_nth_value",
+    "window_cume_dist",
+    "window_topk_per_group",
+    "window_rank_dense",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_moving_avg",
+    "window_ntile",
+    "window_sessionize",
+    "window_range_frame",
+    "window_ratio_to_report",
+    # tranche 3d: set ops
+    "set_except_all",
+    "set_union_by_name",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_intersect_all",
     # round 6: structurally/output-changed — must re-verify driver-side
     "ts_ljung_box_portmanteau",
     "sketch_bloom_fpr_audit",

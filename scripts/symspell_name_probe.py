@@ -76,7 +76,10 @@ def build_names(spark, scale: int) -> DataFrame:
     # Deterministic typo clusters: for every head name (v <= 2), one
     # deletion variant (drop char at hash-picked pos) and one
     # substitution variant (swap hash-picked char for 'x').
-    pos = (F.xxhash64("t") % (F.length("t") - 2) + 2).cast("int")
+    # pmod, not %: xxhash64 is signed, and a negative modulo yielded
+    # pos <= 0 for ~half the names, turning the "typo" into an empty
+    # prefix instead of an edit-1 variant (round-6 advice).
+    pos = (F.pmod(F.xxhash64("t"), F.length("t") - 2) + 2).cast("int")
     typos = handles.limit(scale * 3000).select(
         F.concat(
             F.substring(F.col("t"), F.lit(1), pos - 1), F.substr(F.col("t"), pos + 1)

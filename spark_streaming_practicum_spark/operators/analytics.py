@@ -4402,7 +4402,7 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
         SELECT user_id,
-               (user_id * 2654435761) % 2 = 0 AS treated,
+               (user_id * 2654435761) % 4294967296 >= 2147483648 AS treated,
                MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
                NTILE(4) OVER (ORDER BY SUM(CAST(value AS DECIMAL(38,6))), user_id)
                    AS segment
@@ -4454,7 +4454,14 @@ def causal_uplift_two_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "treated",
-            (F.col("user_id") * F.lit(2654435761).cast("bigint")) % 2 == 0,
+            # High bit of the 32-bit Fibonacci product, NOT its parity:
+            # multiplying by an odd constant preserves parity, so
+            # `% 2` would reduce to raw key parity (round-6 advice).
+            F.pmod(
+                F.col("user_id").cast("bigint") * F.lit(2654435761).cast("bigint"),
+                F.lit(4294967296).cast("bigint"),
+            )
+            >= 2147483648,
         )
     )
     ranked, n = global_row_number(
@@ -5020,7 +5027,7 @@ def stats_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
         SELECT c.c_mktsegment AS stratum,
-               (o.o_orderkey * 2654435761) % 2 = 0 AS treated,
+               (o.o_orderkey * 2654435761) % 4294967296 >= 2147483648 AS treated,
                CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
     tab AS (
@@ -5060,7 +5067,15 @@ def stats_mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("stratum"),
-        ((F.col("o_orderkey") * 2654435761) % 2 == 0).alias("treated"),
+        # High bit of the 32-bit product, not parity (round-6 advice:
+        # odd-multiplier parity is just key parity).
+        (
+            F.pmod(
+                F.col("o_orderkey").cast("bigint") * F.lit(2654435761).cast("bigint"),
+                F.lit(4294967296).cast("bigint"),
+            )
+            >= 2147483648
+        ).alias("treated"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
     )
     tab = u.groupBy("stratum").agg(
@@ -5187,11 +5202,11 @@ _MMD_BW2 = 2.0 * 100.0 * 100.0  # RBF kernel 2*sigma^2, sigma = 100 value units
     WITH a AS (
         SELECT value AS v,
                ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn
-        FROM events WHERE (user_id * 2654435761) % 2 = 0),
+        FROM events WHERE (user_id * 2654435761) % 4294967296 >= 2147483648),
     b AS (
         SELECT value AS v,
                ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn
-        FROM events WHERE (user_id * 2654435761) % 2 = 1),
+        FROM events WHERE (user_id * 2654435761) % 4294967296 < 2147483648),
     m AS (SELECT LEAST((SELECT MAX(rn) FROM a), (SELECT MAX(rn) FROM b)) AS mn),
     q AS (
         SELECT (a1.rn + 1) / 2 AS blk,
@@ -5228,8 +5243,14 @@ def drift_mmd_linear_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ranks import global_row_number
 
     e = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
-    half_a = e.filter((F.col("user_id") * 2654435761) % 2 == 0)
-    half_b = e.filter((F.col("user_id") * 2654435761) % 2 == 1)
+    # Split on the high bit of the 32-bit Fibonacci product — parity of
+    # an odd-constant multiple is just key parity (round-6 advice).
+    mix = F.pmod(
+        F.col("user_id").cast("bigint") * F.lit(2654435761).cast("bigint"),
+        F.lit(4294967296).cast("bigint"),
+    )
+    half_a = e.filter(mix >= 2147483648)
+    half_b = e.filter(mix < 2147483648)
     ra, na = global_row_number(
         half_a.select(F.col("value").alias("v"), "event_id"),
         [F.col("v").asc(), F.col("event_id").asc()],
@@ -5355,20 +5376,18 @@ _COCHRAN_TASKS = ("view", "click", "purchase")
                {", ".join(f"MAX(CASE WHEN event_type = '{t}' AND value > 100 THEN 1 ELSE 0 END) AS x{i}" for i, t in enumerate(_COCHRAN_TASKS))}
         FROM events GROUP BY user_id),
     rowagg AS (
-        SELECT user_id, x0 + x1 + x2 AS l FROM u),
+        SELECT user_id, {" + ".join(f"x{i}" for i in range(len(_COCHRAN_TASKS)))} AS l FROM u),
     cols AS (
-        SELECT CAST(SUM(x0) AS BIGINT) AS g0, CAST(SUM(x1) AS BIGINT) AS g1,
-               CAST(SUM(x2) AS BIGINT) AS g2
+        SELECT {", ".join(f"CAST(SUM(x{i}) AS BIGINT) AS g{i}" for i in range(len(_COCHRAN_TASKS)))}
         FROM u),
     rows_ AS (
         SELECT CAST(SUM(l) AS BIGINT) AS sl, CAST(SUM(l * l) AS BIGINT) AS sll,
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM rowagg)
     SELECT n_users,
-           ROUND(3.0 * 2.0 * ((g0 - sl / 3.0) * (g0 - sl / 3.0)
-                            + (g1 - sl / 3.0) * (g1 - sl / 3.0)
-                            + (g2 - sl / 3.0) * (g2 - sl / 3.0))
-                 / (3.0 * sl - sll), 6) AS cochran_q
+           ROUND({float(len(_COCHRAN_TASKS))} * {float(len(_COCHRAN_TASKS) - 1)}
+                 * ({" + ".join(f"(g{i} - sl / {float(len(_COCHRAN_TASKS))}) * (g{i} - sl / {float(len(_COCHRAN_TASKS))})" for i in range(len(_COCHRAN_TASKS)))})
+                 / ({float(len(_COCHRAN_TASKS))} * sl - sll), 6) AS cochran_q
     FROM cols, rows_
     """,
 )

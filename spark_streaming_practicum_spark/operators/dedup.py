@@ -378,13 +378,22 @@ CERT_SAMPLE_MOD = 4
 # pairs), so holding it for the session is free.
 
 
-def _cert_exact_slice(spark: SparkSession, sf_dir: str, sh: DataFrame) -> DataFrame:
+def _cert_exact_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Builds its own shingle frame (the memoized _doc_shingles) rather
+    # than taking one as a parameter: the memo key cannot encode an
+    # arbitrary caller-supplied frame, so accepting one risked serving
+    # a slice computed from a DIFFERENT shingle relation (round-6
+    # advice). _doc_shingles is itself session-memoized, so this costs
+    # nothing extra.
     return _session_memo(
         spark,
         sf_dir,
         "cert_exact_slice",
         lambda: _jaccard_pairs(
-            sh, threshold=0.8, join_df_cap=JACCARD_DF_CAP, sample_mod=CERT_SAMPLE_MOD
+            _doc_shingles(spark, sf_dir),
+            threshold=0.8,
+            join_df_cap=JACCARD_DF_CAP,
+            sample_mod=CERT_SAMPLE_MOD,
         ),
     )
 
@@ -528,7 +537,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "minhash_verified_pairs",
         lambda: _minhash_lsh_pairs(spark, sf_dir, sh).select("doc_a", "doc_b"),
     )
-    exact_s = _cert_exact_slice(spark, sf_dir, sh)
+    exact_s = _cert_exact_slice(spark, sf_dir)
     in_sample = (F.col("doc_a") % CERT_SAMPLE_MOD == 0) | (
         F.col("doc_b") % CERT_SAMPLE_MOD == 0
     )
@@ -681,7 +690,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_a", "doc_b")
 
     verified = _session_memo(spark, sf_dir, "simhash_verified_pairs", build_verified)
-    exact_s = _cert_exact_slice(spark, sf_dir, sh)
+    exact_s = _cert_exact_slice(spark, sf_dir)
     in_sample = (F.col("doc_a") % CERT_SAMPLE_MOD == 0) | (
         F.col("doc_b") % CERT_SAMPLE_MOD == 0
     )
