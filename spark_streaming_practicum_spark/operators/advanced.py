@@ -532,7 +532,18 @@ def asof_join_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     second sanctioned implementation (SURVEY §2C "as-of join": pandas
     path when per-group logic outgrows window tricks). Same oracle as
     the window-based asof_join_last_click, so the two implementations
-    cross-validate."""
+    cross-validate.
+
+    SCALE NOTE (round-7): this is the documented pandas-path EXEMPLAR,
+    not the recommended at-scale implementation — its cost is Arrow
+    serialization + per-group Python, ~19x the registry median at
+    sf0.1 (13.4 s vs asof_join_last_click's <1 s on the same oracle).
+    The 50x probe (PERFORMANCE.md round-7 tier) shows the cost scales
+    linearly in rows with no curvature — user_id-keyed cogroups shard
+    horizontally — so it SURVIVES 100 TB, but a cluster pays the
+    ~15-20x Arrow+Python constant on every row. Prefer the window/
+    union implementation (asof_join_last_click, operators/joins.py)
+    unless the per-group logic genuinely needs pandas."""
     import pandas as pd
 
     e = table(spark, sf_dir, "events")
