@@ -1344,6 +1344,14 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     ).distinct()
+    # seg feeds five branches (bit build, probe, exact verify, the
+    # bloom-guarantee anti-join, and the probe count); it is
+    # DELIBERATELY not persisted — measured round-7 at sf0.1: the
+    # codegen'd split+md5 explode recomputes in 1.8 s warm across all
+    # branches, while persisting seg costs 2.1-2.6 s (materialization
+    # + per-consumer loss of column pruning). The round-6 --compare
+    # shift (0.72 -> 1.14 s) was session-ordering noise, not the dedup
+    # memo: bloom times identically with and without the memo filled.
     corpus = seg.filter(F.col("doc_id") < BLOOM_BOUNDARY)
     batch = seg.filter(F.col("doc_id") >= BLOOM_BOUNDARY)
 
