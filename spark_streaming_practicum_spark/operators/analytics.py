@@ -4569,16 +4569,23 @@ def ab_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention as `ab_test_welch_ttest`).
 
     Scale shape: one keyed aggregate to the per-user (pre, post) frame,
-    then ONE global decimal-moment aggregate (order-independent sums, so
-    theta is bit-stable under any partitioning) plus a 2-row arm
-    rollup. No per-user state survives the reduction — this is the
-    100 TB experimentation plan: the covariance adjustment costs one
-    extra pass over a frame that aggregation already built."""
+    then ONE per-arm decimal-moment aggregate (2 rows); the global
+    moments are the DECIMAL sums of the two arm rows — decimal addition
+    is exact, so theta is bit-identical to a single global aggregate
+    and bit-stable under any partitioning. No per-user state survives
+    the reduction, and the events scan runs exactly once (the round-7
+    rewrite: the previous global-moments + arm-rollup branches each
+    re-ran the scan + per-user shuffle)."""
     e = table(spark, sf_dir, "events")
     split = F.lit("2024-01-16 00:00:00").cast("timestamp")
 
     def d12(col):
         return F.sum(col.cast("decimal(38,12)")).cast("double")
+
+    def d12dec(col):
+        # partial sum kept IN decimal so the cross-arm total below adds
+        # exactly; cast to double only at the 1-row stage
+        return F.sum(col.cast("decimal(38,12)"))
 
     per_user = e.groupBy("user_id").agg(
         d12(F.when(F.col("ts") < split, F.col("value"))).alias("pre_raw"),
@@ -4590,17 +4597,32 @@ def ab_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("pre_raw", F.lit(0.0)).alias("pre"),
         F.coalesce("post_raw", F.lit(0.0)).alias("post"),
     )
-    mom = pp.agg(
-        F.count(F.lit(1)).alias("n"),
-        d12(F.col("pre")).alias("sx"),
-        d12(F.col("post")).alias("sy"),
-        d12(F.col("pre") * F.col("pre")).alias("sxx"),
-        d12(F.col("post") * F.col("post")).alias("syy"),
-        d12(F.col("pre") * F.col("post")).alias("sxy"),
-    )
     c = F.col
-    theta = mom.select(
-        "n",
+    armmom = pp.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_a"),
+        d12dec(c("pre")).alias("sx_a"),
+        d12dec(c("post")).alias("sy_a"),
+        d12dec(c("pre") * c("pre")).alias("sxx_a"),
+        d12dec(c("post") * c("post")).alias("syy_a"),
+        d12dec(c("pre") * c("post")).alias("sxy_a"),
+    )
+    both = armmom.agg(
+        F.sum("n_a").alias("n"),
+        F.sum("sx_a").cast("double").alias("sx"),
+        F.sum("sy_a").cast("double").alias("sy"),
+        F.sum("sxx_a").cast("double").alias("sxx"),
+        F.sum("syy_a").cast("double").alias("syy"),
+        F.sum("sxy_a").cast("double").alias("sxy"),
+        F.max(F.when(c("arm") == 0, c("sy_a").cast("double") / c("n_a"))).alias("mpost0"),
+        F.max(F.when(c("arm") == 1, c("sy_a").cast("double") / c("n_a"))).alias("mpost1"),
+        F.max(F.when(c("arm") == 0, c("sx_a").cast("double") / c("n_a"))).alias("mpre0"),
+        F.max(F.when(c("arm") == 1, c("sx_a").cast("double") / c("n_a"))).alias("mpre1"),
+    )
+    theta = both.select(
+        "mpost0",
+        "mpost1",
+        "mpre0",
+        "mpre1",
         (c("sx") / c("n")).alias("mx"),
         ((c("sxy") / c("n") - (c("sx") / c("n")) * (c("sy") / c("n")))
          / (c("sxx") / c("n") - (c("sx") / c("n")) * (c("sx") / c("n")))).alias("th"),
@@ -4608,18 +4630,7 @@ def ab_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c("syy") / c("n") - (c("sy") / c("n")) * (c("sy") / c("n"))).alias("var_post"),
         (c("sxy") / c("n") - (c("sx") / c("n")) * (c("sy") / c("n"))).alias("cov_xy"),
     )
-    arms = pp.groupBy("arm").agg(
-        F.count(F.lit(1)).alias("n_a"),
-        d12(F.col("pre")).alias("sx_a"),
-        d12(F.col("post")).alias("sy_a"),
-    )
-    wide = arms.agg(
-        F.max(F.when(c("arm") == 0, c("sy_a") / c("n_a"))).alias("mpost0"),
-        F.max(F.when(c("arm") == 1, c("sy_a") / c("n_a"))).alias("mpost1"),
-        F.max(F.when(c("arm") == 0, c("sx_a") / c("n_a"))).alias("mpre0"),
-        F.max(F.when(c("arm") == 1, c("sx_a") / c("n_a"))).alias("mpre1"),
-    )
-    return theta.crossJoin(wide).select(
+    return theta.select(
         F.round("th", 6).alias("theta"),
         F.round(c("mpost1") - c("mpost0"), 6).alias("lift_raw"),
         F.round(
