@@ -30,6 +30,47 @@ def test_minhash_lsh_subset_of_exact_jaccard(spark):
         assert len(lsh) / len(exact) >= 0.5
 
 
+def test_pair_keyed_verifier_matches_corpus_pair_shape(spark):
+    """`_jaccard_for_pairs` (round-7 array-intersect verifier) must agree
+    with the reference shape it replaced — candidate-doc-pruned
+    `_jaccard_pairs` post-intersected with the pair set — on pairs AND
+    jaccard values. (The one sanctioned divergence, full-corpus vs
+    pruned df for the hot-shingle cap, cannot show on a corpus with no
+    hot shingles; sf0.001/0.01 have none at JACCARD_DF_CAP=64.)"""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_practicum_spark.operators.dedup import (
+        JACCARD_DF_CAP,
+        _doc_shingles,
+        _jaccard_for_pairs,
+        _jaccard_pairs,
+        _simhash_candidates,
+    )
+
+    cand = _simhash_candidates(spark, SF_DIR).select("doc_a", "doc_b")
+    sh = _doc_shingles(spark, SF_DIR)
+    cd = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ref = cand.join(
+        _jaccard_pairs(
+            sh.join(F.broadcast(cd), "doc_id", "left_semi"),
+            threshold=0.8,
+            join_df_cap=JACCARD_DF_CAP,
+        ),
+        ["doc_a", "doc_b"],
+    )
+    new = _jaccard_for_pairs(
+        spark, SF_DIR, cand, threshold=0.8, join_df_cap=JACCARD_DF_CAP
+    )
+    ref_rows = sorted(map(tuple, ref.select("doc_a", "doc_b", "jaccard").collect()))
+    new_rows = sorted(map(tuple, new.select("doc_a", "doc_b", "jaccard").collect()))
+    assert ref_rows == new_rows
+    assert ref_rows  # non-vacuous: the sf0.001 corpus has true near-dups
+
+
 def test_simhash_pairs_are_near_duplicates(spark):
     """SimHash-blocked candidates at Hamming<=6 should be dominated by
     the known near-dup clusters (jaccard overlap). (Targets the banded
