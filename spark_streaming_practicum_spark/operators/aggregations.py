@@ -752,7 +752,7 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ex AS (SELECT COUNT(DISTINCT user_id) AS n FROM events)
     SELECT 'exact_shuffle' AS method, ex.n AS estimate,
-           1.0 AS est_ratio_1dp, TRUE AS within_2pct
+           CAST(1.0 AS DOUBLE) AS est_ratio_1dp, TRUE AS within_2pct
     FROM ex
     UNION ALL
     SELECT 'bitmap_popcount', ex.n, 1.0, TRUE FROM ex

@@ -1054,7 +1054,7 @@ _DP_M = 1000003
                  % {_DP_M}) + 0.5) / {_DP_M} AS u
         FROM g)
     SELECT event_type, day, CAST(n AS BIGINT) AS n,
-           {_DP_EPS} AS epsilon,
+           CAST({_DP_EPS} AS DOUBLE) AS epsilon,
            ROUND(n + (-1.0 / {_DP_EPS})
                      * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
                      * LN(1.0 - 2.0 * ABS(u - 0.5)), 3) AS noisy_count
