@@ -2380,7 +2380,11 @@ def symspell_delete_keys(names: DataFrame) -> DataFrame:
 def symspell_edit1_pairs(names: DataFrame) -> DataFrame:
     """Distinct (name_a, name_b) pairs at Levenshtein distance exactly
     1, via the delete-key equi-join."""
-    keys = symspell_delete_keys(names)
+    # Persist + materialize the delete-key frame: both self-join sides
+    # read it, and its upstream (distinct names + per-char deletion HOF
+    # explode) would otherwise run twice. O(total chars) rows.
+    keys = symspell_delete_keys(names).transform(_persisted)
+    keys.count()
     a = keys.select(F.col("t").alias("name_a"), "k")
     b = keys.select(F.col("t").alias("name_b"), "k")
     # levenshtein BEFORE distinct: the edit-distance check is a cheap
