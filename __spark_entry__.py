@@ -47,8 +47,70 @@ def _utc_pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[Spark
 # Previously-sampled names follow in prior-round order (dict insertion
 # keeps the FIRST occurrence, so the head owns any shared names).
 _NEWEST_FIRST = [
+    # Round-8 policy (round-7 verdict task 1): registry still frozen;
+    # no outputs changed this round (the dedup verify-leg hot-list
+    # hashing and the _minhash_lsh_pairs parameter drop are A/B-checked
+    # output-identical — see PERFORMANCE.md round-8 entry), so the
+    # entire 50-head is tranche 4 of the never-driver-sampled rotation:
+    # the 5 biggest remaining families, largest first (text 14, eval
+    # 13, dedup 10, mm 9, graph 7 = 53; the driver's 50-sample takes
+    # the first 50, the last 3 graph names lead tranche 5).
+    "text_bm25_topk",
+    "text_token_count",
+    "text_lang_id",
+    "text_lang_id_trigram",
+    "text_quality_score",
+    "text_term_frequency",
+    "text_bigram_frequency",
+    "text_fingerprint",
+    "text_bpe_ish_token_count",
+    "text_char_entropy",
+    "text_readability_flesch",
+    "text_distinct_ngram_ratios",
+    "text_numeric_density",
+    "text_tfidf_topk",
+    "eval_pr_curve_points",
+    "eval_brier_decomposition",
+    "eval_ndcg_at_k",
+    "eval_mrr_recall_at_k",
+    "eval_knn_label_accuracy",
+    "eval_cohens_kappa",
+    "eval_rouge2_pairs",
+    "eval_matryoshka_truncation",
+    "eval_auc_exact",
+    "eval_cumulative_gains",
+    "eval_macro_f1",
+    "eval_expected_calibration_error",
+    "eval_best_f1_threshold",
+    "dedup_crossdoc_ngram_coverage",
+    "dedup_exact",
+    "dedup_keep_first_ts",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_cluster_representatives",
+    "dedup_paragraph_exact",
+    "dedup_containment_overlap",
+    "dedup_cluster_size_histogram",
+    "dedup_pair_explanation",
+    "mm_binary_metadata",
+    "mm_fake_decode_dims",
+    "mm_frame_sample",
+    "mm_feature_extract",
+    "mm_fake_resize",
+    "mm_feature_extract_arrow",
+    "mm_phash_near_dup",
+    "mm_audio_energy_windows",
+    "mm_video_shot_boundaries",
+    "graph_pagerank_trade",
+    "graph_triangle_count",
+    "graph_label_propagation",
+    "graph_link_prediction_jaccard",
+    "graph_modularity_score",
+    "graph_sssp_bellman_ford",
+    "graph_kcore_peel",
     # round 7: output-changed (high-bit treated split; Cochran oracle
-    # now generated from _COCHRAN_TASKS) — must re-verify driver-side
+    # now generated from _COCHRAN_TASKS) — re-verified driver-side in
+    # CORRECTNESS_r07 (green)
     "causal_uplift_two_model",
     "stats_mantel_haenszel_or",
     "drift_mmd_linear_paired",

@@ -9,12 +9,20 @@ ints must be ints, Decimals must match as Decimals, floats compare at
 12 dp. Stricter than the gate; anything green here is green there.
 
 Usage:
-    python scripts/driver_contract_sweep.py [N | name ...]
+    python scripts/driver_contract_sweep.py [--sf 0.1] [N | name|prefix* ...]
 
 With an integer N (default 50), sweeps the first N names of the
 __spark_entry__.queries() enumeration — i.e. exactly the names the
 driver's 50-sample will draw this round. With explicit names, sweeps
-those.
+those; a trailing ``*`` prefix-matches a family (``dedup_* window_*``).
+``--sf`` selects the testdata scale (default 0.01, the driver's gate
+scale; 0.1 is the scale tier added in round 8 — the round-7 df-cap bug
+was scale-dependent and invisible at sf0.01).
+
+NaN canonicalization: Spark NULL and float NaN are DISTINCT tokens
+here (round-7 advice). The driver's own pandas-path hash conflates
+them (NULL floats surface as NaN in toPandas), so this is strictly
+harder than the gate, as advertised.
 """
 
 from __future__ import annotations
@@ -48,7 +56,7 @@ def canon(v):
         return ("dec", str(v.normalize()))
     if isinstance(v, float):
         if math.isnan(v):
-            return ("null",)
+            return ("nan",)
         return ("f", round(v, 12))
     if isinstance(v, datetime):
         return ("t", v.replace(tzinfo=None).isoformat())
@@ -73,8 +81,21 @@ def main() -> int:
     osql = mod.oracle_sql()
 
     argv = sys.argv[1:]
+    global SF_DIR
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        SF_DIR = f"/root/testdata/sf{argv[i + 1]}"
+        argv = argv[:i] + argv[i + 2:]
     if argv and not argv[0].isdigit():
-        names = argv
+        names = []
+        for a in argv:
+            if a.endswith("*"):
+                hits = [n for n in qs if n.startswith(a[:-1])]
+                if not hits:
+                    print(f"warning: no queries match {a!r}")
+                names.extend(hits)
+            else:
+                names.append(a)
     else:
         n = int(argv[0]) if argv else 50
         names = list(qs)[:n]

@@ -310,14 +310,21 @@ def _jaccard_for_pairs(
     boolean flip at scale). A pair must share ≥ 1 non-hot shingle to
     verify; Jaccard VALUES always use the full intersection (identical
     to the hot add-back arithmetic). The hot list is df-capped-small
-    (≤ |shingles|/cap entries) and rides a 1-row broadcast."""
+    (≤ |shingles|/cap entries) and rides a 1-row broadcast — as
+    xxhash64 LONGS, not raw shingle strings (round-7 advice): the
+    broadcast row is then 8 bytes/entry regardless of shingle byte
+    length, the same encoding _jaccard_pairs' hot add-back arrays use,
+    keeping it far from the 2 GB single-row ceiling at web scale. The
+    shared-shingle intersection still runs on raw strings; only the
+    hot membership test hashes (a transform over the already-small
+    intersection array)."""
     docsets = _doc_shingle_sets(spark, sf_dir)
     sh = _doc_shingles(spark, sf_dir)
     hot_arr = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > join_df_cap)
-        .agg(F.collect_list("shingle").alias("hot"))
+        .agg(F.collect_list(F.xxhash64("shingle")).alias("hot"))
     )
     a = docsets.select(
         F.col("doc_id").alias("doc_a"),
@@ -343,7 +350,10 @@ def _jaccard_for_pairs(
                 4,
             ).alias("jaccard"),
             F.size(
-                F.array_except(shared, F.coalesce("hot", F.array()))
+                F.array_except(
+                    F.transform(shared, lambda s: F.xxhash64(s)),
+                    F.coalesce("hot", F.array().cast("array<bigint>")),
+                )
             ).alias("_cold_shared"),
         )
         .filter((F.col("jaccard") >= threshold) & (F.col("_cold_shared") >= 1))
@@ -509,16 +519,19 @@ _LSH_CERT_ORACLE = f"""
     """
 
 
-def _minhash_lsh_pairs(
-    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
-) -> DataFrame:
+def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH candidate→verify pipeline; returns exact-Jaccard-verified
     pairs (doc_a, doc_b, jaccard). Split out so the oracled query can
-    certify this leg against the exhaustive exact set; callers that
-    also need the shingle relation pass it in so the persisted build
-    happens once."""
-    if sh is None:
-        sh = _doc_shingles(spark, sf_dir)
+    certify this leg against the exhaustive exact set.
+
+    Builds its shingle relation internally (the session-memoized
+    _doc_shingles) rather than accepting one as a parameter — the same
+    round-7 hardening _cert_exact_slice got: the verification leg
+    (_jaccard_for_pairs) always reads the memoized frame, so a caller
+    passing a DIFFERENT shingle relation would get signatures and
+    verification from divergent corpora (round-7 advice). The memo
+    makes the internal build free for callers that also use it."""
+    sh = _doc_shingles(spark, sf_dir)
     # 16 minhash signatures per doc: min over shingles of seeded xxhash64.
     sigs = sh.groupBy("doc_id").agg(
         *[
@@ -609,7 +622,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both certificates are distributed aggregates (an anti-join count
     and an avg over a membership flag) broadcast back onto the pair
     rows — no driver-side pair materialization."""
-    sh = _doc_shingles(spark, sf_dir)  # ONE memoized build feeds both legs
     # The verified LSH pair set is itself session-memoized: it is the
     # production artifact every consumer (this certificate, cluster
     # building, a second audit sweep) shares, and it is O(true pairs).
@@ -617,7 +629,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "minhash_verified_pairs",
-        lambda: _minhash_lsh_pairs(spark, sf_dir, sh).select("doc_a", "doc_b"),
+        lambda: _minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b"),
     )
     exact_s = _cert_exact_slice(spark, sf_dir)
     in_sample = (F.col("doc_a") % CERT_SAMPLE_MOD == 0) | (

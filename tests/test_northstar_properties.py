@@ -76,6 +76,70 @@ def test_pair_keyed_verifier_matches_corpus_pair_shape(spark):
     assert ref_rows  # non-vacuous: the sf0.001 corpus has true near-dups
 
 
+def test_hot_shingle_df_cap_semantics_on_synthetic_boilerplate(spark, tmp_path):
+    """The df-cap paths are vacuous on sf0.001/sf0.01 (no shingle there
+    exceeds JACCARD_DF_CAP=64), so this synthetic corpus plants one
+    boilerplate shingle in every doc and runs BOTH verifiers with a cap
+    the boilerplate exceeds (round-7 advice). Pins the three df-cap
+    guarantees:
+
+    1. a pair whose overlap is EXCLUSIVELY hot is never emitted
+       (candidate gen in _jaccard_pairs; the _cold_shared>=1 filter in
+       _jaccard_for_pairs) even when its Jaccard clears the threshold;
+    2. a pair with >=1 cold shared shingle IS emitted;
+    3. its Jaccard value counts the FULL intersection including the hot
+       shingle (the add-back arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_practicum_spark.operators.dedup import (
+        _jaccard_for_pairs,
+        _jaccard_pairs,
+        _doc_shingles,
+    )
+
+    docs = [
+        # docs 1-2: share the hot shingle + 3 cold shingles
+        (1, "the boiler plate alpha beta gamma delta"),
+        (2, "the boiler plate alpha beta gamma epsilon"),
+        # docs 3-5: pairwise overlap is ONLY the hot shingle
+        (3, "the boiler plate zeta eta theta"),
+        (4, "the boiler plate iota kappa lambda"),
+        (5, "the boiler plate mu nu xi"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    sf_dir = str(tmp_path)
+    cap = 2  # df("the boiler plate") = 5 > 2 -> hot; every other df <= 2
+
+    # corpus-pair verifier: candidate join excludes hot, add-back restores
+    # the intersection count. Threshold 0.1 admits the purely-hot (3,4)
+    # pair on VALUE (J = 1/7 ≈ 0.143) — only the cap may exclude it.
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _jaccard_pairs(
+            _doc_shingles(spark, sf_dir), threshold=0.1, join_df_cap=cap
+        ).collect()
+    }
+    # docs 1,2: 5 shingles each, full intersection 4 (incl. hot) -> 4/6
+    assert got == {(1, 2): 0.6667}
+
+    # pair-keyed verifier over ALL 10 pairs: same single survivor, same
+    # full-intersection value; the hot-add-back/_cold_shared legs agree.
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a in range(1, 6) for b in range(a + 1, 6)],
+        "doc_a long, doc_b long",
+    )
+    got_pk = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _jaccard_for_pairs(
+            spark, sf_dir, all_pairs, threshold=0.1, join_df_cap=cap
+        ).collect()
+    }
+    assert got_pk == {(1, 2): 0.6667}
+
+
 def test_simhash_pairs_are_near_duplicates(spark):
     """SimHash-blocked candidates at Hamming<=6 should be dominated by
     the known near-dup clusters (jaccard overlap). (Targets the banded
