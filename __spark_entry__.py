@@ -47,14 +47,20 @@ def _utc_pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[Spark
 # Previously-sampled names follow in prior-round order (dict insertion
 # keeps the FIRST occurrence, so the head owns any shared names).
 _NEWEST_FIRST = [
-    # Round-8 policy (round-7 verdict task 1): registry still frozen;
-    # no outputs changed this round (the dedup verify-leg hot-list
-    # hashing and the _minhash_lsh_pairs parameter drop are A/B-checked
-    # output-identical — see PERFORMANCE.md round-8 entry), so the
-    # entire 50-head is tranche 4 of the never-driver-sampled rotation:
-    # the 5 biggest remaining families, largest first (text 14, eval
-    # 13, dedup 10, mm 9, graph 7 = 53; the driver's 50-sample takes
-    # the first 50, the last 3 graph names lead tranche 5).
+    # Round-8 policy (round-7 verdict task 1): registry still frozen.
+    # ONE output changed this round and must re-verify driver-side:
+    # dedup_simhash's recall certificate column is now
+    # simhash_recall_ge_80pct — the new sf0.1 strict-sweep tier
+    # measured 0.891 recall at sf0.1 (the >=0.9 bound held only at toy
+    # sample sizes; see the query docstring and PERFORMANCE.md round-8
+    # entry for the Hamming-ceiling analysis). The dedup verify-leg
+    # hot-list hashing and the _minhash_lsh_pairs parameter drop are
+    # A/B-checked output-identical. The rest of the 50-head is tranche
+    # 4 of the never-driver-sampled rotation: the 5 biggest remaining
+    # families, largest first (text 14, eval 13, dedup 10, mm 9,
+    # graph 7; the driver's 50-sample takes dedup_simhash + the first
+    # 49, the remaining 4 graph names lead tranche 5).
+    "dedup_simhash",
     "text_bm25_topk",
     "text_token_count",
     "text_lang_id",

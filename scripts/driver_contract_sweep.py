@@ -110,6 +110,11 @@ def main() -> int:
         .getOrCreate()
     )
     con = duckdb.connect()
+    # Fail fast instead of spilling: the round-8 sf0.1 tier's first run
+    # filled the disk when an exponentially-inlined oracle CTE chain
+    # (graph_kcore_peel pre-MATERIALIZED) spilled >80 GB of DuckDB temp.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory=''")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"

@@ -251,10 +251,10 @@ def _pi_oracle() -> str:
     oracle technique): covariance from the per-dimension explode, then
     ITERS matrix-vector products each followed by L2 normalization."""
     ctes = [
-        """dims AS (
+        """dims AS MATERIALIZED (
         SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
         FROM embeddings)""",
-        """cov AS (
+        """cov AS MATERIALIZED (
         SELECT a.i AS i, b.i AS j, covar_pop(a.v, b.v) AS c
         FROM dims a JOIN dims b ON a.vec_id = b.vec_id
         GROUP BY a.i, b.i)""",
@@ -262,13 +262,13 @@ def _pi_oracle() -> str:
     ]
     for t in range(1, _PI_ITERS + 1):
         ctes.append(
-            f"""u{t} AS (
+            f"""u{t} AS MATERIALIZED (
         SELECT cov.i, SUM(cov.c * v{t-1}.vj) AS u
         FROM cov JOIN v{t-1} ON cov.j = v{t-1}.j
         GROUP BY cov.i)"""
         )
         ctes.append(
-            f"""v{t} AS (
+            f"""v{t} AS MATERIALIZED (
         SELECT i AS j, u / SQRT(SUM(u * u) OVER ()) AS vj FROM u{t})"""
         )
     last = f"v{_PI_ITERS}"

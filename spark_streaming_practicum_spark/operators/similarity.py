@@ -565,11 +565,11 @@ def _mmr_oracle() -> str:
     head = f"""
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
                FROM embeddings WHERE vec_id = 0),
-    cands AS (
+    cands AS MATERIALIZED (
         SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS e,
                {cos.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qe")} AS rel
         FROM embeddings e, q WHERE e.vec_id > 0),
-    sel1 AS (
+    sel1 AS MATERIALIZED (
         SELECT vec_id, e, rel, rel AS mmr, 1 AS rank
         FROM cands ORDER BY rel DESC, vec_id LIMIT 1)"""
     ctes = [head]
@@ -579,7 +579,7 @@ def _mmr_oracle() -> str:
         )
         sim = cos.format(a="c.e", b="s.e")
         ctes.append(f"""
-    sel{k} AS (
+    sel{k} AS MATERIALIZED (
         SELECT c.vec_id, c.e, c.rel,
                ROUND({_MMR_LAMBDA} * c.rel
                      - {round(1 - _MMR_LAMBDA, 10)} * MAX({sim}), 6) AS mmr,

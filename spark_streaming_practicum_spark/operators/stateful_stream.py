@@ -12,7 +12,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import stream_table
+from ..catalog import stream_drain_partitions, stream_table
 from ..registry import query
 from ..streaming.stateful import running_user_profile
 
@@ -32,11 +32,17 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_table(spark, sf_dir, "events")
     out = running_user_profile(stream)
     sink_name = f"profile_{uuid.uuid4().hex[:8]}"
-    q = out.writeStream.outputMode("update").format("memory").queryName(sink_name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_drain_partitions(spark):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     emitted = spark.table(sink_name)
     # Update mode may emit one row per key per micro-batch; the final
     # state has the max count — keep it.
@@ -170,16 +176,17 @@ def _run_tws(spark: SparkSession, sf_dir: str, build) -> DataFrame:
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
     try:
-        q = (
-            out.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(sink_name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with stream_drain_partitions(spark):
+            q = (
+                out.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(sink_name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -16,8 +16,32 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import stream_table, table
+from ..catalog import stream_drain_partitions, stream_table, table
 from ..registry import query
+
+
+def _drain(spark: SparkSession, df: DataFrame, mode: str, prefix: str) -> DataFrame:
+    """Start ``df`` on a memory sink, drain it synchronously, return the
+    sink table. All TRUE-streaming queries in this module share this
+    shape; the drain runs under ``stream_drain_partitions`` so each
+    micro-batch commits 8 state-store instances per stateful operator
+    instead of 32 — the dominant fixed cost of the sub-10-second
+    streaming band at bench scale (round-7 verdict task 4). Purely a
+    runtime sizing: output is partitioning-invariant and every query
+    here remains oracle-checked."""
+    sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    with stream_drain_partitions(spark):
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(sink_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(sink_name)
 
 
 @query(
@@ -44,18 +68,7 @@ def stream_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"))
     )
-    sink_name = f"tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.table(sink_name)
+    out = _drain(spark, agg, "complete", "tumbling")
     return out.select(
         F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
     )
@@ -141,13 +154,9 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     dedup = stream.withWatermark("ts", "40 days").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
-    sink_name = f"dedup_{uuid.uuid4().hex[:8]}"
-    q = dedup.writeStream.outputMode("append").format("memory").queryName(sink_name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(sink_name).select("user_id", "event_type", "event_id", "ts")
+    return _drain(spark, dedup, "append", "dedup").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
 
 
 @query(
@@ -175,13 +184,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
         )
     )
-    sink_name = f"enrich_{uuid.uuid4().hex[:8]}"
-    q = agg.writeStream.outputMode("complete").format("memory").queryName(sink_name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(sink_name)
+    return _drain(spark, agg, "complete", "enrich")
 
 
 @query(
@@ -226,13 +229,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 MINUTES")),
         "inner",
     ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
-    sink_name = f"ssj_{uuid.uuid4().hex[:8]}"
-    q = joined.writeStream.outputMode("append").format("memory").queryName(sink_name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(sink_name)
+    return _drain(spark, joined, "append", "ssj")
 
 
 @query(
@@ -277,18 +274,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fresh = stream.join(static, "f", "left_anti")
     agg = fresh.groupBy("lang").agg(F.count(F.lit(1)).alias("n_new"))
-    sink_name = f"incdedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(sink_name)
+    return _drain(spark, agg, "complete", "incdedup")
 
 
 @query(
@@ -310,25 +296,26 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_table(spark, sf_dir, "events")
     agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     sink_name = f"updmode_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        # availableNow terminates on its own once the batch drains; a
-        # False return means the 180 s budget elapsed first and the
-        # memory sink holds PARTIAL counts — fail loudly rather than
-        # return a silently wrong result (round-2 advice).
-        if not q.awaitTermination(180):
-            raise TimeoutError(
-                "stream_update_mode_counts: availableNow batch did not "
-                "drain within 180s; refusing to return partial counts"
-            )
-    finally:
-        q.stop()
+    with stream_drain_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            # availableNow terminates on its own once the batch drains; a
+            # False return means the 180 s budget elapsed first and the
+            # memory sink holds PARTIAL counts — fail loudly rather than
+            # return a silently wrong result (round-2 advice).
+            if not q.awaitTermination(180):
+                raise TimeoutError(
+                    "stream_update_mode_counts: availableNow batch did not "
+                    "drain within 180s; refusing to return partial counts"
+                )
+        finally:
+            q.stop()
     # last update per key wins (single batch -> one row per key already)
     return spark.table(sink_name).groupBy("event_type").agg(F.max("n").alias("n"))
 
@@ -403,19 +390,8 @@ def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = conv.groupBy(F.window("p_ts", "1 hour").alias("w")).agg(
         F.count(F.lit(1)).alias("n_conversions")
     )
-    sink_name = f"jtw_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return (
-        spark.table(sink_name)
+        _drain(spark, agg, "append", "jtw")
         .select(F.col("w.start").alias("window_start"), "n_conversions")
         .orderBy("window_start")
     )
@@ -496,18 +472,7 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 MINUTES")),
         "left_outer",
     ).select("click_id", F.col("c_user").alias("user_id"), "purchase_id")
-    sink_name = f"soj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(sink_name).orderBy("click_id", "purchase_id")
+    return _drain(spark, joined, "append", "soj").orderBy("click_id", "purchase_id")
 
 
 @query(
@@ -554,18 +519,7 @@ def stream_session_window_true(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
         )
     )
-    sink_name = f"sesstrue_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(sink_name).select(
+    return _drain(spark, agg, "complete", "sesstrue").select(
         "user_id",
         F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"),

@@ -62,7 +62,7 @@ _A3 = _a(3, (1, 2))
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-    vocab AS (
+    vocab AS MATERIALIZED (
         SELECT w, ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS widx
         FROM (SELECT w, COUNT(*) AS n FROM tok GROUP BY w)
         ORDER BY n DESC, w ASC LIMIT {_V}),
@@ -192,35 +192,35 @@ def _textrank_oracle() -> str:
     scheme from operators/graph.py, applied to the word graph)."""
     head = f"""
     WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    vocab AS (
+    vocab AS MATERIALIZED (
         SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS widx
         FROM (SELECT tok, COUNT(*) AS n
               FROM (SELECT unnest(w) AS tok FROM words)
               GROUP BY tok ORDER BY n DESC, tok LIMIT {_TR_V})),
-    big AS (
+    big AS MATERIALIZED (
         SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg
         FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)),
-    co AS (
+    co AS MATERIALIZED (
         SELECT va.widx AS src, vb.widx AS dst, COUNT(*) AS n
         FROM big
         JOIN vocab va ON string_split(bg, ' ')[1] = va.tok
         JOIN vocab vb ON string_split(bg, ' ')[2] = vb.tok
         WHERE va.widx <> vb.widx
         GROUP BY 1, 2),
-    sym AS (
+    sym AS MATERIALIZED (
         SELECT src, dst, SUM(n) AS w FROM (
             SELECT src, dst, n FROM co
             UNION ALL SELECT dst, src, n FROM co) GROUP BY 1, 2),
-    enorm AS (SELECT src, dst, w * 1.0 / SUM(w) OVER (PARTITION BY src) AS p
+    enorm AS MATERIALIZED (SELECT src, dst, w * 1.0 / SUM(w) OVER (PARTITION BY src) AS p
               FROM sym),
     nodes AS (SELECT DISTINCT src AS node FROM sym),
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
-    pr0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS pr FROM nodes)
+    pr0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT cnt FROM nn) AS pr FROM nodes)
 """
     ctes = [head]
     for i in range(_TR_ITER):
         ctes.append(f"""
-    pr{i + 1} AS (
+    pr{i + 1} AS MATERIALIZED (
         SELECT b.node,
                (1 - {_TR_D}) / (SELECT cnt FROM nn)
                    + {_TR_D} * COALESCE(inf.inflow, 0) AS pr

@@ -47,7 +47,7 @@ def test_simhash_certificate_rows_all_touch_subsample(spark):
     assert out
     for r in out:
         assert r.doc_a % CERT_SAMPLE_MOD == 0 or r.doc_b % CERT_SAMPLE_MOD == 0
-        assert r.simhash_precision_exact and r.simhash_recall_ge_90pct
+        assert r.simhash_precision_exact and r.simhash_recall_ge_80pct
 
 
 def test_sampled_exact_leg_joins_only_sampled_a_side(spark):

@@ -34,7 +34,7 @@ def test_session_memo_shares_frames_across_queries(spark):
         (r.doc_a, r.doc_b, r.jaccard) for r in mh_rows
     )
     # and the certificates stayed green after the clearCache
-    assert all(r.simhash_precision_exact and r.simhash_recall_ge_90pct for r in sh_rows)
+    assert all(r.simhash_precision_exact and r.simhash_recall_ge_80pct for r in sh_rows)
     assert all(r.lsh_precision_exact and r.lsh_recall_ge_90pct for r in mh_rows)
 
 
