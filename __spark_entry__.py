@@ -58,9 +58,21 @@ _NEWEST_FIRST = [
     # A/B-checked output-identical. The rest of the 50-head is tranche
     # 4 of the never-driver-sampled rotation: the 5 biggest remaining
     # families, largest first (text 14, eval 13, dedup 10, mm 9,
-    # graph 7; the driver's 50-sample takes dedup_simhash + the first
-    # 49, the remaining 4 graph names lead tranche 5).
+    # graph 7; the driver's 50-sample takes the 4 output-changed
+    # re-checks + the first 46 = text+eval+dedup+mm exactly; the 7
+    # graph names lead tranche 5).
+    #
+    # Output-changed this round (all found by the new sf0.1 tier):
+    # dedup_simhash (recall cert re-pinned at 0.8), grpo_group_advantage
+    # (IEEE -0.0 normalized), quantile_normalize_sources +
+    # ts_interpolate_linear (AVG -> exact-decimal sum/count; interp
+    # rounding idiom). ts_interval_islands_merge also changed plan
+    # (windows over distinct starts) but its output is bit-identical —
+    # verified against the single-threaded oracle at both scales.
     "dedup_simhash",
+    "grpo_group_advantage",
+    "quantile_normalize_sources",
+    "ts_interpolate_linear",
     "text_bm25_topk",
     "text_token_count",
     "text_lang_id",

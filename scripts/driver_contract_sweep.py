@@ -57,6 +57,8 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return ("nan",)
+        if v == 0.0:
+            return ("f", 0.0)  # IEEE -0.0 == 0.0 but repr-sorts apart
         return ("f", round(v, 12))
     if isinstance(v, datetime):
         return ("t", v.replace(tzinfo=None).isoformat())

@@ -209,11 +209,13 @@ def corpus_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ORDER BY n_chars, doc_id) AS q
         FROM documents),
     target AS (
-        SELECT q, CAST(AVG(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS pooled_mean
+        SELECT q, CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
+                      / COUNT(*) AS pooled_mean
         FROM ranked GROUP BY q)
     SELECT r.source, r.q,
            COUNT(*) AS n,
-           CAST(AVG(CAST(r.n_chars AS DECIMAL(38,6))) AS DOUBLE) AS source_mean,
+           CAST(SUM(CAST(r.n_chars AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS source_mean,
            ROUND(MAX(t.pooled_mean), 6) AS normalized_value
     FROM ranked r JOIN target t USING (q)
     GROUP BY r.source, r.q
@@ -230,15 +232,22 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-source ventiles are windows PARTITIONED by source (each source
     shuffles independently — not a global sort); the 20-row pooled
-    profile broadcasts back. Means accumulate in DECIMAL. Output: the
-    per-(source, ventile) mapping table, which at serving time is a
-    broadcast lookup applied map-side."""
+    profile broadcasts back. Means are exact-decimal SUM cast to double
+    then divided by the count — NOT AVG: Spark's AVG(DECIMAL(38,6))
+    returns DECIMAL(38,10) (10 dp) while DuckDB's AVG returns full-
+    precision DOUBLE, a divergence invisible until a mean with
+    repeating digits appeared in the round-8 sf0.1 sweep. The sum/count
+    form is engine-identical (exact sum, nearest-double cast, one IEEE
+    division). Output: the per-(source, ventile) mapping table, which
+    at serving time is a broadcast lookup applied map-side."""
     d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     ranked = d.select(
         "source", "n_chars", F.ntile(20).over(w).alias("q")
     )
-    dmean = F.avg(F.col("n_chars").cast("decimal(38,6)")).cast("double")
+    dmean = F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double") / F.count(
+        F.lit(1)
+    )
     target = ranked.groupBy("q").agg(dmean.alias("pooled_mean"))
     return (
         ranked.join(F.broadcast(target), "q")

@@ -182,7 +182,9 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH sel AS (SELECT user_id, date_trunc('hour', ts) AS hour, value
                  FROM events WHERE user_id % 97 = 0),
-    hourly AS (SELECT user_id, hour, AVG(value) AS v
+    hourly AS (SELECT user_id, hour,
+                      CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                          / COUNT(*) AS v
                FROM sel GROUP BY user_id, hour),
     span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
              FROM sel GROUP BY user_id),
@@ -214,7 +216,7 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN nv IS NULL THEN pv
                ELSE pv + (nv - pv) * (epoch(hour) - epoch(ph))
                                    / (epoch(nh) - epoch(ph))
-           END, 6) AS value_interp
+           END * 1000000.0, 0) / 1000000.0 AS value_interp
     FROM ctx
     """,
 )
@@ -233,7 +235,17 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes. Users subsampled (user_id % 97 = 0) to bound the oracle."""
     e = table(spark, sf_dir, "events").filter(F.col("user_id") % 97 == 0)
     sel = e.select("user_id", F.date_trunc("hour", "ts").alias("hour"), "value")
-    hourly = sel.groupBy("user_id", "hour").agg(F.avg("value").alias("v"))
+    # Exact-decimal sum / count, not AVG(double): double AVG is
+    # summation-order dependent, and a last-ulp difference in v flips
+    # the final ROUND(...,6) at an x.xxxxxx5 boundary (first seen at
+    # sf0.1 — one row in 1358). The sum/count form is deterministic and
+    # engine-identical.
+    hourly = sel.groupBy("user_id", "hour").agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
     span = sel.groupBy("user_id").agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
     grid = span.select(
         "user_id",
@@ -261,20 +273,31 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("v", ignorenulls=True).over(fwd).alias("nv"),
         F.first(obs_hour, ignorenulls=True).over(fwd).alias("nh"),
     )
-    frac = (F.col("hour").cast("long") - F.col("ph").cast("long")) / (
-        F.col("nh").cast("long") - F.col("ph").cast("long")
+    # Two exact-parity rules here, both first bitten at sf0.1:
+    # 1. Associativity: the SQL computes (nv - pv) * dt THEN / dspan;
+    #    a*(b/c) differs from (a*b)/c in the last ulp. Keep the
+    #    multiply-first order on both sides.
+    # 2. Rounding idiom: F.round(x, 6) rounds the SHORTEST DECIMAL REPR
+    #    of the double (BigDecimal.valueOf), while DuckDB/C round the
+    #    exact binary value — they disagree when the shortest repr ends
+    #    in ...5 but the binary sits just below it (65.0746875 ->
+    #    Spark .688, DuckDB .687). round(x*1e6, 0)/1e6 is engine-safe:
+    #    integer-adjacent halves are exactly representable, so shortest
+    #    repr == exact value and both engines round half away from
+    #    zero identically.
+    dt = F.col("hour").cast("long") - F.col("ph").cast("long")
+    dspan = F.col("nh").cast("long") - F.col("ph").cast("long")
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * dt / dspan)
     )
     return ctx.select(
         "user_id",
         "hour",
         F.col("v").isNotNull().alias("observed"),
-        F.round(
-            F.when(F.col("v").isNotNull(), F.col("v"))
-            .when(F.col("pv").isNull(), F.col("nv"))
-            .when(F.col("nv").isNull(), F.col("pv"))
-            .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac),
-            6,
-        ).alias("value_interp"),
+        (F.round(interp * F.lit(1e6), 0) / F.lit(1e6)).alias("value_interp"),
     )
 
 
@@ -1006,25 +1029,25 @@ _ISL_SPAN_DAYS = 7  # each shipment keeps its supplier busy for a week
 @query(
     "ts_interval_islands_merge",
     oracle=f"""
-    WITH iv AS (
-        SELECT l_suppkey AS k, l_shipdate AS s,
+    WITH iv AS MATERIALIZED (
+        SELECT l_suppkey AS k, l_shipdate AS s, COUNT(*) AS c,
                l_shipdate + INTERVAL {_ISL_SPAN_DAYS} DAY AS e
-        FROM lineitem),
-    flagged AS (
-        SELECT k, s, e,
-               CASE WHEN s > MAX(e) OVER (PARTITION BY k ORDER BY s, e
+        FROM lineitem GROUP BY 1, 2),
+    flagged AS MATERIALIZED (
+        SELECT k, s, e, c,
+               CASE WHEN s > MAX(e) OVER (PARTITION BY k ORDER BY s
                                           ROWS BETWEEN UNBOUNDED PRECEDING
                                           AND 1 PRECEDING)
                     THEN 1 ELSE 0 END AS new_island
         FROM iv),
-    grp AS (
-        SELECT k, s, e,
-               SUM(new_island) OVER (PARTITION BY k ORDER BY s, e
+    grp AS MATERIALIZED (
+        SELECT k, s, e, c,
+               SUM(new_island) OVER (PARTITION BY k ORDER BY s
                                      ROWS UNBOUNDED PRECEDING) AS island_id
         FROM flagged),
-    islands AS (
+    islands AS MATERIALIZED (
         SELECT k, island_id, MIN(s) AS island_start, MAX(e) AS island_end,
-               COUNT(*) AS n_intervals
+               SUM(c) AS n_intervals
         FROM grp GROUP BY k, island_id)
     SELECT k AS suppkey,
            CAST(COUNT(*) AS BIGINT) AS n_islands,
@@ -1046,16 +1069,33 @@ def ts_interval_islands_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     single shuffle on the (high-cardinality) supplier key plus two
     window passes — the same shape a calendar/uptime/session-coverage
     rollup takes at 100 TB. First-occurrence NULL handling rides the
-    CASE (NULL max -> not > -> 0) identically in both engines."""
+    CASE (NULL max -> not > -> 0) identically in both engines.
+
+    Round-8: the windows now run over DISTINCT (k, s) with per-start
+    multiplicities pre-aggregated (e is functionally determined by s,
+    so duplicate starts are pure window-row inflation — at 100 TB the
+    map-side combine shrinks the window input by the duplication
+    factor). This also made the window's ORDER BY keys UNIQUE, which
+    the round-8 sf0.1 sweep proved matters for verification: DuckDB's
+    multi-threaded window execution returned run-to-run DIFFERENT
+    busy_days on the old duplicate-key form (tie order is provably
+    irrelevant to these frames, so that is engine-side instability;
+    single-threaded DuckDB agreed with Spark exactly). Unique keys
+    make the oracle deterministic under threads — verified stable
+    across repeated threaded runs."""
     li = table(spark, sf_dir, "lineitem")
-    iv = li.select(
-        F.col("l_suppkey").alias("k"),
-        F.col("l_shipdate").alias("s"),
-        (F.col("l_shipdate") + F.expr(f"INTERVAL {_ISL_SPAN_DAYS} DAYS")).alias("e"),
+    iv = (
+        li.groupBy(
+            F.col("l_suppkey").alias("k"), F.col("l_shipdate").alias("s")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "e", F.col("s") + F.expr(f"INTERVAL {_ISL_SPAN_DAYS} DAYS")
+        )
     )
     w_prev = (
         Window.partitionBy("k")
-        .orderBy(F.col("s").asc(), F.col("e").asc())
+        .orderBy(F.col("s").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     flagged = iv.withColumn(
@@ -1064,14 +1104,14 @@ def ts_interval_islands_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_run = (
         Window.partitionBy("k")
-        .orderBy(F.col("s").asc(), F.col("e").asc())
+        .orderBy(F.col("s").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     grp = flagged.withColumn("island_id", F.sum("new_island").over(w_run))
     islands = grp.groupBy("k", "island_id").agg(
         F.min("s").alias("island_start"),
         F.max("e").alias("island_end"),
-        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("c").alias("n_intervals"),
     )
     return islands.groupBy(F.col("k").alias("suppkey")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_islands"),

@@ -1036,7 +1036,7 @@ def t5_span_corruption_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n AS BIGINT) AS group_n,
            ROUND(CASE WHEN n < 2 OR ss / n - POWER(s / n, 2) <= 0 THEN 0.0
                       ELSE (value - s / n)
-                           / SQRT(ss / n - POWER(s / n, 2)) END, 6)
+                           / SQRT(ss / n - POWER(s / n, 2)) END, 6) + 0.0
                AS advantage
     FROM g
     ORDER BY user_id, day, event_id
@@ -1055,7 +1055,15 @@ def grpo_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries count, sum and sum-of-squares together (population
     variance from moments — no second pass), so the whole op is one
     shuffle. Moment sums ride DECIMAL so both engines normalize by the
-    identical statistics."""
+    identical statistics.
+
+    The ``+ 0.0`` on the rounded advantage (both sides) normalizes IEEE
+    negative zero: a tiny negative advantage rounds to -0.0 under
+    Spark's BigDecimal HALF_UP but to 0.0 in DuckDB — equal under
+    ``==`` yet bitwise/repr-distinct, which the round-8 sf0.1 sweep
+    caught as a sort-alignment mismatch (no such row exists at
+    sf0.01). ``x + 0.0`` is the standard IEEE-754 sign-of-zero
+    canonicalization: exact identity for every finite x, -0.0 -> +0.0."""
     w = Window.partitionBy("user_id", "day")
     e = table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("date").alias("day"), "event_id", "value"
@@ -1079,7 +1087,7 @@ def grpo_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
         F.col("n").cast("bigint").alias("group_n"),
-        F.round(adv, 6).alias("advantage"),
+        (F.round(adv, 6) + F.lit(0.0)).alias("advantage"),
     ).orderBy("user_id", "day", "event_id")
 
 
