@@ -31,6 +31,15 @@ from spark_streaming_practicum_spark.registry import all_queries
 
 from .conftest import SF_DIR
 
+# The parity sweep is the suite's largest single block (~5 min of the
+# ~12-13 min total at round-8 size). The round-7 verdict's suite-time
+# plan: when the single-invocation run passes the 10-minute guard,
+# split THIS file behind a marker — close runs become two invocations,
+# each under the guard, with identical total coverage:
+#   python -m pytest tests/ -q -m "not parity"
+#   python -m pytest tests/ -q -m parity
+pytestmark = pytest.mark.parity
+
 DEFS = all_queries()
 SQL_CHECKED = sorted(name for name, d in DEFS.items() if d.oracle is not None)
 ROWS_ONLY = sorted(name for name, d in DEFS.items() if d.oracle is None)
