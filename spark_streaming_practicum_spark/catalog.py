@@ -8,6 +8,7 @@ partitioned/bucketed table scans with the same call sites.
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -109,7 +110,12 @@ def stream_drain_partitions(spark: SparkSession, n: int = 8):
     operator shape: at 100 TB the same query runs with thousands of
     partitions by raising the session conf — nothing here caps it.
     Results are partitioning-invariant (keyed state is keyed state),
-    which the streaming oracles re-verify every round."""
+    which the streaming oracles re-verify every round.
+
+    ``SSP_STREAM_DRAIN_PARTITIONS`` overrides the default — the deploy
+    lever for a real cluster (size it so per-partition state fits the
+    executor's state-store budget; thousands at 100 TB)."""
+    n = int(os.environ.get("SSP_STREAM_DRAIN_PARTITIONS", n))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

@@ -87,3 +87,20 @@ def test_conf_restored_after_conf_touching_queries(spark):
     defs["agg_pricing_summary"].fn(spark, "/root/testdata/sf0.001").count()
     after_read = _snapshot(spark)
     assert after_read == before, f"catalog read drifted conf: {before} -> {after_read}"
+
+
+def test_stream_drain_partitions_env_override(spark, monkeypatch):
+    """SSP_STREAM_DRAIN_PARTITIONS overrides the drain default and the
+    session value is restored afterwards (the deploy lever for sizing
+    state-store fan-out on a real cluster)."""
+    from spark_streaming_practicum_spark.catalog import stream_drain_partitions
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    monkeypatch.setenv("SSP_STREAM_DRAIN_PARTITIONS", "3")
+    with stream_drain_partitions(spark, 8):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    monkeypatch.delenv("SSP_STREAM_DRAIN_PARTITIONS")
+    with stream_drain_partitions(spark, 5):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
