@@ -47,6 +47,84 @@ def _utc_pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[Spark
 # Previously-sampled names follow in prior-round order (dict insertion
 # keeps the FIRST occurrence, so the head owns any shared names).
 _NEWEST_FIRST = [
+    # Round-9 policy (round-8 verdict tasks 1+2): registry still frozen
+    # at 478. ONE query's verification changed and must re-verify
+    # driver-side: stream_dedup_within_watermark — the registry's last
+    # rows-only entry — now carries a certified-invariant oracle (the
+    # deterministic key set + a kept-row containment boolean; the
+    # arrival-order property tests remain the state-semantics check),
+    # making the registry 478/478 oracled. The rest of the 50-head is
+    # tranche 5 of the never-driver-sampled rotation in the verdict's
+    # ordering: graph 7, sql 7, sim 6, ts 6, agg 5, udf 5, then the
+    # first 13 of the 17 remaining TPC-H q* shapes (q9/q10/q13/q20 plus
+    # pipeline/privacy/geo/vocab lead tranche 6 next round).
+    "stream_dedup_within_watermark",
+    "graph_pagerank_trade",
+    "graph_triangle_count",
+    "graph_label_propagation",
+    "graph_link_prediction_jaccard",
+    "graph_modularity_score",
+    "graph_sssp_bellman_ford",
+    "graph_kcore_peel",
+    "sql_udf_net_revenue",
+    "sql_group_order_by_all",
+    "sql_lateral_column_alias",
+    "sql_scripting_control_flow",
+    "sql_pivot_clause",
+    "sql_unpivot_clause",
+    "sql_parameterized_identifier",
+    "sim_cosine_topk",
+    "sim_cosine_topk_pandas",
+    "sim_label_centroid",
+    "sim_ann_ivf",
+    "sim_mmr_diversified_topk",
+    "sim_maxsim_late_interaction",
+    "ts_ewma_daily",
+    "ts_acf_daily_volume",
+    "ts_seasonal_decompose_dow",
+    "ts_changepoint_cusum",
+    "ts_theil_sen_trend",
+    "ts_forecast_backtest_naive",
+    "agg_listagg_ordered",
+    "agg_statistics",
+    "agg_bool",
+    "agg_collect_set_sorted",
+    "agg_regression_price_qty",
+    "udf_pandas_scalar",
+    "udf_grouped_map_zscore",
+    "udf_grouped_agg_median",
+    "udf_grouped_map_arrow",
+    "udf_pandas_scalar_iter",
+    "q4_order_priority",
+    "q12_priority_by_returnflag",
+    "q14_promo_revenue",
+    "q16_supplier_cnt_by_part",
+    "q19_discounted_revenue",
+    "q22_idle_rich_customers",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_sole_late_supplier",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    # tranche 6 head (never-sampled; next round's candidates)
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q20_dominant_supplier",
+    "pipeline_pretraining_prep",
+    "pipeline_corpus_curation",
+    "pipeline_bronze_to_gold",
+    "privacy_k_anonymity_audit",
+    "privacy_l_diversity_audit",
+    "privacy_t_closeness_audit",
+    "geo_grid_cell_counts",
+    "geo_grid_knn_join",
+    "geo_trajectory_stats",
+    "vocab_oov_rate",
+    "vocab_growth_heaps",
+    "vocab_hapax_rate",
     # Round-8 policy (round-7 verdict task 1): registry still frozen.
     # ONE output changed this round and must re-verify driver-side:
     # dedup_simhash's recall certificate column is now

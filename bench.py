@@ -14,10 +14,19 @@ Output contract (round 3 — driver-parseable):
     split.
 
 Regression memory: ``python bench.py --compare bench_history/BENCH_DETAIL_r02.json``
-diffs a fresh BENCH_DETAIL.json against a previous round's map and
-exits non-zero if any shared query regressed more than COMPARE_RATIO
-(default 1.5x) AND by more than COMPARE_ABS_FLOOR seconds (sub-100 ms
-queries flap on a shared host; absolute floor keeps noise out).
+diffs a fresh BENCH_DETAIL.json against a previous round's map.
+Round-9 policy (round-8 verdict task 4): the measured session-to-session
+variance band lives HERE, not in prose. A shared query is flagged
+INVESTIGATE only when it is cross-band — >COMPARE_BAND (1.35x, the
+±35 % JIT/GC session band pinned in PERFORMANCE.md round-8: gbdt
+measured 4.55 s under load and 5.68 s cool on untouched code) AND
+slower by more than COMPARE_ABS_FLOOR seconds. In-band movement is
+counted but not flagged. Flagged queries whose previous time was under
+FIXED_OVERHEAD_CEILING (7 s) are auto-annotated as fixed-overhead:
+for those, one cross-band point is still compatible with session noise
+— confirm with an isolated min-of-N re-run or a scale probe before
+treating it as a plan regression. Exit is non-zero only on INVESTIGATE
+entries.
 
 Each query is materialized with the noop sink (full execution, no
 driver-side collect cost).
@@ -33,8 +42,9 @@ import time
 from spark_streaming_practicum_spark.registry import all_queries
 from spark_streaming_practicum_spark.session import build_session
 
-COMPARE_RATIO = 1.5
+COMPARE_BAND = 1.35  # ±35 % session band (PERFORMANCE.md round-8, measured)
 COMPARE_ABS_FLOOR = 0.3  # seconds; below this, ratio flaps are host noise
+FIXED_OVERHEAD_CEILING = 7.0  # sub-7 s queries: session JIT/GC noise dominates
 
 HEADLINE = [
     # relational core
@@ -230,25 +240,48 @@ HEADLINE = [
 
 
 def compare(current_path: str, prev_path: str) -> int:
-    """Diff two BENCH_DETAIL maps; return nonzero on real regressions."""
+    """Diff two BENCH_DETAIL maps; return nonzero only on cross-band
+    (INVESTIGATE) regressions — in-band movement is ambient by the
+    measured ±35 % session band and is counted, not flagged."""
     with open(current_path) as f:
         cur = json.load(f)["queries"]
     with open(prev_path) as f:
         prev = json.load(f)["queries"]
-    regressions = []
+    investigate = []
+    in_band = 0
     for name, prev_t in sorted(prev.items()):
         cur_t = cur.get(name)
         if cur_t is None:
             continue
-        if cur_t > prev_t * COMPARE_RATIO and cur_t - prev_t > COMPARE_ABS_FLOOR:
-            regressions.append((name, prev_t, cur_t))
+        if cur_t > prev_t * COMPARE_BAND and cur_t - prev_t > COMPARE_ABS_FLOOR:
+            investigate.append((name, prev_t, cur_t))
+        elif cur_t > prev_t:
+            in_band += 1
     shared = len(set(cur) & set(prev))
     print(f"compared {shared} shared queries vs {prev_path}")
-    for name, prev_t, cur_t in regressions:
-        print(f"REGRESSION {name}: {prev_t:.3f}s -> {cur_t:.3f}s ({cur_t / prev_t:.2f}x)")
-    if not regressions:
-        print("no per-query regressions > %.1fx (+%.1fs floor)" % (COMPARE_RATIO, COMPARE_ABS_FLOOR))
-    return 1 if regressions else 0
+    print(
+        f"{in_band} slower but in-band (<= {COMPARE_BAND}x or <= "
+        f"+{COMPARE_ABS_FLOOR}s): ambient per the pinned session band"
+    )
+    if any(p < FIXED_OVERHEAD_CEILING for _, p, _ in investigate):
+        print(
+            "[fixed-overhead] = prev < %.0fs: one cross-band point is still "
+            "compatible with session noise; confirm with an isolated "
+            "min-of-N re-run or a scale probe before treating as a plan "
+            "regression" % FIXED_OVERHEAD_CEILING
+        )
+    for name, prev_t, cur_t in investigate:
+        note = "  [fixed-overhead]" if prev_t < FIXED_OVERHEAD_CEILING else ""
+        print(
+            f"INVESTIGATE {name}: {prev_t:.3f}s -> {cur_t:.3f}s "
+            f"({cur_t / prev_t:.2f}x){note}"
+        )
+    if not investigate:
+        print(
+            "no cross-band regressions > %.2fx (+%.1fs floor)"
+            % (COMPARE_BAND, COMPARE_ABS_FLOOR)
+        )
+    return 1 if investigate else 0
 
 
 def full_sweep() -> None:

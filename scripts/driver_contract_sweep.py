@@ -22,7 +22,10 @@ was scale-dependent and invisible at sf0.01).
 NaN canonicalization: Spark NULL and float NaN are DISTINCT tokens
 here (round-7 advice). The driver's own pandas-path hash conflates
 them (NULL floats surface as NaN in toPandas), so this is strictly
-harder than the gate, as advertised.
+harder than the gate, as advertised. Likewise IEEE -0.0 and +0.0 are
+DISTINCT tokens (round-8 advice: the grpo_group_advantage defect
+class must stay detectable); only a -0.0 produced by rounding a tiny
+negative inside the 1e-12 tolerance is identified with +0.0.
 """
 
 from __future__ import annotations
@@ -57,9 +60,18 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return ("nan",)
-        if v == 0.0:
-            return ("f", 0.0)  # IEEE -0.0 == 0.0 but repr-sorts apart
-        return ("f", round(v, 12))
+        r = round(v, 12)
+        if r == 0.0:
+            # Everything inside the 1e-12 zero tolerance is identified
+            # with +0.0 — EXCEPT an exact IEEE -0.0, which keeps its
+            # sign as an explicit token element so a Spark-vs-oracle
+            # sign-of-zero divergence (the grpo_group_advantage defect
+            # class) still FAILS. The explicit element (rather than a
+            # bare -0.0, which == 0.0 under tuple equality yet
+            # repr-sorts apart) keeps sorting and equality consistent.
+            neg_zero = v == 0.0 and math.copysign(1.0, v) < 0
+            return ("f", 0.0, -1.0 if neg_zero else 1.0)
+        return ("f", r)
     if isinstance(v, datetime):
         return ("t", v.replace(tzinfo=None).isoformat())
     if isinstance(v, date):

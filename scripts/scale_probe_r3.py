@@ -27,7 +27,9 @@ from spark_streaming_practicum_spark.registry import all_queries
 from spark_streaming_practicum_spark.session import build_session
 
 SF = "/root/testdata/sf0.1"
-REPL = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+# Parsed at import time (later probes import this module and read REPL);
+# non-numeric argv[1] means the caller passed query names only — default 20.
+REPL = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 20
 
 QUERIES = [
     "xicor_correlation",

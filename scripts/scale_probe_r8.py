@@ -23,6 +23,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Parse argv BEFORE importing the r3/r4 probes: scale_probe_r3 runs
+# int(sys.argv[1]) at import time, so a leading query name (REPL is
+# optional per the usage line) must not reach it. argv[1] is REPL only
+# if it is all digits; every non-digit arg is a query name.
+_ARGS = sys.argv[1:]
+_REPL = int(_ARGS[0]) if _ARGS and _ARGS[0].isdigit() else 20
+_NAMES = [a for a in _ARGS if not a.isdigit()]
+# scale_probe_r4.main reads query names from sys.argv[2:].
+sys.argv = [sys.argv[0], str(_REPL)] + _NAMES
+
 import scripts.scale_probe_r3 as r3  # noqa: E402
 import scripts.scale_probe_r4 as r4  # noqa: E402
 from scripts.scale_probe_r4 import main as _main  # noqa: E402
@@ -35,6 +45,5 @@ QUERIES = [
 
 if __name__ == "__main__":
     r4.QUERIES = QUERIES
-    # scale_probe_r3 parsed ITS argv at import; honor ours instead.
-    r3.REPL = r4.REPL = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    r3.REPL = r4.REPL = _REPL
     _main()

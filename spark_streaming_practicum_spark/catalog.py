@@ -114,8 +114,23 @@ def stream_drain_partitions(spark: SparkSession, n: int = 8):
 
     ``SSP_STREAM_DRAIN_PARTITIONS`` overrides the default — the deploy
     lever for a real cluster (size it so per-partition state fits the
-    executor's state-store budget; thousands at 100 TB)."""
-    n = int(os.environ.get("SSP_STREAM_DRAIN_PARTITIONS", n))
+    executor's state-store budget; thousands at 100 TB).
+
+    NOTE: ``spark.sql.shuffle.partitions`` is session-global runtime
+    conf, so this context manager assumes the drain runs sequentially
+    on its session — a batch query planned concurrently on the SAME
+    SparkSession inside the ``with`` block would pick up the drain's
+    partition count. Every caller in this repo (streaming_equiv /
+    stateful_stream drains, the e2e tests) drains synchronously before
+    running anything else; give concurrent workloads their own session."""
+    raw = os.environ.get("SSP_STREAM_DRAIN_PARTITIONS")
+    if raw is not None:
+        try:
+            n = int(raw)
+        except ValueError:
+            raise ValueError(
+                f"SSP_STREAM_DRAIN_PARTITIONS must be an integer, got {raw!r}"
+            ) from None
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

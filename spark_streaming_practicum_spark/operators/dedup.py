@@ -349,6 +349,10 @@ def _jaccard_for_pairs(
                 / (F.col("ca") + F.col("cb") - F.size(shared)),
                 4,
             ).alias("jaccard"),
+            # Accepted risk: a 64-bit xxhash64 collision between a cold
+            # shared shingle and any hot shingle would drop a valid pair
+            # here (same odds as the pre-existing hashed add-back
+            # encoding; ~n_hot/2^64 per shingle — negligible).
             F.size(
                 F.array_except(
                     F.transform(shared, lambda s: F.xxhash64(s)),

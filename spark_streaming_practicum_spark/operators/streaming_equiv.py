@@ -142,20 +142,50 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_dedup_within_watermark", oracle=None)  # kept row is arbitrary -> rows-only
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT user_id, event_type, TRUE AS kept_from_input
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    """,
+)
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True streaming dropDuplicatesWithinWatermark on (user_id,
     event_type): the reference's deferred dedup design
     (/root/reference/README.md:64-68) implemented with bounded state.
-    Watermark 40 days > data span, so the row count equals the exact
-    distinct count (asserted in unit tests); which row is kept is
-    execution-order dependent, hence rows-only."""
+
+    Certified-invariant oracle (round-8 verdict task 2, in the style of
+    the ANN recall certificates): the DETERMINISTIC part of the
+    operator's contract is the key set — watermark 40 days > data span,
+    so exactly one row is emitted per distinct (user_id, event_type) —
+    while WHICH physical row survives is execution-order dependent. The
+    query therefore returns the key set plus ``kept_from_input``, a
+    per-key boolean certifying the survivor's containment: the kept
+    (event_id, ts) pair must be one of that key's actual input rows
+    (join-back against the batch table; duplicate-proofed with
+    dropDuplicates so a kept row can never fan out). The oracle asserts
+    the exact distinct key set with the certificate TRUE on every row.
+    The arrival-order property tests in test_streaming_e2e /
+    test_northstar_properties remain the state-semantics check."""
     stream = stream_table(spark, sf_dir, "events")
     dedup = stream.withWatermark("ts", "40 days").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
-    return _drain(spark, dedup, "append", "dedup").select(
+    kept = _drain(spark, dedup, "append", "dedup").select(
         "user_id", "event_type", "event_id", "ts"
+    )
+    candidates = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "event_id", "ts")
+        .dropDuplicates(["user_id", "event_type", "event_id", "ts"])
+        .withColumn("_in_input", F.lit(True))
+    )
+    return kept.join(
+        candidates, ["user_id", "event_type", "event_id", "ts"], "left"
+    ).select(
+        "user_id",
+        "event_type",
+        F.coalesce("_in_input", F.lit(False)).alias("kept_from_input"),
     )
 
 
