@@ -36,16 +36,13 @@ def _utc_pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[Spark
 # Newest operators first: the driver's correctness run samples a subset
 # (the head) of this dict, and enumeration order is the repo's only
 # lever for making that sample exercise the least battle-tested code
-# (round-3 verdict task 7). Round-7 policy (round-6 verdict tasks 1+4):
-# registry growth frozen; lead with the 4 queries whose OUTPUT changed
-# this round (the treated-split now takes the high bit of the 32-bit
-# Fibonacci product instead of its parity — round-6 advice — plus the
-# parameterized Cochran-Q oracle), then tranche 3 of the
-# never-driver-sampled rotation: the full streaming family (the repo's
-# most semantics-heavy surface), then join / window / set — 4
-# re-checks + 46 first-time names = exactly the driver's 50-sample.
-# Previously-sampled names follow in prior-round order (dict insertion
-# keeps the FIRST occurrence, so the head owns any shared names).
+# (round-3 verdict task 7). Standing policy since round 6: registry
+# growth frozen; each round's head = any queries whose OUTPUT (or
+# verification) changed since their last green driver row, then the
+# next tranche of the never-driver-sampled rotation, totalling the
+# driver's 50-sample. The current round's head and rationale are the
+# first block below; prior rounds' blocks follow in order (dict
+# insertion keeps the FIRST occurrence, so the head owns shared names).
 _NEWEST_FIRST = [
     # Round-9 policy (round-8 verdict tasks 1+2): registry still frozen
     # at 478. ONE query's verification changed and must re-verify

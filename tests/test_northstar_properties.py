@@ -184,6 +184,33 @@ def test_stream_dedup_count_equals_exact_distinct(spark):
     assert n_stream == n_exact
 
 
+def test_stream_dedup_certificate_is_falsifiable(spark):
+    """The round-9 kept_from_input certificate must be able to FAIL: a
+    survivor row whose (event_id, ts) pair is not in the input for its
+    key must certify false. Exercised by running the certificate
+    join-back directly on a kept frame with one forged row."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_practicum_spark.catalog import table
+
+    cols = ["user_id", "event_type", "event_id", "ts"]
+    real = table(spark, SF_DIR, "events").select(*cols).limit(3)
+    forged = real.limit(1).withColumn("event_id", F.lit(-999_999_999))
+    kept = real.union(forged)
+    candidates = (
+        table(spark, SF_DIR, "events")
+        .select(*cols)
+        .dropDuplicates(cols)
+        .withColumn("_in_input", F.lit(True))
+    )
+    cert = kept.join(candidates, cols, "left").select(
+        "event_id", F.coalesce("_in_input", F.lit(False)).alias("kept_from_input")
+    )
+    flags = {r.event_id: r.kept_from_input for r in cert.collect()}
+    assert flags[-999_999_999] is False
+    assert sum(flags.values()) == 3
+
+
 def test_approx_count_distinct_within_rsd(spark):
     """HLL++ estimate within advertised error of the exact count: the
     query now emits the certified invariant directly (exact count + a
