@@ -27,27 +27,47 @@ def test_headline_queries_all_registered():
     assert missing == []
 
 
-def test_compare_flags_real_regressions(tmp_path, capsys):
+def test_compare_flags_cross_band_regressions(tmp_path, capsys):
     prev = tmp_path / "prev.json"
     cur = tmp_path / "cur.json"
-    prev.write_text(json.dumps({"queries": {"a": 1.0, "b": 0.05, "c": 2.0, "gone": 1.0}}))
-    # a: 2.1x and +1.1s -> regression. b: 3x but only +0.1s (< abs floor)
-    # -> host noise, not flagged. c: improved. gone: absent in current -> skipped.
-    cur.write_text(json.dumps({"queries": {"a": 2.1, "b": 0.15, "c": 1.0, "new": 9.9}}))
+    prev.write_text(
+        json.dumps(
+            {"queries": {"a": 1.0, "b": 0.05, "c": 2.0, "big": 10.0, "gone": 1.0}}
+        )
+    )
+    # a: 2.1x and +1.1s -> cross-band, INVESTIGATE with the sub-7s
+    # fixed-overhead annotation. b: 3x but only +0.1s (< abs floor) ->
+    # host noise, not flagged. c: improved. big: 14s is 1.4x from a
+    # >=7s base -> INVESTIGATE without the annotation. gone: absent in
+    # current -> skipped.
+    cur.write_text(
+        json.dumps({"queries": {"a": 2.1, "b": 0.15, "c": 1.0, "big": 14.0, "new": 9.9}})
+    )
     rc = bench.compare(str(cur), str(prev))
     out = capsys.readouterr().out
     assert rc == 1
-    assert "REGRESSION a" in out
-    assert "b" not in [line.split()[1].rstrip(":") for line in out.splitlines() if line.startswith("REGRESSION")]
+    flagged = {
+        line.split()[1].rstrip(":"): line
+        for line in out.splitlines()
+        if line.startswith("INVESTIGATE")
+    }
+    assert set(flagged) == {"a", "big"}
+    assert "[fixed-overhead]" in flagged["a"]
+    assert "[fixed-overhead]" not in flagged["big"]
 
 
-def test_compare_clean_run_returns_zero(tmp_path, capsys):
+def test_compare_in_band_movement_not_flagged(tmp_path, capsys):
+    """Movement inside the pinned ±35 % session band (round-8 close)
+    must be counted as ambient, not flagged — the whole point of
+    encoding the band (round-8 verdict task 4)."""
     prev = tmp_path / "prev.json"
     cur = tmp_path / "cur.json"
-    prev.write_text(json.dumps({"queries": {"a": 1.0}}))
-    cur.write_text(json.dumps({"queries": {"a": 1.1}}))
+    prev.write_text(json.dumps({"queries": {"a": 1.0, "d": 4.0}}))
+    cur.write_text(json.dumps({"queries": {"a": 1.1, "d": 5.2}}))  # 1.1x, 1.3x
     assert bench.compare(str(cur), str(prev)) == 0
-    assert "no per-query regressions" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "no cross-band regressions" in out
+    assert "2 slower but in-band" in out
 
 
 def test_warmup_failure_exits_nonzero_and_names_query(spark, monkeypatch, capsys, tmp_path):

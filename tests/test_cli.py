@@ -82,4 +82,6 @@ def test_engine_cli_list():
     )
     assert out.returncode == 0
     assert "agg_pricing_summary" in out.stdout
-    assert "[oracle]" in out.stdout and "[rows-only]" in out.stdout
+    # Round 9: the last rows-only query gained a certified-invariant
+    # oracle, so every listed entry must carry the [oracle] tag.
+    assert "[oracle]" in out.stdout and "[rows-only]" not in out.stdout
