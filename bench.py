@@ -285,7 +285,7 @@ def compare(current_path: str, prev_path: str) -> int:
 
 
 def full_sweep() -> None:
-    """--full: one timed run of EVERY registered query (452+) at sf_dir,
+    """--full: one timed run of EVERY registered query (478) at sf_dir,
     written to BENCH_FULL.json. Closes the round-5 bench blind spot
     (305/452 queries had no timing record anywhere — a regression in a
     non-headline query was invisible to --compare). Single cold run per
