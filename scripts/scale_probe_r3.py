@@ -129,4 +129,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    # The lenient module-level parse exists for importers; when run
+    # directly, a malformed REPL must error, not silently become 20.
+    if len(sys.argv) > 1 and not sys.argv[1].isdigit():
+        sys.exit(f"usage: {sys.argv[0]} [REPL] — REPL must be a positive integer")
     main()

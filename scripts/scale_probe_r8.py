@@ -23,16 +23,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Parse argv BEFORE importing the r3/r4 probes: scale_probe_r3 runs
-# int(sys.argv[1]) at import time, so a leading query name (REPL is
-# optional per the usage line) must not reach it. argv[1] is REPL only
-# if it is all digits; every non-digit arg is a query name.
-_ARGS = sys.argv[1:]
-_REPL = int(_ARGS[0]) if _ARGS and _ARGS[0].isdigit() else 20
-_NAMES = [a for a in _ARGS if not a.isdigit()]
-# scale_probe_r4.main reads query names from sys.argv[2:].
-sys.argv = [sys.argv[0], str(_REPL)] + _NAMES
-
+# Importing scale_probe_r3 is argv-safe since round 9 (it only reads
+# argv[1] as REPL when it is all digits), so no argv surgery is needed
+# at import time and sys.argv is NOT mutated as an import side effect.
 import scripts.scale_probe_r3 as r3  # noqa: E402
 import scripts.scale_probe_r4 as r4  # noqa: E402
 from scripts.scale_probe_r4 import main as _main  # noqa: E402
@@ -44,6 +37,22 @@ QUERIES = [
 ]
 
 if __name__ == "__main__":
+    # argv[1] is REPL only if all digits; every other arg is a query
+    # name. A digit-looking arg in any later position is ambiguous
+    # (REPL out of place? a query name?) — refuse it loudly rather than
+    # silently discarding it.
+    args = sys.argv[1:]
+    repl = int(args[0]) if args and args[0].isdigit() else 20
+    names = args[1:] if args and args[0].isdigit() else args
+    stray = [a for a in names if a.isdigit()]
+    if stray:
+        sys.exit(
+            f"usage: {sys.argv[0]} [REPL] [query ...] — REPL must be "
+            f"argv[1]; got stray numeric args {stray}"
+        )
+    # scale_probe_r4.main reads query names from sys.argv[2:]; we ARE
+    # the main script here, so rewriting our own argv is side-effect-free.
+    sys.argv = [sys.argv[0], str(repl)] + names
     r4.QUERIES = QUERIES
-    r3.REPL = r4.REPL = _REPL
+    r3.REPL = r4.REPL = repl
     _main()

@@ -131,6 +131,11 @@ def stream_drain_partitions(spark: SparkSession, n: int = 8):
             raise ValueError(
                 f"SSP_STREAM_DRAIN_PARTITIONS must be an integer, got {raw!r}"
             ) from None
+    if n <= 0:
+        raise ValueError(
+            f"stream drain partition count must be positive, got {n} "
+            "(via SSP_STREAM_DRAIN_PARTITIONS or the n= argument)"
+        )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

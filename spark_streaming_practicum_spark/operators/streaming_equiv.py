@@ -174,17 +174,33 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     kept = _drain(spark, dedup, "append", "dedup").select(
         "user_id", "event_type", "event_id", "ts"
     )
-    candidates = (
-        table(spark, sf_dir, "events")
-        .select("user_id", "event_type", "event_id", "ts")
-        .dropDuplicates(["user_id", "event_type", "event_id", "ts"])
-        .withColumn("_in_input", F.lit(True))
+    candidates = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
     )
-    return kept.join(
-        candidates, ["user_id", "event_type", "event_id", "ts"], "left"
-    ).select(
-        "user_id",
-        "event_type",
+    return _containment_certificate(kept, candidates)
+
+
+_CERT_COLS = ("user_id", "event_type", "event_id", "ts")
+
+
+def _containment_certificate(kept: DataFrame, candidates: DataFrame) -> DataFrame:
+    """The certificate join-back shared by ``stream_dedup_within_watermark``
+    and its falsifiability test: each kept row's full 4-tuple must exist
+    in the candidate input. Null-SAFE equality on every key (eqNullSafe)
+    so a NULL-keyed survivor — both engines treat NULL as one dedup key —
+    certifies true instead of falling out of a plain equi-join; the
+    candidate side is duplicate-proofed so a kept row can never fan out."""
+    cand = candidates.dropDuplicates(list(_CERT_COLS)).withColumn(
+        "_in_input", F.lit(True)
+    )
+    cand = cand.select([F.col(c).alias(f"_c_{c}") for c in _CERT_COLS] + ["_in_input"])
+    cond = None
+    for c in _CERT_COLS:
+        leg = kept[c].eqNullSafe(cand[f"_c_{c}"])
+        cond = leg if cond is None else (cond & leg)
+    return kept.join(cand, cond, "left").select(
+        kept["user_id"],
+        kept["event_type"],
         F.coalesce("_in_input", F.lit(False)).alias("kept_from_input"),
     )
 

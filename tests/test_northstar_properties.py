@@ -187,28 +187,30 @@ def test_stream_dedup_count_equals_exact_distinct(spark):
 def test_stream_dedup_certificate_is_falsifiable(spark):
     """The round-9 kept_from_input certificate must be able to FAIL: a
     survivor row whose (event_id, ts) pair is not in the input for its
-    key must certify false. Exercised by running the certificate
-    join-back directly on a kept frame with one forged row."""
+    key must certify false. Exercises the SAME `_containment_certificate`
+    the production query calls (no private re-implementation) on a kept
+    frame with one forged row."""
     from pyspark.sql import functions as F
 
     from spark_streaming_practicum_spark.catalog import table
+    from spark_streaming_practicum_spark.operators.streaming_equiv import (
+        _containment_certificate,
+    )
 
     cols = ["user_id", "event_type", "event_id", "ts"]
     real = table(spark, SF_DIR, "events").select(*cols).limit(3)
-    forged = real.limit(1).withColumn("event_id", F.lit(-999_999_999))
+    forged = real.limit(1).withColumn("event_id", F.lit(-999_999_999)).withColumn(
+        "user_id", F.lit(-1)
+    )
     kept = real.union(forged)
-    candidates = (
-        table(spark, SF_DIR, "events")
-        .select(*cols)
-        .dropDuplicates(cols)
-        .withColumn("_in_input", F.lit(True))
-    )
-    cert = kept.join(candidates, cols, "left").select(
-        "event_id", F.coalesce("_in_input", F.lit(False)).alias("kept_from_input")
-    )
-    flags = {r.event_id: r.kept_from_input for r in cert.collect()}
-    assert flags[-999_999_999] is False
-    assert sum(flags.values()) == 3
+    candidates = table(spark, SF_DIR, "events").select(*cols)
+    cert = _containment_certificate(kept, candidates)
+    flags = [r.kept_from_input for r in cert.collect()]
+    assert len(flags) == 4 and sum(flags) == 3
+    forged_flag = [
+        r.kept_from_input for r in cert.collect() if r.user_id == -1
+    ]
+    assert forged_flag == [False]
 
 
 def test_approx_count_distinct_within_rsd(spark):
