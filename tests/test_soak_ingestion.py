@@ -120,6 +120,18 @@ def test_soak_sustained_reference_rates_x100(spark, tmp_path):
         t_produced = time.perf_counter() - t_start
         query.processAllAvailable()
         t_drained = time.perf_counter() - t_start
+        # recentProgress is Spark's own complete record of the last 100
+        # micro-batches — it covers every drain-time batch, which the
+        # 0.25 s lastProgress polling above cannot see once the producer
+        # loop exits. On a contended host the production window may
+        # yield only a handful of (stretched) micro-batches, with the
+        # backlog clearing during the drain; without this merge the
+        # loaded-batch sample collapses to the polled few and the
+        # observation-count assert below flakes on host noise. Total
+        # micro-batches stay far under the 100-entry retention (1 s
+        # triggers over a <75 s window).
+        for p in query.recentProgress:
+            progresses[p["batchId"]] = p
         p = query.lastProgress
         if p is not None:
             progresses[p["batchId"]] = p
