@@ -44,6 +44,69 @@ def _utc_pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[Spark
 # first block below; prior rounds' blocks follow in order (dict
 # insertion keeps the FIRST occurrence, so the head owns shared names).
 _NEWEST_FIRST = [
+    # Round-10 policy (round-9 verdict task 1): registry still frozen at
+    # 478, 478/478 oracled, NO query's output or verification changed
+    # since its last green driver row — so the entire 50-head is
+    # tranche 6 of the never-driver-sampled rotation (134 remained
+    # entering this round). Composition per the verdict's ordering:
+    # the 4 staged TPC-H shapes (q9/q10/q13/q20) + the 46-name
+    # suggestion from scripts/rotation_audit.py (largest families
+    # first: pipeline/embedding/privacy/geo/vocab x3, then the 2-name
+    # families median/seq/revenue/ab/survival/drift/chi2/corpus/
+    # sample/quality/logreg/dq/sort/url, then attribution/poisson/
+    # path) = exactly the driver's 50-sample. Pre-verified with
+    # scripts/driver_contract_sweep.py 50 at sf0.01 (log committed to
+    # bench_history/).
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q20_dominant_supplier",
+    "pipeline_pretraining_prep",
+    "pipeline_corpus_curation",
+    "pipeline_bronze_to_gold",
+    "embedding_covariance_topk",
+    "embedding_pq_codebook",
+    "embedding_knn_outlier_score",
+    "privacy_k_anonymity_audit",
+    "privacy_l_diversity_audit",
+    "privacy_t_closeness_audit",
+    "geo_grid_cell_counts",
+    "geo_grid_knn_join",
+    "geo_trajectory_stats",
+    "vocab_oov_rate",
+    "vocab_growth_heaps",
+    "vocab_hapax_rate",
+    "median_mad_outliers",
+    "median_rank_ci",
+    "seq_pattern_followed_by",
+    "seq_match_recognize_emulation",
+    "revenue_gini_lorenz",
+    "revenue_wow_growth",
+    "ab_test_power_sample_size",
+    "ab_test_mann_whitney",
+    "survival_logrank_test",
+    "survival_nelson_aalen",
+    "drift_ks_two_sample",
+    "drift_psi_value_distribution",
+    "chi2_independence_test",
+    "chi2_feature_selection",
+    "corpus_diversity_indices",
+    "corpus_mixture_weights",
+    "sample_neyman_allocation",
+    "sample_reservoir_per_group",
+    "quality_gopher_gates",
+    "quality_model_score",
+    "logreg_gd_two_steps",
+    "logreg_calibration_bins",
+    "dq_expectation_checks",
+    "dq_referential_integrity",
+    "sort_multi_key_nulls",
+    "sort_global_full",
+    "url_parse_host_stats",
+    "url_canonicalize_dedup",
+    "attribution_last_touch_linear",
+    "poisson_bootstrap_ci",
+    "path_top_sequences",
     # Round-9 policy (round-8 verdict tasks 1+2): registry still frozen
     # at 478. ONE query's verification changed and must re-verify
     # driver-side: stream_dedup_within_watermark — the registry's last
