@@ -42,6 +42,39 @@ import time
 from spark_streaming_practicum_spark.registry import all_queries
 from spark_streaming_practicum_spark.session import build_session
 
+def _cpu_sample() -> dict | None:
+    """One /proc/stat aggregate-cpu snapshot (Linux only; None elsewhere)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        # cpu user nice system idle iowait irq softirq steal
+        vals = [int(x) for x in parts[1:9]]
+        return {"total": sum(vals), "iowait": vals[4], "steal": vals[7]}
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _host_signature(start: dict | None) -> dict:
+    """Steal/iowait percentage over the bench window plus 1-min loadavg.
+
+    Round-9 verdict task 3: this VM shows 3-5 % hypervisor steal in some
+    sessions and identical plans swing up to 1.55x wall clock; recording
+    the host signature INSIDE the detail JSON lets --compare adjudication
+    distinguish host-degraded from plan-degraded rounds without a manual
+    vmstat sidecar."""
+    sig: dict = {}
+    try:
+        sig["loadavg1"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    end = _cpu_sample()
+    if start and end and end["total"] > start["total"]:
+        dt = end["total"] - start["total"]
+        sig["steal_pct"] = round(100.0 * (end["steal"] - start["steal"]) / dt, 2)
+        sig["iowait_pct"] = round(100.0 * (end["iowait"] - start["iowait"]) / dt, 2)
+    return sig
+
+
 COMPARE_BAND = 1.35  # ±35 % session band (PERFORMANCE.md round-8, measured)
 COMPARE_ABS_FLOOR = 0.3  # seconds; below this, ratio flaps are host noise
 FIXED_OVERHEAD_CEILING = 7.0  # sub-7 s queries: session JIT/GC noise dominates
@@ -297,6 +330,7 @@ def full_sweep() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    cpu0 = _cpu_sample()
     spark = build_session(app_name="ssp-bench-full")
     defs = all_queries()
     from spark_streaming_practicum_spark.functions.ranks import (
@@ -327,6 +361,7 @@ def full_sweep() -> None:
         "queries": timings,
         "errors": errors,
         "sf": float(sf),
+        "host": _host_signature(cpu0),
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(path, "w") as f:
@@ -384,6 +419,8 @@ def main() -> None:
     # Warmup caches must not occupy (and thrash) storage memory during
     # the measured runs.
     spark.catalog.clearCache()
+    # Host signature covers the MEASURED window only (warmup excluded).
+    cpu0 = _cpu_sample()
 
     def run_once(name: str) -> float:
         fn = defs[name].fn
@@ -425,6 +462,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
         "sf": float(sf),
+        "host": _host_signature(cpu0),
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:

@@ -29,7 +29,11 @@ from spark_streaming_practicum_spark.session import build_session
 SF = "/root/testdata/sf0.1"
 # Parsed at import time (later probes import this module and read REPL);
 # non-numeric argv[1] means the caller passed query names only — default 20.
-REPL = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 20
+REPL = (
+    int(sys.argv[1])
+    if len(sys.argv) > 1 and sys.argv[1].isdigit() and int(sys.argv[1]) > 0
+    else 20
+)
 
 QUERIES = [
     "xicor_correlation",
@@ -131,6 +135,6 @@ def main() -> None:
 if __name__ == "__main__":
     # The lenient module-level parse exists for importers; when run
     # directly, a malformed REPL must error, not silently become 20.
-    if len(sys.argv) > 1 and not sys.argv[1].isdigit():
+    if len(sys.argv) > 1 and not (sys.argv[1].isdigit() and int(sys.argv[1]) > 0):
         sys.exit(f"usage: {sys.argv[0]} [REPL] — REPL must be a positive integer")
     main()

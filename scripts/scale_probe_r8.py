@@ -42,8 +42,11 @@ if __name__ == "__main__":
     # (REPL out of place? a query name?) — refuse it loudly rather than
     # silently discarding it.
     args = sys.argv[1:]
-    repl = int(args[0]) if args and args[0].isdigit() else 20
-    names = args[1:] if args and args[0].isdigit() else args
+    # "0" passes isdigit() but a zero-replica lake is degenerate — treat
+    # it as NOT a REPL so the stray-digit check below rejects it loudly.
+    has_repl = bool(args) and args[0].isdigit() and int(args[0]) > 0
+    repl = int(args[0]) if has_repl else 20
+    names = args[1:] if has_repl else args
     stray = [a for a in names if a.isdigit()]
     if stray:
         sys.exit(

@@ -198,18 +198,22 @@ def test_stream_dedup_certificate_is_falsifiable(spark):
     )
 
     cols = ["user_id", "event_type", "event_id", "ts"]
-    real = table(spark, SF_DIR, "events").select(*cols).limit(3)
+    real = (
+        table(spark, SF_DIR, "events")
+        .select(*cols)
+        .orderBy("event_id")
+        .limit(3)
+    )
     forged = real.limit(1).withColumn("event_id", F.lit(-999_999_999)).withColumn(
         "user_id", F.lit(-1)
     )
     kept = real.union(forged)
     candidates = table(spark, SF_DIR, "events").select(*cols)
     cert = _containment_certificate(kept, candidates)
-    flags = [r.kept_from_input for r in cert.collect()]
+    rows = cert.collect()
+    flags = [r.kept_from_input for r in rows]
     assert len(flags) == 4 and sum(flags) == 3
-    forged_flag = [
-        r.kept_from_input for r in cert.collect() if r.user_id == -1
-    ]
+    forged_flag = [r.kept_from_input for r in rows if r.user_id == -1]
     assert forged_flag == [False]
 
 

@@ -140,11 +140,26 @@ def test_oracled_output_is_hashable(name, spark):
     assert not bad, f"{name}: non-hashable output columns {bad}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(name, spark):
-    d = DEFS[name]
-    sdf = d.fn(spark, SF_DIR)
-    n = sdf.count()
-    assert n >= 0
-    # schema must be stable/collectable
-    sdf.limit(5).collect()
+def test_registry_fully_oracled():
+    """Since round 9 every registered query carries an oracle (the last
+    rows-only entry, stream_dedup_within_watermark, gained a
+    certified-invariant oracle). A future oracle=None regression must
+    fail LOUDLY here, not reappear as a silent rows-only skip
+    (round-9 verdict task 7)."""
+    assert ROWS_ONLY == [], f"queries silently de-oracled: {ROWS_ONLY}"
+
+
+if ROWS_ONLY:
+    # The weaker rows-only harness, kept for the day the registry is
+    # unfrozen with a genuinely non-SQL-expressible query. Defined
+    # conditionally: an empty parametrize would otherwise collect one
+    # permanently-skipped placeholder (round-9 verdict task 7 wants the
+    # suite to show 0 skips outside the Iceberg gate).
+    @pytest.mark.parametrize("name", ROWS_ONLY)
+    def test_rows_only_queries_run(name, spark):
+        d = DEFS[name]
+        sdf = d.fn(spark, SF_DIR)
+        n = sdf.count()
+        assert n >= 0
+        # schema must be stable/collectable
+        sdf.limit(5).collect()
