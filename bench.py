@@ -277,9 +277,17 @@ def compare(current_path: str, prev_path: str) -> int:
     (INVESTIGATE) regressions — in-band movement is ambient by the
     measured ±35 % session band and is counted, not flagged."""
     with open(current_path) as f:
-        cur = json.load(f)["queries"]
+        cur_detail = json.load(f)
     with open(prev_path) as f:
-        prev = json.load(f)["queries"]
+        prev_detail = json.load(f)
+    cur = cur_detail["queries"]
+    prev = prev_detail["queries"]
+    # Host signatures (present since round 10) travel with the diff:
+    # a cross-band flag measured under visible steal/load is adjudicated
+    # differently from one measured quiet (PERFORMANCE.md round-10).
+    for label, d in (("current", cur_detail), ("previous", prev_detail)):
+        if d.get("host"):
+            print(f"host[{label}]: {json.dumps(d['host'], sort_keys=True)}")
     investigate = []
     in_band = 0
     for name, prev_t in sorted(prev.items()):
