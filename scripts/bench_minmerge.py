@@ -1,0 +1,64 @@
+"""Headline bench min-merge (the round-close protocol rounds 7-9 ran by
+hand): run `python bench.py` N times back-to-back, merge per-query
+minima into one detail map, write it to BENCH_DETAIL.json (and stdout).
+Per-run totals and host signatures are kept in `runs` so the session's
+drift is visible next to the merged floor.
+
+Usage: python scripts/bench_minmerge.py [N]   (default 3)
+"""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
+
+
+def main() -> None:
+    n = 3
+    if len(sys.argv) > 1:
+        if not (sys.argv[1].isdigit() and int(sys.argv[1]) > 0):
+            sys.exit(f"usage: {sys.argv[0]} [N] — N must be a positive integer")
+        n = int(sys.argv[1])
+    merged: dict[str, float] = {}
+    runs = []
+    base = None
+    for i in range(n):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        )
+        if r.returncode != 0:
+            sys.exit(f"run {i + 1}/{n} failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+        with open(DETAIL) as f:
+            d = json.load(f)
+        base = d
+        runs.append({"value": d["value"], "host": d.get("host", {})})
+        for name, t in d["queries"].items():
+            if name not in merged or t < merged[name]:
+                merged[name] = t
+        print(f"run {i + 1}/{n}: {d['value']}s  host={json.dumps(d.get('host', {}))}", flush=True)
+    assert base is not None
+    base["queries"] = merged
+    base["value"] = round(sum(merged.values()), 3)
+    base["runs"] = runs
+    with open(DETAIL, "w") as f:
+        json.dump(base, f, indent=1, sort_keys=True)
+    print(
+        json.dumps(
+            {
+                "metric": base["metric"] + f" (min-merge of {n})",
+                "value": base["value"],
+                "unit": "sec",
+                "n_queries": base["n_queries"],
+                "sf": base["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
