@@ -44,6 +44,105 @@ def _utc_pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[Spark
 # first block below; prior rounds' blocks follow in order (dict
 # insertion keeps the FIRST occurrence, so the head owns shared names).
 _NEWEST_FIRST = [
+    # Round-11 policy (round-10 verdict tasks 1+2): registry still
+    # frozen at 478, 478/478 oracled. ONE query's output changed this
+    # round — sparse_cosine_pairs_topk (de-vacuated at sf0.1: the
+    # absolute df cap of 40 emptied the weight table there; now a
+    # scale-aware max(40, 8%-of-corpus) cap, 20 rows strict-OK at both
+    # scales) — so it leads the head per standing policy. The rest of
+    # the 50-head is the first 49 names of tranche 7 (alphabetical,
+    # staged last round); the 50th staged name
+    # (negative_sampling_unigram) moves to the round-12 tail, leaving
+    # exactly 34 never-driver-sampled names for round 12's tail-clear.
+    # Pre-verified with scripts/driver_contract_sweep.py 50 at sf0.01
+    # (log committed to bench_history/).
+    "sparse_cosine_pairs_topk",
+    "abc_classification_parts",
+    "als_user_factors_one_step",
+    "anova_oneway_f",
+    "approx_topk_event_types",
+    "bandit_ucb1_allocation",
+    "benford_first_digit",
+    "boilerplate_domain_segments",
+    "bpe_learn_merges",
+    "bradley_terry_one_step",
+    "causal_diff_in_diff",
+    "cdc_snapshot_diff",
+    "collocations_pmi_top",
+    "compaction_bin_packing",
+    "conformal_prediction_interval",
+    "contamination_ngram_overlap",
+    "contrastive_pair_mining",
+    "coreset_kcenter_greedy",
+    "ctr_empirical_bayes_shrinkage",
+    "curation_attrition_funnel",
+    "cv_kfold_gap",
+    "dataset_card_summary",
+    "decision_stump_info_gain",
+    "doc_bigram_logprob",
+    "domain_quota_sample",
+    "dsir_importance_weights",
+    "duplicate_payment_screen",
+    "elasticity_loglog_by_segment",
+    "events_gap_fill_hourly",
+    "explain_shapley_global_importance",
+    "feature_hashing_collision_audit",
+    "fim_psm_transform",
+    "funnel_stage_latency",
+    "fuzzy_join_blocked_levenshtein",
+    "gbdt_stump_boosting",
+    "gdpr_erasure_audit",
+    "hbos_outlier_score",
+    "hybrid_rrf_fusion",
+    "impute_group_median",
+    "incremental_agg_refresh",
+    "jl_random_projection",
+    "keyphrase_textrank",
+    "kmeans_lloyd_assignments",
+    "kruskal_wallis_h",
+    "lang_temperature_resample",
+    "length_bucket_batches",
+    "limit_scan",
+    "linkage_fellegi_sunter_em",
+    "lm_kneser_ney_bigrams",
+    "lsh_parameter_planner",
+    # tranche 8 staged (round-12 tail-clear: the 34 never-driver-sampled
+    # names remaining after the round-11 head; alphabetical. After
+    # round 12 samples these, the driver tail is CLEAR).
+    "negative_sampling_unigram",
+    "ope_ips_estimate",
+    "pareto_frontier_price_date",
+    "pca_power_iteration_top_pc",
+    "pipe_syntax_revenue",
+    "pit_join_features",
+    "plsa_em_step_topics",
+    "profile_table_stats",
+    "ransac_line_fit",
+    "recsys_item_item_cosine",
+    "recursive_cte_reachability",
+    "reorder_cycle_by_segment",
+    "repetition_dup_ngram_fraction",
+    "rlhf_preference_pairs",
+    "rm3_query_expansion",
+    "scd2_incremental_apply",
+    "session_window_builtin",
+    "sft_pack_conversations",
+    "shard_manifest_checksums",
+    "skew_key_diagnostics",
+    "spearman_rank_correlation",
+    "supplier_concentration_hhi",
+    "t5_span_corruption_prep",
+    "target_encode_loo",
+    "term_burstiness_fano",
+    "token_zipf_fit",
+    "tokenizer_fertility_by_lang",
+    "topk_global",
+    "udtf_sentence_segments",
+    "ul2_denoiser_mix",
+    "user_event_streaks",
+    "vector_normalize",
+    "woe_iv_binning",
+    "zorder_cluster_keys",
     # Round-10 policy (round-9 verdict task 1): registry still frozen at
     # 478, 478/478 oracled, NO query's output or verification changed
     # since its last green driver row — so the entire 50-head is
@@ -107,11 +206,9 @@ _NEWEST_FIRST = [
     "attribution_last_touch_linear",
     "poisson_bootstrap_ci",
     "path_top_sequences",
-    # tranche 7 staged (the 84 never-driver-sampled names remaining
-    # after the round-10 head; alphabetical — every family left has one
-    # member. Round 11 leads with any output/verification-changed
-    # re-checks + the first ~50 of these; round 12 takes the rest and
-    # the driver tail is CLEAR).
+    # tranche 7 as staged in round 10 (SUPERSEDED by the round-11 block
+    # above, which owns these names via dict-first-occurrence; kept for
+    # the historical record like every prior round's block).
     "abc_classification_parts",
     "als_user_factors_one_step",
     "anova_oneway_f",
@@ -162,7 +259,6 @@ _NEWEST_FIRST = [
     "lm_kneser_ney_bigrams",
     "lsh_parameter_planner",
     "negative_sampling_unigram",
-    # --- round-11 head likely ends near here (50); round-12 tail below ---
     "ope_ips_estimate",
     "pareto_frontier_price_date",
     "pca_power_iteration_top_pc",

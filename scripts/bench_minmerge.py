@@ -45,12 +45,25 @@ def main() -> None:
     base["queries"] = merged
     base["value"] = round(sum(merged.values()), 3)
     base["runs"] = runs
+    # Round-11 ADVICE: the merged floor mixes all N runs, so the file's
+    # metric string says so, and the top-level host is the WORST value of
+    # each signature field across runs (per-run signatures stay in
+    # `runs`) — --compare adjudication is then anchored to the most
+    # pessimistic host the floor could have been measured under, not to
+    # whichever run happened to finish last.
+    base["metric"] = base["metric"] + f" (min-merge of {n})"
+    worst: dict = {"min_merge_runs": n}
+    for r in runs:
+        for k, v in (r.get("host") or {}).items():
+            if k not in worst or v > worst[k]:
+                worst[k] = v
+    base["host"] = worst
     with open(DETAIL, "w") as f:
         json.dump(base, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
-                "metric": base["metric"] + f" (min-merge of {n})",
+                "metric": base["metric"],
                 "value": base["value"],
                 "unit": "sec",
                 "n_queries": base["n_queries"],

@@ -10,6 +10,15 @@ queries (PERFORMANCE.md round-8/9), and best-ever minima were set on
 faster sessions than any round-10 window observed.
 
 Usage: python scripts/flag_adjudication_r10.py
+       python scripts/flag_adjudication_r10.py --interleaved FLAG CONTROL [N]
+
+The second form is the tie-breaker pass used for the two sub-2 s
+flappers (round-11 ADVICE: committed so the protocol cited in
+PERFORMANCE.md is reproducible): N alternating (flag, control) runs in
+ONE session — both sides see the identical host trajectory — then
+normalized = (flag_minN / flag_best) / (control_minN / control_best),
+CLOSED when normalized <= bench.COMPARE_BAND. Best-ever minima come
+from the FLAGS/CONTROLS tables below, else bench_history/BENCH_BEST.json.
 """
 import json
 import os
@@ -105,5 +114,66 @@ def main() -> None:
     spark.stop()
 
 
+def _best_ever(name: str) -> float:
+    if name in FLAGS:
+        return FLAGS[name]
+    if name in CONTROLS:
+        return CONTROLS[name]
+    best_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_history",
+        "BENCH_BEST.json",
+    )
+    with open(best_path) as f:
+        best = json.load(f)
+    return best["queries"][name]
+
+
+def interleaved(flag: str, control: str, n_pairs: int = 8) -> None:
+    """The min-of-N interleaved pairing pass (see module docstring)."""
+    sf_dir = "/root/testdata/sf0.1"
+    spark = build_session(app_name="ssp-flag-pairing")
+    defs = all_queries()
+    for name in (flag, control):
+        defs[name].fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format(
+            "noop"
+        ).save()
+    spark.catalog.clearCache()
+    release_persisted_frames()
+    cpu0 = bench._cpu_sample()
+
+    def once(name: str) -> float:
+        t0 = time.perf_counter()
+        defs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        dt = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        release_persisted_frames()
+        return dt
+
+    flag_runs, ctl_runs = [], []
+    for _ in range(n_pairs):
+        flag_runs.append(once(flag))
+        ctl_runs.append(once(control))
+    fb, cb = _best_ever(flag), _best_ever(control)
+    fmin, cmin = min(flag_runs), min(ctl_runs)
+    norm = round((fmin / fb) / (cmin / cb), 3)
+    verdict = "CLOSED" if norm <= bench.COMPARE_BAND else "OPEN"
+    print(
+        f"{flag}: min{n_pairs} {fmin} (best {fb}) paired-with {control} "
+        f"min{n_pairs} {cmin} (best {cb}) -> normalized {norm} {verdict}"
+    )
+    print(f"  flag runs: {flag_runs}")
+    print(f"  ctl  runs: {ctl_runs}")
+    print(f"host: {json.dumps(bench._host_signature(cpu0))}")
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--interleaved":
+        interleaved(
+            sys.argv[2],
+            sys.argv[3],
+            int(sys.argv[4]) if len(sys.argv) > 4 else 8,
+        )
+    else:
+        main()

@@ -362,7 +362,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DF_CAP = 40  # drop tokens appearing in more of the corpus than this
+_DF_CAP = 40  # absolute floor of the scale-aware df cap (see below)
+_DF_CAP_FRAC = 0.08  # relative df cap: drop tokens held by > 8% of the corpus
 
 
 @query(
@@ -377,7 +378,7 @@ _DF_CAP = 40  # drop tokens appearing in more of the corpus than this
         SELECT t.doc_id, t.token,
                LN(n.n / d.df) AS w
         FROM tok t JOIN df d USING (token) CROSS JOIN n
-        WHERE d.df <= {_DF_CAP}),
+        WHERE d.df <= GREATEST({_DF_CAP}, CEIL({_DF_CAP_FRAC} * n.n))),
     nrm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM wv GROUP BY doc_id),
     dots AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
@@ -400,11 +401,20 @@ def sparse_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     generates f^2 candidate pairs, so dropping high-df (stopword-like)
     tokens before the self-join bounds the quadratic blowup — the same
     move DIMSUM/DISCO make, and those tokens carry ~zero idf weight
-    anyway, so the dropped mass barely moves the scores. After the cap
-    the join is keyed on token (co-partitioned with the weight table's
-    own grouping) and the per-pair partial dot products combine
-    map-side. Norm tables are one row per doc and broadcast-join back
-    onto the top-k heap's input."""
+    anyway, so the dropped mass barely moves the scores. The cap is
+    SCALE-AWARE (round-10 verdict task 2): an absolute cap went vacuous
+    as the corpus grew (at sf0.1 every token's df exceeded 40, emptying
+    the weight table), so the gate is now max(40, 8% of corpus) — a
+    relative stopword-fraction cutoff that keeps the rare-token tail at
+    every scale. At 100 TB the 8% fraction still bounds work per token
+    to (0.08n)^2 only in the worst case; real corpora have Zipfian df,
+    so the surviving tail is tiny, and a per-token candidate-pair
+    budget (sample f above a few thousand) is the documented next lever
+    if a pathological token slips through. After the cap the join is
+    keyed on token (co-partitioned with the weight table's own
+    grouping) and the per-pair partial dot products combine map-side.
+    Norm tables are one row per doc and broadcast-join back onto the
+    top-k heap's input."""
     d = table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
@@ -412,8 +422,12 @@ def sparse_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
     wv = (
-        tok.join(F.broadcast(df.filter(F.col("df") <= _DF_CAP)), "token")
+        tok.join(F.broadcast(df), "token")
         .crossJoin(F.broadcast(n))
+        .filter(
+            F.col("df")
+            <= F.greatest(F.lit(float(_DF_CAP)), F.ceil(F.lit(_DF_CAP_FRAC) * F.col("n")))
+        )
         .select("doc_id", "token", F.log(F.col("n") / F.col("df")).alias("w"))
     )
     nrm = wv.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
