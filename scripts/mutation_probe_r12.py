@@ -1,0 +1,159 @@
+"""Round-12 mutate-and-detect pass over the certificate-style queries
+(round-10 verdict task 8, pre-staged in round 11).
+
+Rationale: ten queries carry in-query certificate columns (recall /
+precision / containment / rank-bound booleans the oracle pins TRUE)
+instead of — or in addition to — plain value parity. The certification
+layer only has teeth if a seeded defect actually flips a certificate or
+breaks the oracle match. This harness seeds one defect at a time and
+asserts the strict driver-contract compare FAILS (DETECTED); a seeded
+defect that still passes is a vacuous certificate (MISSED) and a
+round-12 work item.
+
+Two mutation mechanisms:
+- ``attr``: monkeypatch a module-level constant the plan reads at call
+  time (no source edit; runs in-process here).
+- ``sed`` (round-12): a one-line predicate flip applied on a scratch
+  branch (``git stash``-safe), documented as file:line + replacement so
+  the pass is reproducible; these need a fresh interpreter per mutation.
+
+ROUND-12 TARGET LIST (committed now per round-10 verdict task 8):
+
+| query | certificate column(s) | seeded defect | mechanism |
+|---|---|---|---|
+| dedup_minhash_lsh | lsh_recall_ge_90pct | MAX_BUCKET=0 starves candidate gen | attr (worked example below) |
+| dedup_minhash_lsh | lsh_precision_exact | drop the exact re-score: emit raw band pairs | sed dedup.py:595 |
+| dedup_simhash | simhash_recall_ge_80pct | hamming radius 3 -> 0 in the band probe | sed dedup.py:~800 |
+| sim_ann_lsh_bucketed | lsh_recall_ge_5pct | drop the 8 one-bit-flip probe buckets | sed similarity.py:~250 |
+| sim_ann_ivf | ivf_recall_ge_10pct | nprobe 2 -> 0 (score no lists) | sed similarity.py:~300 |
+| minhash_merge_certificate | merge associativity flag | merge with max() instead of min() | sed dedup.py:1567+ |
+| retrieval_wand_prune_certificate | prune-safety flag | upper bound * 0.5 (over-prune) | sed retrieval.py:836+ |
+| stream_dedup_within_watermark | containment certificate | emit candidates instead of kept | sed streaming_equiv.py:186 |
+| sketch_quantile_mergeable | rank_lower_ok/rank_upper_ok | halve the KLL slack bound | sed advanced.py:1101 |
+| dq_referential_integrity | ri_ok | orphan predicate == -> != | sed governance.py:1029 |
+| curation_attrition_funnel | q_ok/r_ok | dupf threshold 0.2 -> 1.0 | sed curation.py:891 |
+
+Usage: python scripts/mutation_probe_r12.py [mutation_id ...]
+Default: all ``attr`` mutations (sed mutations are listed, not run —
+they are the round-12 scratch-branch pass).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+from scripts.driver_contract_sweep import TABLES, canon  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# mutation_id -> (query_name, module_path, attr, mutated_value, defect)
+ATTR_MUTATIONS = {
+    "minhash_max_bucket_zero": (
+        "dedup_minhash_lsh",
+        "spark_streaming_practicum_spark.operators.dedup",
+        "MAX_BUCKET",
+        0,
+        "hot-bucket guard drops EVERY band bucket -> zero LSH candidates "
+        "-> sampled recall 0 -> lsh_recall_ge_90pct must flip FALSE",
+    ),
+    "minhash_cert_sample_all_odd": (
+        "dedup_minhash_lsh",
+        "spark_streaming_practicum_spark.operators.dedup",
+        "CERT_SAMPLE_MOD",
+        1_000_000_007,
+        "certificate subsample becomes ~empty (doc_id % big == 0 only "
+        "for doc 0) -> output row set changes -> value/row-count FAIL "
+        "(pins that the sample window itself is load-bearing)",
+    ),
+}
+
+
+def run_one(mutation_id: str) -> bool:
+    """Apply one attr mutation, strict-compare its query vs the oracle.
+
+    Returns True when the seeded defect is DETECTED (compare fails)."""
+    import importlib
+
+    name, module_path, attr, value, defect = ATTR_MUTATIONS[mutation_id]
+    mod = importlib.import_module(module_path)
+    original = getattr(mod, attr)
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
+    entry = ilu.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    qs, osql = entry.queries(), entry.oracle_sql()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    print(f"[{mutation_id}] {name}: {attr} {original} -> {value}")
+    print(f"  seeded defect: {defect}")
+    setattr(mod, attr, value)
+    try:
+        t0 = time.time()
+        sdf = qs[name](spark, SF_DIR)
+        s_cols = sorted(sdf.columns)
+        s_rows = sorted(
+            (tuple(canon(v) for v in (r[c] for c in s_cols)) for r in sdf.collect()),
+            key=repr,
+        )
+        cur = con.execute(osql[name])
+        o_cols = sorted(d[0] for d in cur.description)
+        o_idx = [[d[0] for d in cur.description].index(c) for c in o_cols]
+        o_rows = sorted(
+            (tuple(canon(r[j]) for j in o_idx) for r in cur.fetchall()), key=repr
+        )
+        ok = s_cols == o_cols and s_rows == o_rows
+        detected = not ok
+        why = ""
+        if detected:
+            why = (
+                "columns diverged"
+                if s_cols != o_cols
+                else f"rows {len(s_rows)} vs {len(o_rows)}"
+                if len(s_rows) != len(o_rows)
+                else "values diverged (certificate flipped or scores moved)"
+            )
+    except Exception as exc:  # a crash is also a detection
+        detected, why = True, f"query raised: {exc!r:.200}"
+    finally:
+        setattr(mod, attr, original)
+    print(
+        f"  -> {'DETECTED' if detected else 'MISSED (vacuous certificate!)'}"
+        f" {why} ({time.time() - t0:.1f}s)"
+    )
+    return detected
+
+
+def main() -> int:
+    wanted = sys.argv[1:] or list(ATTR_MUTATIONS)
+    unknown = [w for w in wanted if w not in ATTR_MUTATIONS]
+    if unknown:
+        sys.exit(f"unknown mutation ids {unknown}; known: {list(ATTR_MUTATIONS)}")
+    missed = [m for m in wanted if not run_one(m)]
+    print(
+        f"\n{len(wanted) - len(missed)} detected, {len(missed)} missed"
+        + (f": {missed}" if missed else "")
+    )
+    return 1 if missed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -362,8 +362,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DF_CAP = 40  # absolute floor of the scale-aware df cap (see below)
-_DF_CAP_FRAC = 0.08  # relative df cap: drop tokens held by > 8% of the corpus
+_DF_CAP = 40  # absolute floor of the rarity-relative df cap (see below)
+_DF_CAP_RARITY = 4  # keep tokens within this factor of the rarest token's df
 
 
 @query(
@@ -373,12 +373,13 @@ _DF_CAP_FRAC = 0.08  # relative df cap: drop tokens held by > 8% of the corpus
         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
         FROM documents),
     df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+    cap AS (SELECT GREATEST({_DF_CAP}, {_DF_CAP_RARITY} * MIN(df)) AS cap FROM df),
     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
     wv AS (
         SELECT t.doc_id, t.token,
                LN(n.n / d.df) AS w
-        FROM tok t JOIN df d USING (token) CROSS JOIN n
-        WHERE d.df <= GREATEST({_DF_CAP}, CEIL({_DF_CAP_FRAC} * n.n))),
+        FROM tok t JOIN df d USING (token) CROSS JOIN n CROSS JOIN cap
+        WHERE d.df <= cap.cap),
     nrm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM wv GROUP BY doc_id),
     dots AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
@@ -402,32 +403,39 @@ def sparse_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens before the self-join bounds the quadratic blowup — the same
     move DIMSUM/DISCO make, and those tokens carry ~zero idf weight
     anyway, so the dropped mass barely moves the scores. The cap is
-    SCALE-AWARE (round-10 verdict task 2): an absolute cap went vacuous
-    as the corpus grew (at sf0.1 every token's df exceeded 40, emptying
-    the weight table), so the gate is now max(40, 8% of corpus) — a
-    relative stopword-fraction cutoff that keeps the rare-token tail at
-    every scale. At 100 TB the 8% fraction still bounds work per token
-    to (0.08n)^2 only in the worst case; real corpora have Zipfian df,
-    so the surviving tail is tiny, and a per-token candidate-pair
-    budget (sample f above a few thousand) is the documented next lever
-    if a pathological token slips through. After the cap the join is
-    keyed on token (co-partitioned with the weight table's own
-    grouping) and the per-pair partial dot products combine map-side.
-    Norm tables are one row per doc and broadcast-join back onto the
-    top-k heap's input."""
+    RARITY-RELATIVE (round-10 verdict task 2): an absolute cap went
+    vacuous as the corpus grew (at sf0.1 every token's df exceeded 40,
+    emptying the weight table), and a corpus-fraction cap fails the
+    other way (as the corpus grows with a widening vocabulary,
+    fraction*n eventually exceeds every token's df and the gate passes
+    the stopword-dense tokens — quadratic blowup). The gate is
+    max(40, 4 * min_df): the rarest token always passes (never
+    vacuous), and surviving tokens generate at most (4*min_df)^2
+    candidate pairs each — work tracks the corpus's rarity structure,
+    not its raw size, so 20x growth with fresh vocabulary costs 20x
+    (probe row in PERFORMANCE.md). If a corpus has NO rare tokens
+    (min_df ~ n), rare-token candidate generation is the wrong tool
+    and the documented escalation is DIMSUM-style sampling. After the
+    cap the join is keyed on token (co-partitioned with the weight
+    table's own grouping) and the per-pair partial dot products combine
+    map-side. Norm tables are one row per doc and broadcast-join back
+    onto the top-k heap's input."""
     d = table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).distinct()
     df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    cap = df.agg(
+        F.greatest(
+            F.lit(_DF_CAP), F.lit(_DF_CAP_RARITY) * F.min("df")
+        ).alias("cap")
+    )
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
     wv = (
         tok.join(F.broadcast(df), "token")
         .crossJoin(F.broadcast(n))
-        .filter(
-            F.col("df")
-            <= F.greatest(F.lit(float(_DF_CAP)), F.ceil(F.lit(_DF_CAP_FRAC) * F.col("n")))
-        )
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("df") <= F.col("cap"))
         .select("doc_id", "token", F.log(F.col("n") / F.col("df")).alias("w"))
     )
     nrm = wv.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
