@@ -14,12 +14,18 @@ stream; their plans are covered by their own e2e tests.)
 
 from __future__ import annotations
 
+import pytest
+
 from spark_streaming_practicum_spark.plans import formatted_plan
 from spark_streaming_practicum_spark.registry import all_queries
 
 from .conftest import SF_DIR, built_query
 
 
+# `slow`: building all ~440 batch plans takes ~4 min (a third of the
+# not-parity leg — round-10 verdict task 4 guard breach), so this lint
+# runs as its own once-per-round leg: `python -m pytest -m slow`.
+@pytest.mark.slow
 def test_no_cartesian_product_anywhere(spark):
     offenders = []
     for name, d in sorted(all_queries().items()):
