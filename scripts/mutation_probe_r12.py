@@ -70,6 +70,32 @@ ATTR_MUTATIONS = {
         "for doc 0) -> output row set changes -> value/row-count FAIL "
         "(pins that the sample window itself is load-bearing)",
     ),
+    "simhash_hamming_negative": (
+        "dedup_simhash",
+        "spark_streaming_practicum_spark.operators.dedup",
+        "HAMMING_MAX",
+        -1,
+        "hamming <= -1 admits zero candidate pairs -> sampled recall 0 "
+        "-> simhash_recall_ge_80pct must flip FALSE",
+    ),
+    "ivf_nprobe_zero": (
+        "sim_ann_ivf",
+        "spark_streaming_practicum_spark.operators.similarity",
+        "IVF_NPROBE",
+        0,
+        "probe scores zero inverted lists -> IVF leg returns nothing -> "
+        "ivf_recall_ge_10pct must flip FALSE (or the probe crashes; "
+        "either is a detection)",
+    ),
+    "ann_lsh_no_multiprobe": (
+        "sim_ann_lsh_bucketed",
+        "spark_streaming_practicum_spark.operators.similarity",
+        "MULTIPROBE_HAMMING",
+        0,
+        "drop the 8 one-bit-flip probe buckets (query bucket only) -> "
+        "measured recall sits exactly at the 0.05 floor with multiprobe, "
+        "so any loss flips lsh_recall_ge_5pct FALSE",
+    ),
 }
 
 

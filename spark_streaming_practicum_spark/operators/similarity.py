@@ -121,7 +121,16 @@ def _lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return acc
 
     q_bucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) > 0))
-    probes = [q_bucket] + [q_bucket ^ (1 << i) for i in range(N_HYPERPLANES)]
+    # Multi-probe neighborhood: all buckets within MULTIPROBE_HAMMING
+    # bit flips of the query bucket (the constant was previously
+    # declared but the 1-flip ring was hardcoded — wired in round 11 so
+    # the mutation probe can exercise it; identical probe set at the
+    # default of 1).
+    probes = [q_bucket] + (
+        [q_bucket ^ (1 << i) for i in range(N_HYPERPLANES)]
+        if MULTIPROBE_HAMMING >= 1
+        else []
+    )
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
     in_bucket = e.withColumn("bucket", bucket_col(F.col("embedding"))).filter(
         F.col("bucket").isin(probes)
