@@ -10,7 +10,8 @@ queries (PERFORMANCE.md round-8/9), and best-ever minima were set on
 faster sessions than any round-10 window observed.
 
 Usage: python scripts/flag_adjudication_r10.py
-       python scripts/flag_adjudication_r10.py --interleaved FLAG CONTROL [N]
+       python scripts/flag_adjudication_r10.py --interleaved FLAG CONTROL \
+           [N [FLAG_BEST CTRL_BEST]]
 
 The second form is the tie-breaker pass used for the two sub-2 s
 flappers (round-11 ADVICE: committed so the protocol cited in
@@ -18,7 +19,9 @@ PERFORMANCE.md is reproducible): N alternating (flag, control) runs in
 ONE session — both sides see the identical host trajectory — then
 normalized = (flag_minN / flag_best) / (control_minN / control_best),
 CLOSED when normalized <= bench.COMPARE_BAND. Best-ever minima come
-from the FLAGS/CONTROLS tables below, else bench_history/BENCH_BEST.json.
+from the FLAGS/CONTROLS tables below, else bench_history/BENCH_BEST.json,
+else pass them explicitly (full-registry-only queries are not in the
+173-query headline BENCH_BEST — use the prior round's BENCH_FULL floor).
 """
 import json
 import os
@@ -129,7 +132,13 @@ def _best_ever(name: str) -> float:
     return best["queries"][name]
 
 
-def interleaved(flag: str, control: str, n_pairs: int = 8) -> None:
+def interleaved(
+    flag: str,
+    control: str,
+    n_pairs: int = 8,
+    flag_best: float | None = None,
+    ctrl_best: float | None = None,
+) -> None:
     """The min-of-N interleaved pairing pass (see module docstring)."""
     sf_dir = "/root/testdata/sf0.1"
     spark = build_session(app_name="ssp-flag-pairing")
@@ -154,7 +163,8 @@ def interleaved(flag: str, control: str, n_pairs: int = 8) -> None:
     for _ in range(n_pairs):
         flag_runs.append(once(flag))
         ctl_runs.append(once(control))
-    fb, cb = _best_ever(flag), _best_ever(control)
+    fb = flag_best if flag_best is not None else _best_ever(flag)
+    cb = ctrl_best if ctrl_best is not None else _best_ever(control)
     fmin, cmin = min(flag_runs), min(ctl_runs)
     norm = round((fmin / fb) / (cmin / cb), 3)
     verdict = "CLOSED" if norm <= bench.COMPARE_BAND else "OPEN"
@@ -174,6 +184,8 @@ if __name__ == "__main__":
             sys.argv[2],
             sys.argv[3],
             int(sys.argv[4]) if len(sys.argv) > 4 else 8,
+            float(sys.argv[5]) if len(sys.argv) > 5 else None,
+            float(sys.argv[6]) if len(sys.argv) > 6 else None,
         )
     else:
         main()
