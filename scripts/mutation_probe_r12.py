@@ -17,25 +17,34 @@ Two mutation mechanisms:
   branch (``git stash``-safe), documented as file:line + replacement so
   the pass is reproducible; these need a fresh interpreter per mutation.
 
-ROUND-12 TARGET LIST (committed now per round-10 verdict task 8):
+TARGET TABLE with ROUND-11 TRIAL RESULTS (the sed mutations were run
+early, in round 11, on a scratch branch — applied one at a time via
+Edit, strict-compared at sf0.01, reverted via git checkout; exact
+replacements below so the pass is reproducible):
 
-| query | certificate column(s) | seeded defect | mechanism |
-|---|---|---|---|
-| dedup_minhash_lsh | lsh_recall_ge_90pct | MAX_BUCKET=0 starves candidate gen | attr (worked example below) |
-| dedup_minhash_lsh | lsh_precision_exact | drop the exact re-score: emit raw band pairs | sed dedup.py:595 |
-| dedup_simhash | simhash_recall_ge_80pct | hamming radius 3 -> 0 in the band probe | sed dedup.py:~800 |
-| sim_ann_lsh_bucketed | lsh_recall_ge_5pct | drop the 8 one-bit-flip probe buckets | sed similarity.py:~250 |
-| sim_ann_ivf | ivf_recall_ge_10pct | nprobe 2 -> 0 (score no lists) | sed similarity.py:~300 |
-| minhash_merge_certificate | merge associativity flag | merge with max() instead of min() | sed dedup.py:1567+ |
-| retrieval_wand_prune_certificate | prune-safety flag | upper bound * 0.5 (over-prune) | sed retrieval.py:836+ |
-| stream_dedup_within_watermark | containment certificate | emit candidates instead of kept | sed streaming_equiv.py:186 |
-| sketch_quantile_mergeable | rank_lower_ok/rank_upper_ok | halve the KLL slack bound | sed advanced.py:1101 |
-| dq_referential_integrity | ri_ok | orphan predicate == -> != | sed governance.py:1029 |
-| curation_attrition_funnel | q_ok/r_ok | dupf threshold 0.2 -> 1.0 | sed curation.py:891 |
+| query | certificate column(s) | seeded defect | mechanism | result (r11) |
+|---|---|---|---|---|
+| dedup_minhash_lsh | lsh_recall_ge_90pct | MAX_BUCKET 64->0 starves candidate gen | attr | DETECTED (recall flag flipped) |
+| dedup_minhash_lsh | (sample window) | CERT_SAMPLE_MOD 4->10**9+7 empties the audit window | attr | DETECTED (rows 0 vs 7) |
+| dedup_minhash_lsh | lsh_precision_exact | self-pair off-by-one: candidates filter doc_a < doc_b -> <= (dedup.py:582) | sed | DETECTED (precision flag flipped) |
+| dedup_simhash | simhash_recall_ge_80pct | HAMMING_MAX 6 -> -1 (no candidates) | attr | DETECTED (recall flag flipped) |
+| sim_ann_lsh_bucketed | lsh_recall_ge_5pct | MULTIPROBE_HAMMING 1->0 (query bucket only) | attr | DETECTED (recall flag flipped) |
+| sim_ann_ivf | ivf_recall_ge_10pct | IVF_NPROBE 2->0 (score no lists) | attr | DETECTED (recall flag flipped) |
+| minhash_merge_certificate | merge_equals_direct + estimate_within_bound | merge daily sketches with F.max instead of F.min (dedup.py:1600) | sed | DETECTED (both flags flipped) |
+| retrieval_wand_prune_certificate | pruned_topk_overlap (pinned 0) | ALL THREE term upper bounds * 0.5 (retrieval.py:899-901) | sed | DETECTED (overlap 20 vs 0) |
+| retrieval_wand_prune_certificate | (same) | SINGLE-leg ub_0 * 0.5 | sed | MISSED — mutation INERT on this corpus (DuckDB agrees: term-0's bound never crosses theta); potency-check mutations in the oracle first |
+| stream_dedup_within_watermark | kept_from_input | survivor corruption: kept event_id + 1 (streaming_equiv.py:174) | sed | DETECTED (containment flag flipped) |
+| sketch_quantile_mergeable | rank_lower_ok | estimator picks wrong side: vhat F.min -> F.max (advanced.py:1064) | sed | DETECTED (lower-rank flag flipped) |
+| curation_attrition_funnel | funnel counts via r_ok | dupf denominator: F.sum("c") -> F.count (curation.py:876) | sed | DETECTED (stage counts diverged) |
+| dq_referential_integrity | ri_ok | orphan-count side swap: parent[pkey].isNull -> child[key].isNull (governance.py:1022) | sed | MISSED on clean data — n_orphans is 0 either way; ROUND-12: seed a DATA mutation (scratch lake copy with an injected orphan child row) instead of a code flip |
+
+Score: 13 mutations, 11 DETECTED, 2 informative misses (1 inert
+mutation — not a certificate defect; 1 clean-data limitation — needs a
+data mutation, staged for round 12).
 
 Usage: python scripts/mutation_probe_r12.py [mutation_id ...]
-Default: all ``attr`` mutations (sed mutations are listed, not run —
-they are the round-12 scratch-branch pass).
+Default: all ``attr`` mutations. The sed mutations are documented above
+(file:line + exact replacement) and were executed in round 11.
 """
 
 from __future__ import annotations
