@@ -44,11 +44,76 @@ def _utc_pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[Spark
 # first block below; prior rounds' blocks follow in order (dict
 # insertion keeps the FIRST occurrence, so the head owns shared names).
 _NEWEST_FIRST = [
+    # Round-12 policy (round-11 verdict tasks 1+2): registry still
+    # frozen at 478, 478/478 oracled. Head = the three queries whose
+    # PLAN changed this round (sparse_cosine_pairs_topk: the full-
+    # vocabulary broadcast is gone — cap materialized as a scalar, df
+    # filtered BEFORE a token-keyed shuffle join, norm joins left to
+    # AQE; sim_ann_lsh_bucketed + sim_ann_ivf: multiprobe generalized
+    # to a true Hamming ball — probe set byte-identical at the default
+    # radius of 1; all three strict-OK vs DuckDB at BOTH scales this
+    # round, 20x vocab probe re-run: ratio 2.3, sublinear), then ALL 34
+    # tranche-8 names (the entire never-driver-sampled tail — after the
+    # driver samples these, ever-sampled = 478/478), then 13
+    # oldest-driver-green names (last green r01-r03) to fill the
+    # 50-sample. Pre-verified with scripts/driver_contract_sweep.py 50
+    # (log committed to bench_history/).
+    "sparse_cosine_pairs_topk",
+    "sim_ann_lsh_bucketed",
+    "sim_ann_ivf",
+    "negative_sampling_unigram",
+    "ope_ips_estimate",
+    "pareto_frontier_price_date",
+    "pca_power_iteration_top_pc",
+    "pipe_syntax_revenue",
+    "pit_join_features",
+    "plsa_em_step_topics",
+    "profile_table_stats",
+    "ransac_line_fit",
+    "recsys_item_item_cosine",
+    "recursive_cte_reachability",
+    "reorder_cycle_by_segment",
+    "repetition_dup_ngram_fraction",
+    "rlhf_preference_pairs",
+    "rm3_query_expansion",
+    "scd2_incremental_apply",
+    "session_window_builtin",
+    "sft_pack_conversations",
+    "shard_manifest_checksums",
+    "skew_key_diagnostics",
+    "spearman_rank_correlation",
+    "supplier_concentration_hhi",
+    "t5_span_corruption_prep",
+    "target_encode_loo",
+    "term_burstiness_fano",
+    "token_zipf_fit",
+    "tokenizer_fertility_by_lang",
+    "topk_global",
+    "udtf_sentence_segments",
+    "ul2_denoiser_mix",
+    "user_event_streaks",
+    "vector_normalize",
+    "woe_iv_binning",
+    "zorder_cluster_keys",
+    # 13 oldest-driver-green re-checks (fills; last green r01-r03)
+    "embedding_quantize_int8",
+    "ids_contiguous_global",
+    "pack_sequences_budget",
+    "rendezvous_shard_assign",
+    "split_train_val_test",
+    "text_chunk_fixed_tokens",
+    "text_pii_redact",
+    "weighted_sample_topk",
+    "ab_test_welch_ttest",
+    "survival_kaplan_meier",
+    "agg_approx_count_distinct",
+    "agg_bitmap_distinct",
+    "agg_count_distinct",
     # Round-11 policy (round-10 verdict tasks 1+2): registry still
     # frozen at 478, 478/478 oracled. ONE query's output changed this
     # round — sparse_cosine_pairs_topk (de-vacuated at sf0.1: the
     # absolute df cap of 40 emptied the weight table there; now a
-    # scale-aware max(40, 8%-of-corpus) cap, 20 rows strict-OK at both
+    # rarity-relative max(40, 4*min_df) cap, 20 rows strict-OK at both
     # scales) — so it leads the head per standing policy. The rest of
     # the 50-head is the first 49 names of tranche 7 (alphabetical,
     # staged last round); the 50th staged name

@@ -36,8 +36,9 @@ from .conftest import SF_DIR
 # plan: when the single-invocation run passes the 10-minute guard,
 # split THIS file behind a marker — close runs become two invocations,
 # each under the guard, with identical total coverage:
-#   python -m pytest tests/ -q -m "not parity"
+#   python -m pytest tests/ -q -m "not parity and not slow"
 #   python -m pytest tests/ -q -m parity
+#   python -m pytest tests/ -q -m slow   (whole-registry plan lint, once per round)
 pytestmark = pytest.mark.parity
 
 DEFS = all_queries()
