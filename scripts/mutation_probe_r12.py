@@ -36,11 +36,22 @@ replacements below so the pass is reproducible):
 | stream_dedup_within_watermark | kept_from_input | survivor corruption: kept event_id + 1 (streaming_equiv.py:174) | sed | DETECTED (containment flag flipped) |
 | sketch_quantile_mergeable | rank_lower_ok | estimator picks wrong side: vhat F.min -> F.max (advanced.py:1064) | sed | DETECTED (lower-rank flag flipped) |
 | curation_attrition_funnel | funnel counts via r_ok | dupf denominator: F.sum("c") -> F.count (curation.py:876) | sed | DETECTED (stage counts diverged) |
-| dq_referential_integrity | ri_ok | orphan-count side swap: parent[pkey].isNull -> child[key].isNull (governance.py:1022) | sed | MISSED on clean data — n_orphans is 0 either way; ROUND-12: seed a DATA mutation (scratch lake copy with an injected orphan child row) instead of a code flip |
+| dq_referential_integrity | ri_ok | orphan-count side swap: parent[pkey].isNull -> child[key].isNull (governance.py:1022) | sed | MISSED on clean data — n_orphans is 0 either way; FIXED round 11: tests/test_governance_falsifiability.py injects orphans and pins the flip |
+| sketch_hll_handbuilt | merge_equals_direct | daily-sketch merge F.max -> F.min (advanced.py:789) | sed | DETECTED r12 (merge flag flipped FALSE) |
+| sketch_misra_gries_heavyhitters | mg_underestimates + mg_error_within_bound | decrement becomes increment: c - sub -> c + sub (advanced.py:906) | sed | DETECTED r12 (mg_error_within_bound flipped) |
+| sketch_bloom_fpr_audit | no_false_negatives | drop bit 0 from the filter (advanced.py:1201) | sed | MISSED r12 — INERT: bits_set output unchanged proves position 0 was never set at sf0.01 (oracle-side replication confirmed before blaming the certificate) |
+| sketch_bloom_fpr_audit | no_false_negatives | drop SET bit 4 (potency-checked: 1500 members, pos 4 set, multiplicity 1) | sed | DETECTED r12 (flag flipped FALSE, bits_set 4095) |
+| sketch_count_min_audit | never_underestimates | sketch built from odd keys only — the stale-sketch defect class (advanced.py:1309) | sed | DETECTED r12 (flag flipped FALSE, estimates diverged) |
 
-Score: 13 mutations, 11 DETECTED, 2 informative misses (1 inert
-mutation — not a certificate defect; 1 clean-data limitation — needs a
-data mutation, staged for round 12).
+Score after round 12: 18 mutations, 15 DETECTED, 3 informative misses
+(2 inert-on-this-corpus — both potency-checked in the oracle before
+being attributed; 1 clean-data limitation — fixed with a permanent
+data-mutation falsifier test). All 5 attr mutations RE-RUN in round 12
+after the similarity.py Hamming-ball / broadcast changes: 5/5 still
+DETECTED. The companion clean-data-vacuity audit is
+scripts/certificate_vacuity_audit.py (0 vacuous certificates; data
+falsifiers in tests/test_governance_falsifiability.py and
+tests/test_privacy_falsifiability.py).
 
 Usage: python scripts/mutation_probe_r12.py [mutation_id ...]
 Default: all ``attr`` mutations. The sed mutations are documented above

@@ -106,6 +106,17 @@ def _hyperplanes(dim: int = 64) -> np.ndarray:
     return rng.randn(N_HYPERPLANES, dim)
 
 
+def _hamming_ball(center: int, radius: int, bits: int) -> list[int]:
+    """Every bucket id within ``radius`` bit flips of ``center`` over a
+    ``bits``-bit code, center first, then radius-1 flips in bit order,
+    then radius-2, ... — |ball| = sum of C(bits, r) for r <= radius."""
+    return [
+        center ^ sum(1 << i for i in flips)
+        for r in range(radius + 1)
+        for flips in itertools.combinations(range(bits), r)
+    ]
+
+
 def _lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hyperplane-LSH probe leg (bucket + 1-bit multi-probe, exact
     cosine rank inside the probed buckets); split out so the oracled
@@ -128,11 +139,7 @@ def _lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r-subset of bit positions, so 2 really means 2 now; at the
     # default of 1 the probe list is byte-identical to the old ring:
     # [q_bucket, q^1, q^2, ...]).
-    probes = [
-        q_bucket ^ sum(1 << i for i in flips)
-        for r in range(MULTIPROBE_HAMMING + 1)
-        for flips in itertools.combinations(range(N_HYPERPLANES), r)
-    ]
+    probes = _hamming_ball(q_bucket, MULTIPROBE_HAMMING, N_HYPERPLANES)
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
     in_bucket = e.withColumn("bucket", bucket_col(F.col("embedding"))).filter(
         F.col("bucket").isin(probes)

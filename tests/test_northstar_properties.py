@@ -165,6 +165,28 @@ def test_lsh_ann_results_among_exact_topk_pool(spark):
             assert abs(exact[r.vec_id] - r.cosine) < 1e-9
 
 
+def test_multiprobe_hamming_ball_semantics():
+    """MULTIPROBE_HAMMING is a true Hamming-ball radius (round-11
+    ADVICE: any value >= 2 used to silently behave as 1). Pins the
+    ball sizes (1 + C(8,1) + C(8,2) = 37 at radius 2 over 8 bits),
+    membership, and that the default radius-1 list is byte-identical
+    to the legacy [center, center^1, center^2, ...] probe ring."""
+    from spark_streaming_practicum_spark.operators.similarity import (
+        N_HYPERPLANES,
+        _hamming_ball,
+    )
+
+    center = 0b10110010
+    assert _hamming_ball(center, 0, 8) == [center]
+    r1 = _hamming_ball(center, 1, 8)
+    assert r1 == [center] + [center ^ (1 << i) for i in range(8)]  # legacy ring
+    r2 = _hamming_ball(center, 2, 8)
+    assert len(r2) == 1 + 8 + 28 and len(set(r2)) == 37
+    assert all(bin(b ^ center).count("1") <= 2 for b in r2)
+    assert any(bin(b ^ center).count("1") == 2 for b in r2)  # radius 2 is real
+    assert N_HYPERPLANES == 8  # ball sizes above assume the 8-bit code
+
+
 def test_pandas_topk_equals_hof_topk(spark):
     """The Arrow/numpy top-k path returns the same ranking as the
     JVM higher-order-function path."""
