@@ -88,6 +88,37 @@ def release_persisted_frames() -> None:
         _live_persisted.pop().unpersist(blocking=False)
 
 
+def _with_local_rank(
+    df: DataFrame, order_exprs: list[Column], partitions: int
+) -> DataFrame:
+    """Range-partition + in-partition sort + 1-based LOCAL row index.
+
+    The local index comes from ``monotonically_increasing_id`` (the
+    documented layout: partition id in the high bits, a 0-based
+    sequential counter in the low 33 bits), projected ABOVE the
+    explicit ``sortWithinPartitions`` — both expressions are
+    non-deterministic, so Catalyst may not push the projection below
+    the sort. Compared to the previous
+    ``row_number() OVER (PARTITION BY _pid)`` formulation this removes
+    an entire full-width ``Exchange hashpartitioning(_pid)`` + second
+    sort of the data (round-12 finding: hashing P distinct _pid values
+    into P partitions also collides ~1/e of them — the guide's
+    synthetic-key skew). Limit: < 2^33 rows per partition (8.5B; a
+    ~1 GB-bounded shuffle partition can never reach it)."""
+    return (
+        df.repartitionByRange(partitions, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .select(
+            "*",
+            F.spark_partition_id().alias("_pid"),
+            (
+                F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+                + 1
+            ).alias("_lrn"),
+        )
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_exprs: list[Column],
@@ -101,14 +132,14 @@ def global_row_number(
     ``order_exprs`` must define a TOTAL order (include a unique
     tie-break column) and may use ``.desc()`` — the same expressions
     drive both the range partitioner and the partition-local sort.
+
+    Callers that never use the returned count should call
+    ``global_row_number_lazy`` instead: it skips the persist AND the
+    driver collect, keeping the whole rank a single lazy DAG.
     """
     spark = df.sparkSession
     P = partitions or spark.sparkContext.defaultParallelism
-    d = _track_persisted(
-        df.repartitionByRange(P, *order_exprs)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    d = _track_persisted(_with_local_rank(df, order_exprs, P).persist())
     sizes = {
         r["_pid"]: r["n"]
         for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -118,14 +149,50 @@ def global_row_number(
         offsets.append((pid, acc))
         acc += sizes[pid]
     off = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
-    local = F.row_number().over(Window.partitionBy("_pid").orderBy(*order_exprs))
     out = (
-        d.withColumn("_rn", local)
-        .join(F.broadcast(off), "_pid")
-        .withColumn(rn_name, F.col("_off") + F.col("_rn"))
-        .drop("_pid", "_off", "_rn")
+        d.join(F.broadcast(off), "_pid")
+        .withColumn(rn_name, F.col("_off") + F.col("_lrn"))
+        .drop("_pid", "_off", "_lrn")
     )
     return out, acc
+
+
+def global_row_number_lazy(
+    df: DataFrame,
+    order_exprs: list[Column],
+    rn_name: str = "global_rn",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Fully lazy ``global_row_number``: no persist, no driver collect.
+
+    The per-partition counts become a DataFrame instead of a collected
+    dict, and each partition's offset is the sum of the counts of the
+    partitions before it — a triangular self-join over the ≤P-row count
+    frame (P = shuffle partition count, never data-sized), kept as a
+    broadcast so no plan gains an Exchange SinglePartition. The count
+    branch re-executes the range exchange over the pruned key columns
+    (Catalyst prunes everything else), so the full-width data is still
+    shuffled exactly once; at 100 TB this trades the old version's
+    full-corpus persist + driver round-trip + second full-width
+    hashpartitioning(_pid) exchange for one narrow keys-only shuffle.
+    Use when the caller does not need the eager total-row count; ranks
+    are identical to ``global_row_number``'s.
+    """
+    spark = df.sparkSession
+    P = partitions or spark.sparkContext.defaultParallelism
+    d = _with_local_rank(df, order_exprs, P)
+    cnt = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    prev = cnt.select(F.col("_pid").alias("_pid2"), F.col("_n").alias("_n2"))
+    off = (
+        cnt.join(F.broadcast(prev), F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).cast("long").alias("_off"))
+    )
+    return (
+        d.join(F.broadcast(off), "_pid")
+        .withColumn(rn_name, F.col("_off") + F.col("_lrn"))
+        .drop("_pid", "_off", "_lrn")
+    )
 
 
 def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
