@@ -133,9 +133,19 @@ def global_row_number(
     tie-break column) and may use ``.desc()`` — the same expressions
     drive both the range partitioner and the partition-local sort.
 
-    Callers that never use the returned count should call
-    ``global_row_number_lazy`` instead: it skips the persist AND the
-    driver collect, keeping the whole rank a single lazy DAG.
+    The driver-side state is P integers plus the blocking collect that
+    produces them. Round 12 built and measured a collect-free variant
+    (offsets as an in-DAG triangular broadcast join over the ≤P-row
+    count frame) and REJECTED it: every consumer of the ranked frame
+    re-plans the offset subtree, so job counts rose (xicor 25→47) and
+    4 of 5 wired queries got slower (up to 1.50×) — and a persist-free
+    version is not even correct, because ``repartitionByRange`` draws
+    its boundaries from a sample seeded by the RDD id, so a count
+    branch and an output branch that execute the exchange separately
+    can disagree on the partitioning (measured: wrong xicor statistics
+    whenever column pruning kept ReusedExchange from unifying the
+    branches). The persist below is therefore a CORRECTNESS pin shared
+    by the collect and the output, not a perf knob.
     """
     spark = df.sparkSession
     P = partitions or spark.sparkContext.defaultParallelism
@@ -155,44 +165,6 @@ def global_row_number(
         .drop("_pid", "_off", "_lrn")
     )
     return out, acc
-
-
-def global_row_number_lazy(
-    df: DataFrame,
-    order_exprs: list[Column],
-    rn_name: str = "global_rn",
-    partitions: int | None = None,
-) -> DataFrame:
-    """Fully lazy ``global_row_number``: no persist, no driver collect.
-
-    The per-partition counts become a DataFrame instead of a collected
-    dict, and each partition's offset is the sum of the counts of the
-    partitions before it — a triangular self-join over the ≤P-row count
-    frame (P = shuffle partition count, never data-sized), kept as a
-    broadcast so no plan gains an Exchange SinglePartition. The count
-    branch re-executes the range exchange over the pruned key columns
-    (Catalyst prunes everything else), so the full-width data is still
-    shuffled exactly once; at 100 TB this trades the old version's
-    full-corpus persist + driver round-trip + second full-width
-    hashpartitioning(_pid) exchange for one narrow keys-only shuffle.
-    Use when the caller does not need the eager total-row count; ranks
-    are identical to ``global_row_number``'s.
-    """
-    spark = df.sparkSession
-    P = partitions or spark.sparkContext.defaultParallelism
-    d = _with_local_rank(df, order_exprs, P)
-    cnt = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    prev = cnt.select(F.col("_pid").alias("_pid2"), F.col("_n").alias("_n2"))
-    off = (
-        cnt.join(F.broadcast(prev), F.col("_pid2") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).cast("long").alias("_off"))
-    )
-    return (
-        d.join(F.broadcast(off), "_pid")
-        .withColumn(rn_name, F.col("_off") + F.col("_lrn"))
-        .drop("_pid", "_off", "_lrn")
-    )
 
 
 def ntile_from_rank(rank: Column, n: int, k: int) -> Column:

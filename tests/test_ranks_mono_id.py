@@ -1,8 +1,16 @@
 """Round-12 optimization guard: the mono-id local index inside the
 two-pass global ranking must be bit-equivalent to a reference
-``row_number()`` window, for both the eager and the new lazy helper,
-and the plans must stay free of the shapes the rework removed/avoids
-(full-width hashpartitioning(_pid) exchange; Exchange SinglePartition).
+``row_number()`` window, and the plan must stay free of the shapes the
+rework removed (Window operator; the full-width hashpartitioning(_pid)
+exchange that fed it).
+
+A collect-free "lazy" sibling was built and rejected this round: a
+persist-free version is WRONG (repartitionByRange bounds are
+sample-seeded per execution, so independent count/output branches can
+disagree on the partitioning), and the persist-retaining version
+measured slower with higher job counts (every consumer re-plans the
+in-DAG offset subtree). The eager helper's P-integer collect is the
+cheap, correct design; these tests pin its invariants.
 """
 
 from __future__ import annotations
@@ -15,7 +23,6 @@ from pyspark.sql import functions as F
 from spark_streaming_practicum_spark.catalog import table
 from spark_streaming_practicum_spark.functions.ranks import (
     global_row_number,
-    global_row_number_lazy,
     release_persisted_frames,
 )
 from spark_streaming_practicum_spark.plans import formatted_plan
@@ -55,11 +62,8 @@ def test_mono_id_rank_matches_reference_window(spark):
     assert n == sum(len(v) for v in expected.values())
     release_persisted_frames()
 
-    lazy = global_row_number_lazy(base, order, rn_name="rn")
-    assert _rank_map(lazy, "rn") == expected
 
-
-def test_rank_plans_avoid_removed_shapes(spark):
+def test_rank_plan_avoids_removed_shapes(spark):
     base = _base(spark)
     order = [F.col(c).asc() for c in _ORDER_COLS]
 
@@ -67,38 +71,44 @@ def test_rank_plans_avoid_removed_shapes(spark):
     eager_plan = formatted_plan(eager)
     # the rework's point: the rank needs no Window operator at all, so
     # the old full-width hashpartitioning(_pid) exchange feeding it is
-    # gone (the lazy variant still hash-aggregates the TINY ≤P-row
-    # count frame by _pid — that exchange carries P rows, not data)
+    # gone; offsets ride a broadcast of a ≤P-row literal frame
     assert "Window" not in eager_plan, eager_plan[:3000]
+    assert "BroadcastHashJoin" in eager_plan
+    assert "monotonically_increasing_id" in eager_plan
+    assert "rangepartitioning" in eager_plan
     release_persisted_frames()
 
-    lazy = global_row_number_lazy(base, order, rn_name="rn")
-    lazy_plan = formatted_plan(lazy)
-    assert "Window" not in lazy_plan, lazy_plan[:3000]
-    assert "SinglePartition" not in lazy_plan, lazy_plan[:3000]
-    # offsets must ride broadcasts, and the local index must sit above
-    # an in-partition sort of a range exchange
-    assert "BroadcastHashJoin" in lazy_plan
-    assert "monotonically_increasing_id" in lazy_plan
-    assert "rangepartitioning" in lazy_plan
 
-
-def test_lazy_rank_project_stays_above_sort(spark):
+def test_rank_project_stays_above_sort(spark):
     """If Catalyst ever pushed the mono-id projection below the
     in-partition sort, local indices would be assigned in pre-sort
-    order and every rank would be garbage. Pin the operator order:
-    in the formatted plan tree the Project carrying
-    monotonically_increasing_id appears ABOVE (before) the Sort."""
+    order and every rank would be garbage. Pin the operator order: in
+    the plan tree the Project carrying monotonically_increasing_id
+    renders ABOVE (parent of) the Sort."""
     base = _base(spark)
     order = [F.col(c).asc() for c in _ORDER_COLS]
-    lazy = global_row_number_lazy(base, order, rn_name="rn")
-    plan = formatted_plan(lazy)
-    tree = plan.split("(1) ")[0]
-    proj_lines = [
-        i for i, l in enumerate(tree.splitlines()) if re.search(r"\bProject\b", l)
-    ]
-    sort_lines = [
-        i for i, l in enumerate(tree.splitlines()) if re.search(r"\bSort\b", l)
-    ]
-    assert proj_lines and sort_lines
-    assert min(proj_lines) < max(sort_lines)
+    ranked, _ = global_row_number(base, order, rn_name="rn")
+    plan = formatted_plan(ranked)
+    release_persisted_frames()
+    # operator ids from the numbered details section
+    proj_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"\((\d+)\) Project\b[^(]*?\nOutput[^\n]*monotonically_increasing_id",
+            plan,
+        )
+    }
+    sort_ids = {m.group(1) for m in re.finditer(r"\((\d+)\) Sort\b", plan)}
+    assert proj_ids and sort_ids, plan[:3000]
+    lines = plan.splitlines()
+    first_proj = min(
+        i
+        for i, l in enumerate(lines)
+        if any(re.search(rf"\bProject \({p}\)", l) for p in proj_ids)
+    )
+    first_sort = min(
+        i
+        for i, l in enumerate(lines)
+        if any(re.search(rf"\bSort \({s}\)", l) for s in sort_ids)
+    )
+    assert first_proj < first_sort, (first_proj, first_sort)
