@@ -194,7 +194,28 @@ def global_cumulative_sums(
     range-partition scheme as ``global_row_number``, generalized from
     counting rows to prefix-summing arbitrary (exact-typed) columns.
     Driver-side state is P partial-sum rows. Output columns are named
-    ``cum_<col>``."""
+    ``cum_<col>``.
+
+    Round 12 built, verified (18/18 strict-OK vs DuckDB at both
+    scales) and REJECTED a quantile-bucket variant that replaced the
+    ``repartitionByRange`` + ``hashpartitioning(_pid)`` pair with a
+    single ``hashpartitioning(_bkt)`` exchange over ~4·P deterministic
+    approxQuantile buckets. The exchange census improved exactly as
+    designed (e.g. jonckheere 12→8, wilcoxon 16→12 plan-wide), but the
+    family measured 1.45–2.1× SLOWER interleaved min-merge at sf0.1
+    (bench_history/cumsum_ab_r12/): the boundary sketch is an
+    unavoidable EXTRA blocking action, and these per-distinct-value
+    frames are so small (~18 k rows at sf0.1) that action count, not
+    shuffle width, is the cost. Two implementation lessons recorded for
+    whoever retries at real scale: (a) a bucket-assignment expression
+    inlined into a join key sends Catalyst constraint inference
+    exponential (a 255-node CASE bisect tree took jonckheere 1.8 s →
+    22.7 s; materializing the bucket into its own cached column fixes
+    it), and (b) an array-literal + HOF ``filter`` assignment costs
+    4·P interpreted lambda calls per row per consumer. At 100 TB the
+    variant trades one shuffle's network leg for an extra data-sized
+    cache copy + sketch pass — not the clear win the rank rework was,
+    so the two-exchange shape below stays."""
     spark = df.sparkSession
     P = partitions or spark.sparkContext.defaultParallelism
     d = _track_persisted(
