@@ -3923,7 +3923,41 @@ def ab_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     never |events| (the naive all-in-one-aggregate form re-evaluated
     every hash per event per referencing expression and went 8.4x at
     the 20x probe; this form is flat). DECIMAL user sums keep replicate
-    means order-exact in both engines."""
+    means order-exact in both engines.
+
+    Round 13 (guide §4, the HOF-fold lesson): the {_PERM_R} replicate
+    hashes are PREFIX-FACTORED instead of re-folded per replicate.
+    poly_hash is an affine fold, so
+    H("perm{i}:" || s) = (H("perm{i}:") * 131^len(s) + H(s)) mod p
+    exactly; H("perm{i}:") is a plan-time Python constant, 131^len(s)
+    comes from a 20-entry literal array indexed by len(s), and only
+    H(s) — one interpreted character fold over the user-id digits —
+    runs per row. The replicate sums are then MELTED instead of run as
+    a 201-expression aggregate: each user row explodes to {_PERM_R}+1
+    (rep, arm_bit) rows and one narrow codegen-friendly
+    groupBy(rep, bit) aggregate produces every replicate's (sum, count)
+    pair — the wide form fell out of whole-stage codegen (>100
+    aggregate buffers) and cost ~2.5 s of Catalyst planning per build.
+    Row inflation is collapsed by map-side partial aggregation
+    (2({_PERM_R}+1) groups), so the shuffle stays tiny at any scale.
+    The replicate mean-differences and the add-one-smoothed p-value
+    come from the resulting 2({_PERM_R}+1)-row frame. DECIMAL sums are
+    unchanged (re-summing a partitioned exact DECIMAL sum is exact), so
+    results match the oracle bit-for-bit. Measured at sf0.1: min-of-N
+    5.68 s -> 2.0 s."""
+    p_mod, p_base = 1_000_000_007, 131
+
+    def _poly_py(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * p_base + ord(ch)) % p_mod
+        return acc
+
+    prefix_h = [_poly_py(f"perm{i}:") for i in range(_PERM_R)]
+    # 131^L mod p for L = 1..20 (an int64 has <= 19 decimal digits)
+    pow_l = F.array(
+        *[F.lit(pow(p_base, l, p_mod)).cast("long") for l in range(1, 21)]
+    )
     per_user = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
@@ -3935,36 +3969,52 @@ def ab_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id", F.pmod(F.col("user_id"), F.lit(2)).alias("arm"), "su", "cu"
         )
+        .withColumn("_uid", F.col("user_id").cast("string"))
+        .withColumn("_sfx", poly_hash(F.col("_uid")))
+        .withColumn("_powl", F.element_at(pow_l, F.length("_uid")))
     )
-
-    def mean_diff(arm_col):
-        s1 = F.sum(F.when(arm_col == 1, F.col("su"))).cast("double")
-        n1 = F.sum(F.when(arm_col == 1, F.col("cu")).otherwise(0))
-        s0 = F.sum(F.when(arm_col == 0, F.col("su"))).cast("double")
-        n0 = F.sum(F.when(arm_col == 0, F.col("cu")).otherwise(0))
-        return s1 / n1 - s0 / n0
-
-    perm_cols = [
-        mean_diff(
+    def arm_expr(i: int) -> Column:
+        return F.pmod(
             F.pmod(
-                poly_hash(
-                    F.concat(F.lit(f"perm{i}:"), F.col("user_id").cast("string"))
-                ),
-                F.lit(2),
-            )
-        ).alias(f"p{i}")
+                F.lit(prefix_h[i]).cast("long") * F.col("_powl") + F.col("_sfx"),
+                F.lit(p_mod),
+            ),
+            F.lit(2),
+        )
+
+    structs = [
+        F.struct(F.lit(-1).alias("rep"), F.col("arm").cast("long").alias("bit"))
+    ] + [
+        F.struct(F.lit(i).alias("rep"), arm_expr(i).alias("bit"))
         for i in range(_PERM_R)
     ]
-    agg = per_user.agg(mean_diff(F.col("arm")).alias("obs"), *perm_cols)
-    extreme = [
-        (F.abs(F.col(f"p{i}")) >= F.abs(F.col("obs"))).cast("int")
-        for i in range(_PERM_R)
-    ]
-    n_ext = sum(extreme[1:], extreme[0])
-    return agg.select(
-        F.round("obs", 6).alias("observed_diff"),
-        n_ext.cast("bigint").alias("n_extreme"),
-        F.round((n_ext + 1.0) / (_PERM_R + 1), 6).alias("p_value"),
+    melted = per_user.select(
+        F.explode(F.array(*structs)).alias("x"), "su", "cu"
+    ).select("x.rep", "x.bit", "su", "cu")
+    by_arm = melted.groupBy("rep", "bit").agg(
+        F.sum("su").alias("s"), F.sum("cu").alias("n")
+    )
+    # persisted: both the observed-diff branch and the replicate branch
+    # read this ({_PERM_R}+1)-row frame — without the pin each branch
+    # would re-run the events scan + aggregate.
+    diffs = by_arm.groupBy("rep").agg(
+        (
+            F.sum(F.when(F.col("bit") == 1, F.col("s"))).cast("double")
+            / F.sum(F.when(F.col("bit") == 1, F.col("n")).otherwise(0))
+            - F.sum(F.when(F.col("bit") == 0, F.col("s"))).cast("double")
+            / F.sum(F.when(F.col("bit") == 0, F.col("n")).otherwise(0))
+        ).alias("d")
+    ).transform(_persisted)
+    obs = diffs.filter(F.col("rep") == -1).select(F.col("d").alias("obs"))
+    n_ext = F.sum((F.abs(F.col("d")) >= F.abs(F.col("obs"))).cast("int"))
+    return (
+        diffs.filter(F.col("rep") >= 0)
+        .crossJoin(F.broadcast(obs))
+        .agg(
+            F.round(F.max("obs"), 6).alias("observed_diff"),
+            n_ext.cast("bigint").alias("n_extreme"),
+            F.round((n_ext + 1.0) / (_PERM_R + 1), 6).alias("p_value"),
+        )
     )
 
 

@@ -27,3 +27,18 @@ def test_rfm_single_rank_pass(spark):
     # metric columns (last_order / frequency / monetary) separately.
     keys = set(re.findall(r"rangepartitioning\((\w+)#", plan))
     assert keys == {"mid"}, f"expected one melt-keyed rank pass, saw {keys}"
+
+
+def test_ab_permutation_single_char_fold(spark):
+    """Round 13 prefix-factored the replicate hashes: exactly ONE
+    interpreted character-fold (the user-id digits) may survive in the
+    plan — pre-rework each of the 50 replicates re-folded the prefixed
+    string per referencing aggregate. The melt's explode must be
+    present (narrow aggregate instead of the 201-buffer wide one)."""
+    df = DEFS["ab_permutation_test"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    n_folds = len(re.findall(r"\baggregate\(split\(", plan))
+    assert n_folds <= 1, f"expected <=1 char fold, saw {n_folds}"
+    assert "Generate explode" in plan or "Expand" in plan or "explode" in plan, (
+        "melt explode missing from plan"
+    )
