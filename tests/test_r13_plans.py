@@ -42,3 +42,44 @@ def test_ab_permutation_single_char_fold(spark):
     assert "Generate explode" in plan or "Expand" in plan or "explode" in plan, (
         "melt explode missing from plan"
     )
+
+
+def test_topo_layers_bellman_optimality(spark):
+    """Certificate for the round-13 path-doubling rewrite: the layer
+    assignment must satisfy the longest-path Bellman conditions on the
+    actual DAG — layer(v) = 0 for roots, and for every node with
+    incoming edges layer(v) = max over edges (s, v) of layer(s) + 1.
+    These equations have a unique solution on a DAG, so passing them
+    proves the log-depth doubling computed the same fixpoint the
+    one-hop-per-round loop did."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_practicum_spark.catalog import table as cat_table
+
+    layers = {
+        r["nationkey"]: r["layer"]
+        for r in DEFS["graph_topo_layers"].fn(spark, SF_DIR).collect()
+    }
+    li = cat_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    o = cat_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    c = cat_table(spark, SF_DIR, "customer").select("c_custkey", "c_nationkey")
+    s = cat_table(spark, SF_DIR, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") < F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+        .collect()
+    )
+    incoming: dict[int, list[int]] = {}
+    for e in edges:
+        incoming.setdefault(e["dst"], []).append(e["src"])
+    assert layers, "no layers produced"
+    for v, lay in layers.items():
+        if v not in incoming:
+            assert lay == 0, f"root {v} must be layer 0, got {lay}"
+        else:
+            want = max(layers[s_] for s_ in incoming[v]) + 1
+            assert lay == want, f"node {v}: layer {lay} != bellman {want}"
