@@ -44,6 +44,20 @@ def test_ab_permutation_single_char_fold(spark):
     )
 
 
+def test_cc_dedup_plans_stay_truncated(spark):
+    """Round 13 checkpoint-truncated the CC label loop's lineage: the
+    composed cluster queries carried ~12,000-line physical plans (the
+    full shingle/jaccard subtree re-embedded per round). Keep them leaf
+    -scan sized; a persist slipping back in regresses this 50x."""
+    for name in (
+        "dedup_cluster_representatives",
+        "dedup_cluster_quality_representative",
+    ):
+        df = DEFS[name].fn(spark, SF_DIR)
+        n_lines = formatted_plan(df).count("\n")
+        assert n_lines < 1500, f"{name}: plan re-inflated to {n_lines} lines"
+
+
 def test_topo_layers_bellman_optimality(spark):
     """Certificate for the round-13 path-doubling rewrite: the layer
     assignment must satisfy the longest-path Bellman conditions on the
