@@ -136,20 +136,31 @@ def global_row_number(
     The driver-side state is P integers plus the blocking collect that
     produces them. Round 12 built and measured a collect-free variant
     (offsets as an in-DAG triangular broadcast join over the ≤P-row
-    count frame) and REJECTED it: every consumer of the ranked frame
-    re-plans the offset subtree, so job counts rose (xicor 25→47) and
-    4 of 5 wired queries got slower (up to 1.50×) — and a persist-free
-    version is not even correct, because ``repartitionByRange`` draws
-    its boundaries from a sample seeded by the RDD id, so a count
-    branch and an output branch that execute the exchange separately
-    can disagree on the partitioning (measured: wrong xicor statistics
-    whenever column pruning kept ReusedExchange from unifying the
-    branches). The persist below is therefore a CORRECTNESS pin shared
-    by the collect and the output, not a perf knob.
+    count frame) and REJECTED it (job counts up, 4 of 5 wired queries
+    slower — see OPTIMIZATION_r12.md §6); a pin-free version is not
+    even correct, because ``repartitionByRange`` draws its boundaries
+    from a sample seeded by the RDD id, so a count branch and an output
+    branch that execute the exchange separately can disagree on the
+    partitioning (measured in r12: wrong xicor statistics whenever
+    column pruning kept ReusedExchange from unifying the branches).
+
+    Round 13: the pin is a LAZY ``localCheckpoint`` instead of a
+    persist. Same single materialization (the offset collect is still
+    the first action — lazy checkpoint adds no job), same frozen
+    boundaries, but (a) the lineage is TRUNCATED, so every consumer
+    re-plans a leaf scan instead of the full upstream subtree
+    (theil-sen's physical plan: 5,556 → 130 lines; xicor 1,011 → 151;
+    family job counts down 1-3), and (b) the pin cannot silently
+    degrade: a persist evicted under memory pressure would recompute
+    the exchange with RESAMPLED boundaries on one branch — the exact
+    r12 wrong-results mode — while a checkpointed frame has no lineage
+    to recompute from. Interleaved min-merge A/B at sf0.1 measured the
+    swap wall-clock flat (geomean 1.01; biggest plans fastest: theil
+    0.90×, xicor 0.93×).
     """
     spark = df.sparkSession
     P = partitions or spark.sparkContext.defaultParallelism
-    d = _track_persisted(_with_local_rank(df, order_exprs, P).persist())
+    d = _with_local_rank(df, order_exprs, P).localCheckpoint(eager=False)
     sizes = {
         r["_pid"]: r["n"]
         for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -196,32 +207,26 @@ def global_cumulative_sums(
     Driver-side state is P partial-sum rows. Output columns are named
     ``cum_<col>``.
 
-    Round 12 built, verified (18/18 strict-OK vs DuckDB at both
-    scales) and REJECTED a quantile-bucket variant that replaced the
-    ``repartitionByRange`` + ``hashpartitioning(_pid)`` pair with a
-    single ``hashpartitioning(_bkt)`` exchange over ~4·P deterministic
-    approxQuantile buckets. The exchange census improved exactly as
-    designed (e.g. jonckheere 12→8, wilcoxon 16→12 plan-wide), but the
-    family measured 1.45–2.1× SLOWER interleaved min-merge at sf0.1
-    (bench_history/cumsum_ab_r12/): the boundary sketch is an
-    unavoidable EXTRA blocking action, and these per-distinct-value
-    frames are so small (~18 k rows at sf0.1) that action count, not
-    shuffle width, is the cost. Two implementation lessons recorded for
-    whoever retries at real scale: (a) a bucket-assignment expression
-    inlined into a join key sends Catalyst constraint inference
-    exponential (a 255-node CASE bisect tree took jonckheere 1.8 s →
-    22.7 s; materializing the bucket into its own cached column fixes
-    it), and (b) an array-literal + HOF ``filter`` assignment costs
-    4·P interpreted lambda calls per row per consumer. At 100 TB the
-    variant trades one shuffle's network leg for an extra data-sized
-    cache copy + sketch pass — not the clear win the rank rework was,
-    so the two-exchange shape below stays."""
+    A single-exchange quantile-bucket variant was built, verified and
+    REJECTED on measurement in round 12 (1.45–2.1× slower at sf0.1:
+    the boundary sketch is an extra blocking action and the family is
+    action-count-bound — see OPTIMIZATION_r12.md §7). Two reusable
+    Catalyst lessons from that rejection: (a) a large CASE/expression
+    tree inlined into a JOIN KEY sends constraint inference exponential
+    — materialize such columns into a pinned frame first; (b) an
+    array-literal + HOF ``filter`` assignment is interpreted, ~4·P
+    lambda calls per row per consumer.
+
+    Round 13: the boundary pin is a lazy ``localCheckpoint`` (same
+    rationale and A/B as ``global_row_number`` above: no extra job,
+    truncated lineage for every consumer, and the pin cannot be
+    evicted into a boundary-resampling recompute)."""
     spark = df.sparkSession
     P = partitions or spark.sparkContext.defaultParallelism
-    d = _track_persisted(
+    d = (
         df.repartitionByRange(P, *order_exprs)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=False)
     )
     from decimal import Decimal
 

@@ -22,11 +22,13 @@ def test_rfm_single_rank_pass(spark):
     df = DEFS["rfm_customer_segments"].fn(spark, SF_DIR)
     plan = formatted_plan(df)
     assert "SinglePartition" not in plan, plan[:3000]
-    # One rank pass <=> every rangepartitioning orders by the melt
-    # discriminator first. Pre-rework the plan ranged on the three
-    # metric columns (last_order / frequency / monetary) separately.
-    keys = set(re.findall(r"rangepartitioning\((\w+)#", plan))
-    assert keys == {"mid"}, f"expected one melt-keyed rank pass, saw {keys}"
+    # One rank pass <=> exactly one checkpointed rank frame feeds the
+    # query (the helper's lazy localCheckpoint leaf). Pre-rework each
+    # of the three metrics ranked separately (three distinct leaves).
+    ckpt_ids = set(re.findall(r"MapPartitionsRDD\[(\d+)\] at localCheckpoint", plan))
+    assert len(ckpt_ids) == 1, (
+        f"expected one rank-pass checkpoint leaf, saw {sorted(ckpt_ids)}"
+    )
 
 
 def test_ab_permutation_single_char_fold(spark):

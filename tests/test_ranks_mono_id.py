@@ -67,15 +67,24 @@ def test_rank_plan_avoids_removed_shapes(spark):
     base = _base(spark)
     order = [F.col(c).asc() for c in _ORDER_COLS]
 
+    # Round 13: the helper pins the rank pass with a lazy
+    # localCheckpoint, so the CONSUMER plan is a truncated leaf scan —
+    # assert the removed shapes stay out of the pass itself on the
+    # pre-checkpoint frame, and the truncation on the returned one.
+    from spark_streaming_practicum_spark.functions.ranks import _with_local_rank
+
+    P = spark.sparkContext.defaultParallelism
+    pass_plan = formatted_plan(_with_local_rank(base, order, P))
+    assert "Window" not in pass_plan, pass_plan[:3000]
+    assert "monotonically_increasing_id" in pass_plan
+    assert "rangepartitioning" in pass_plan
+
     eager, _ = global_row_number(base, order, rn_name="rn")
     eager_plan = formatted_plan(eager)
-    # the rework's point: the rank needs no Window operator at all, so
-    # the old full-width hashpartitioning(_pid) exchange feeding it is
-    # gone; offsets ride a broadcast of a ≤P-row literal frame
     assert "Window" not in eager_plan, eager_plan[:3000]
     assert "BroadcastHashJoin" in eager_plan
-    assert "monotonically_increasing_id" in eager_plan
-    assert "rangepartitioning" in eager_plan
+    # lineage truncated: consumers re-plan a leaf, not the rank subtree
+    assert "at localCheckpoint" in eager_plan, eager_plan[:3000]
     release_persisted_frames()
 
 
@@ -85,10 +94,15 @@ def test_rank_project_stays_above_sort(spark):
     order and every rank would be garbage. Pin the operator order: in
     the plan tree the Project carrying monotonically_increasing_id
     renders ABOVE (parent of) the Sort."""
+    from spark_streaming_practicum_spark.functions.ranks import _with_local_rank
+
     base = _base(spark)
     order = [F.col(c).asc() for c in _ORDER_COLS]
-    ranked, _ = global_row_number(base, order, rn_name="rn")
-    plan = formatted_plan(ranked)
+    # the projection/sort ordering lives inside the (checkpoint-pinned)
+    # rank pass; assert on the pass plan, the consumer sees only a leaf
+    plan = formatted_plan(
+        _with_local_rank(base, order, spark.sparkContext.defaultParallelism)
+    )
     release_persisted_frames()
     # operator ids from the numbered details section
     proj_ids = {
