@@ -1750,7 +1750,17 @@ def gbdt_stump_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual update and the final train RMSE are arithmetic over <=168
     rows + a ~31-row (feature, threshold) gain grid. Split argmax
     orders by (rounded gain, feature, threshold) in both engines so
-    float noise cannot flip the chosen split."""
+    float noise cannot flip the chosen split.
+
+    Round 13 (guide §5.4): the tiny boosting frames (cells, f0, b1, r2,
+    b2) are pinned with lazy localCheckpoint. Each was consumed by
+    several downstream crossJoin(broadcast(...)) sites, and every
+    broadcast re-executed its full nested subtree (b2 embeds r2 embeds
+    b1 embeds f0 embeds cells) — 119 Spark jobs / 119 Exchanges / a
+    2,190-line plan for <=168 rows of arithmetic. Checkpoint-truncated,
+    each frame materializes once and the broadcasts read a leaf
+    (measured at sf0.1: 119 -> 18 jobs, 3.82 s -> 1.51 s min-of-4,
+    plan 2,190 -> 108 lines)."""
     e = table(spark, sf_dir, "events")
     cells = (
         e.groupBy(
@@ -1763,9 +1773,11 @@ def gbdt_stump_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sq"),
         )
-        .transform(_persisted)
+        .localCheckpoint(eager=False)
     )
-    f0 = cells.agg((F.sum("sy") / F.sum("n")).alias("f0"))
+    f0 = cells.agg((F.sum("sy") / F.sum("n")).alias("f0")).localCheckpoint(
+        eager=False
+    )
     thrs = (
         cells.select(F.col("x1").alias("thr"))
         .union(cells.select("x2"))
@@ -1807,7 +1819,7 @@ def gbdt_stump_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = cells.crossJoin(F.broadcast(f0)).select(
         "x1", "x2", "n", "sy", "sq", (F.col("sy") - F.col("f0") * F.col("n")).alias("r")
     )
-    b1 = best_stump(r1)
+    b1 = best_stump(r1).localCheckpoint(eager=False)
 
     def side(b_prefix, x1c, x2c):
         v = F.when(F.col(f"{b_prefix}.feat") == 1, x1c).otherwise(x2c)
@@ -1826,9 +1838,10 @@ def gbdt_stump_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sq",
             (F.col("f0") + side("b1", F.col("x1"), F.col("x2"))).alias("pred1"),
         )
+        .localCheckpoint(eager=False)
     )
     r2r = r2.withColumn("r", F.col("sy") - F.col("pred1") * F.col("n"))
-    b2 = best_stump(r2r)
+    b2 = best_stump(r2r).localCheckpoint(eager=False)
     final = (
         r2.crossJoin(F.broadcast(b2.alias("b2")))
         .select(
