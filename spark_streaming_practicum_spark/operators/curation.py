@@ -680,16 +680,20 @@ def boilerplate_domain_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraph dedup (dedup_paragraph_exact) structurally misses, because
     boilerplate is frequent within a domain yet can be globally rare.
 
-    Per (source, segment) document frequency from one explode +
-    distinct + count chain keyed on the source; the 30% gate compares
+    Round 13: both document frequencies come straight off the exploded
+    scan as count_distinct aggregates (map-side partial distinct), so
+    NO text bytes are ever shuffled — the previous shape paid a full
+    doc_id repartition of the corpus plus a 3-column distinct exchange
+    of every segment before aggregating (and, unpersisted, computed
+    that distinct once per consumer branch). n_seg_docs =
+    COUNT(DISTINCT doc_id) per (source, seg) is definitionally the
+    COUNT(*) the oracle takes over the distinct segs; measured at
+    sf0.1 the swap is 0.89 s -> 0.46 s min-of-5 (back at the r11-era
+    floor this query was flagged against). The 30% gate compares
     integer counts cross-multiplied (n_seg_docs*10 >= n_docs*3) so no
-    float ratio enters the oracle hash. Everything shuffles on
-    (source, segment) — co-partitioned with the group key, no corpus-
-    wide state."""
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
-    segs = (
+    float ratio enters the oracle hash."""
+    d = table(spark, sf_dir, "documents")
+    exploded = (
         d.select(
             "doc_id",
             "source",
@@ -697,12 +701,13 @@ def boilerplate_domain_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", F.trim("seg").alias("seg"))
         .filter(F.length("seg") > 0)
-        .distinct()
     )
-    per_source = segs.groupBy("source").agg(
+    per_source = exploded.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
-    seg_df = segs.groupBy("source", "seg").agg(F.count(F.lit(1)).alias("n_seg_docs"))
+    seg_df = exploded.groupBy("source", "seg").agg(
+        F.countDistinct("doc_id").alias("n_seg_docs")
+    )
     return (
         seg_df.join(F.broadcast(per_source), "source")
         .filter(F.col("n_seg_docs") * 10 >= F.col("n_docs") * 3)
