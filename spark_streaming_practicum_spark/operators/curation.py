@@ -301,7 +301,7 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = bg.agg(F.countDistinct("w2").cast("double").alias("vocab"))
     scored = (
         bg.join(bi, ["w1", "w2"])
-        .join(uni, "w1")
+        .join(uni.hint("shuffle_hash"), "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
@@ -362,8 +362,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational-KenLM move of doc_bigram_logprob): training and inference
     are one job. The source table joins co-keyed on the token (no extra
     exchange after the explode shuffle); the target table is vocab-sized
-    so it joins token-keyed with no broadcast hint (round-12 audit; AQE
-    decides), and only the 3-value stats row rides an explicit
+    so it joins token-keyed under a SHUFFLE_HASH hint (round-13, guide
+    §3.1: per-partition build side is vocab/P — bounded at any scale —
+    and the hash join skips the sort-merge sorts a broadcast-less plan
+    fell into), and only the 3-value stats row rides an explicit
     broadcast. At 100 TB, DSIR's own trick applies unchanged:
     replace raw tokens with hashed n-gram buckets (a fixed-width modulo
     on xxhash64) so the model tables have bounded cardinality."""
@@ -387,7 +389,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) - F.log((F.col("cs") + 1.0) / (F.col("ns") + F.col("v")))
     scored = (
         toks.join(src, "w")
-        .join(tgt, "w", "left")
+        .join(tgt.hint("shuffle_hash"), "w", "left")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id", "lang")
         .agg(

@@ -141,7 +141,7 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("idcg"),
     )
     return (
-        dcg.join(idcg, "qid")
+        dcg.join(idcg.hint("shuffle_hash"), "qid")
         .select("qid", F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"))
         .orderBy("qid")
     )

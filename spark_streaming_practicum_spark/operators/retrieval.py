@@ -652,7 +652,7 @@ def curriculum_perplexity_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", p.alias("p"))
     )
     perdoc = (
-        docbg.join(pkn, ["w1", "w2"])
+        docbg.join(pkn.hint("shuffle_hash"), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),

@@ -1058,10 +1058,10 @@ def crosslingual_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_persisted)
     ks = knn.filter(F.col("side") == "s").select("id", F.col("knn").alias("knn_s"))
     kt = knn.filter(F.col("side") == "t").select("id", F.col("knn").alias("knn_t"))
-    left2 = left.join(ks, "id").select(
+    left2 = left.join(ks.hint("shuffle_hash"), "id").select(
         "ba", "bb", "role", "id", "emb", F.col("knn_s").alias("knn")
     )
-    right2 = right.join(kt, "id").select(
+    right2 = right.join(kt.hint("shuffle_hash"), "id").select(
         "ba", "bb", "role", "id", "emb", F.col("knn_t").alias("knn")
     )
     tagged2 = left2.unionByName(right2)

@@ -756,9 +756,10 @@ def ngram_draft_acceptance_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The draft table is one groupBy over exploded bigrams + a per-prev
     argmax; scoring joins each bigram to its prev's single draft row.
     The table is <= |vocab| rows — data-sized on a real corpus, so the
-    join carries NO broadcast hint (round-12 broadcast audit): it is
-    prev-token-keyed, AQE broadcasts while it fits and shuffle-joins
-    beyond that. The corpus is scanned twice and never self-joined.
+    join carries a SHUFFLE_HASH hint instead of a broadcast (round-13,
+    guide §3.1): prev-token-keyed, per-partition build side bounded by
+    |vocab|/P at any scale, and no sort-merge sorts of the exploded
+    corpus stream. The corpus is scanned twice and never self-joined.
 
     The argmax is a PARTIAL-AGGREGABLE ``min(struct(-c, nxt))`` — NOT a
     rank window. A ``row_number() OVER (PARTITION BY prev)`` plans a
@@ -825,7 +826,7 @@ def ngram_draft_acceptance_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("prev", F.col("best.draft_token").alias("draft_token"))
     )
     return (
-        bg.join(draft, "prev")
+        bg.join(draft.hint("shuffle_hash"), "prev")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_positions"),
@@ -935,7 +936,7 @@ def nb_lang_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tok.join(lik.withColumnRenamed("lang", "cand"), "w")
+        tok.join(lik.withColumnRenamed("lang", "cand").hint("shuffle_hash"), "w")
         .groupBy("doc_id", F.col("lang").alias("true_lang"), "cand")
         .agg(F.sum("ll").cast("double").alias("sll"))
         .join(F.broadcast(nd.withColumnRenamed("lang", "cand")), "cand")

@@ -103,10 +103,10 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
 
     The df table is vocabulary-sized — data-sized on a real corpus, so
-    it carries NO broadcast hint (round-12 broadcast audit): the join
-    is token-keyed against tf's own grouping key and AQE broadcasts it
-    while it fits, shuffle-joining once the vocabulary outgrows an
-    executor. The only wide shuffles are the two word-count aggregates.
+    it joins token-keyed under a SHUFFLE_HASH hint (round-13, guide
+    §3.1: build side bounded by |vocab|/P per partition at any scale,
+    no data-sized broadcast, and no sort-merge sorts of the token
+    stream). The only wide shuffles are the two word-count aggregates.
     Deterministic tie-break (score DESC, token ASC)."""
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
@@ -118,7 +118,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.col("tf") * F.log((F.lit(n) + 1.0) / (F.col("df") + 1.0))
     w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("token").asc())
     return (
-        tf.join(df, "token")
+        tf.join(df.hint("shuffle_hash"), "token")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("doc_id", "token", F.round(score, 4).alias("tfidf"))
@@ -849,7 +849,7 @@ def ts_sax_motif_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") == _SAX_LEN)
         .select("user_id")
     )
-    win = seq.join(full_u, "user_id")
+    win = seq.join(full_u.hint("shuffle_hash"), "user_id")
     stats = win.groupBy("user_id").agg(
         F.avg("value").alias("mu"),
         F.sqrt(

@@ -1640,8 +1640,8 @@ def rlhf_dpo_implicit_reward(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec12 = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
     scored = (
         bg.join(bi, ["w1", "w2"])
-        .join(uni, "w1")
-        .join(nxt, "w2")
+        .join(uni.hint("shuffle_hash"), "w1")
+        .join(nxt.hint("shuffle_hash"), "w2")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(
