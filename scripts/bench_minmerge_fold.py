@@ -10,6 +10,7 @@ Usage: python scripts/bench_minmerge_fold.py [--full]
 """
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -46,7 +47,19 @@ def main() -> None:
     merged_doc["runs"].append({"value": new["value"], "host": new.get("host", {})})
     n = len(merged_doc["runs"])
     merged_doc["value"] = round(sum(merged.values()), 3)
-    merged_doc["metric"] = merged_doc["metric"].rsplit(" (min-merge of ", 1)[0] + f" (min-merge of {n})"
+    # Two stamp styles exist: the headline scripts append " (min-merge
+    # of N)" after the metric, while bench_full_minmerge rewrites the
+    # ", 1 run)" inside the full metric to ", min-merge of N)". Update
+    # whichever form is present (round-12 ADVICE: stripping only the
+    # paren form re-created a double stamp on full files).
+    m = merged_doc["metric"]
+    if ", min-merge of " in m:
+        m = re.sub(r", min-merge of \d+\)", f", min-merge of {n})", m)
+    elif " (min-merge of " in m:
+        m = m.rsplit(" (min-merge of ", 1)[0] + f" (min-merge of {n})"
+    else:
+        m = m + f" (min-merge of {n})"
+    merged_doc["metric"] = m
     worst: dict = {"min_merge_runs": n}
     for run in merged_doc["runs"]:
         for k, v in (run.get("host") or {}).items():
