@@ -44,6 +44,70 @@ def _utc_pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[Spark
 # first block below; prior rounds' blocks follow in order (dict
 # insertion keeps the FIRST occurrence, so the head owns shared names).
 _NEWEST_FIRST = [
+    # Round-13 head (standing policy; registry frozen at 478, ever-
+    # sampled 478/478 after the round-12 tranche-8 head — confirmed by
+    # scripts/rotation_audit.py). Lead with the 38 queries whose PLAN
+    # or implementation changed this round: the four reworks
+    # (rfm single rank pass, ab_permutation prefix-factored hash + melt,
+    # graph_topo_layers path doubling, sim_mmr literal-inlined rounds,
+    # boilerplate scan-side aggregation), the lineage-truncation family
+    # (CC dedup loop + composers, gbdt stump frames, and every user of
+    # the checkpoint-pinned rank/cumsum helpers), and the 10 queries
+    # whose vocab-keyed joins gained SHUFFLE_HASH hints. All 38
+    # strict-OK vs DuckDB at sf0.01 AND sf0.1 this round; head
+    # pre-verified with scripts/driver_contract_sweep.py 50 (log
+    # committed). Then 12 oldest-driver-green fills (last green r01-r3).
+    "rfm_customer_segments",
+    "ab_permutation_test",
+    "graph_topo_layers",
+    "sim_mmr_diversified_topk",
+    "boilerplate_domain_segments",
+    "gbdt_stump_boosting",
+    "dedup_cluster_representatives",
+    "dedup_cluster_quality_representative",
+    "pipeline_corpus_curation",
+    "robust_theil_sen_slope",
+    "xicor_correlation",
+    "linkage_sorted_neighborhood",
+    "histogram_equidepth",
+    "median_rank_ci",
+    "drift_wasserstein_1d",
+    "drift_ks_two_sample",
+    "drift_mmd_linear_paired",
+    "eval_auc_exact",
+    "eval_cumulative_gains",
+    "opt_histogram_selectivity_audit",
+    "retrieval_wand_prune_certificate",
+    "ab_test_mann_whitney",
+    "abc_classification_parts",
+    "causal_uplift_two_model",
+    "kruskal_wallis_h",
+    "stats_jonckheere_terpstra",
+    "wilcoxon_signed_rank",
+    "spearman_rank_correlation",
+    "nb_lang_classifier_eval",
+    "curriculum_perplexity_stages",
+    "text_tfidf_topk",
+    "ts_sax_motif_pairs",
+    "ngram_draft_acceptance_rate",
+    "rlhf_dpo_implicit_reward",
+    "doc_bigram_logprob",
+    "dsir_importance_weights",
+    "eval_ndcg_at_k",
+    "crosslingual_margin_mining",
+    # 12 oldest-driver-green fills (last green rounds 1-3)
+    "rendezvous_shard_assign",
+    "split_train_val_test",
+    "text_chunk_fixed_tokens",
+    "text_pii_redact",
+    "weighted_sample_topk",
+    "ab_test_welch_ttest",
+    "survival_kaplan_meier",
+    "agg_approx_count_distinct",
+    "agg_bitmap_distinct",
+    "agg_count_distinct",
+    "agg_count_distinct_salted",
+    "agg_cube",
     # Round-12 policy (round-11 verdict tasks 1+2): registry still
     # frozen at 478, 478/478 oracled. Head = the three queries whose
     # PLAN changed this round (sparse_cosine_pairs_topk: the full-
