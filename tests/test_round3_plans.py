@@ -94,10 +94,15 @@ def test_bradley_terry_strengths_centered(spark):
 
 
 def test_draft_table_broadcast_and_rate_bounds(spark):
-    """The bigram draft table joins as a broadcast (corpus never
-    self-joins), and acceptance rates are valid fractions."""
+    """The bigram draft table joins as a HASH join build side (corpus
+    never self-joins and is never sorted for a merge join): broadcast
+    through round 11, hint-free AQE in round 12, and a SHUFFLE_HASH
+    hint since round 13 (guide §3.1 — per-partition build bounded by
+    |vocab|/P at any scale). Acceptance rates are valid fractions."""
     df = DEFS["ngram_draft_acceptance_rate"].fn(spark, SF_DIR)
-    assert broadcast_join_count(df) >= 1, formatted_plan(df)[:3000]
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 1 or "ShuffledHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
     rows = df.collect()
     assert rows, "no documents scored"
     for r in rows:
